@@ -1,0 +1,552 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Relational operator surface: joins, aggregations, set ops, scalar
+  * functions — the generic analogs of SURVEY.md §2.2–§2.4, §2.6–§2.8,
+  * expressed over the driver test tables with DuckDB oracles.
+  *
+  * Scale notes apply to every query here: groupBy/join run as shuffle
+  * hash-agg / broadcast-hash-join; small dims (region/nation/supplier)
+  * are explicitly `broadcast()` so the plan has no shuffle on the big
+  * fact side beyond the final aggregation.
+  */
+object Relational {
+
+  def defs: Seq[Q] = Seq(
+
+    // ----- A1/A2: conditional hash aggregation (sum(when), count, max) --
+    Q(
+      "a01_cond_agg",
+      "Conditional hash agg over lineitem — analog of the reference's " +
+        "play->game-team aggs (build_pbp_game_team_stats.py:155-267): " +
+        "sum(when) conditional counts + plain sums, grouped by two keys.",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        li.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            round(sum(col("l_quantity")), 2).as("sum_qty"),
+            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+            sum(when(col("l_quantity") > 30, 1L).otherwise(0L)).as("big_qty_cnt"),
+            sum(when(col("l_discount") >= 0.05, 1L).otherwise(0L)).as("high_disc_cnt"),
+            max(col("l_linenumber")).as("max_line"),
+            count(lit(1)).as("cnt"))
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+               CAST(sum(CASE WHEN l_quantity > 30 THEN 1 ELSE 0 END) AS BIGINT) AS big_qty_cnt,
+               CAST(sum(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS high_disc_cnt,
+               max(l_linenumber) AS max_line,
+               count(*) AS cnt
+        FROM lineitem GROUP BY 1, 2""")),
+
+    // ----- A8: weighted-ratio aggregate ---------------------------------
+    Q(
+      "a08_weighted_ratio",
+      "Weighted league-average pattern (iterative_ratings.py:131-139): " +
+        "sum(w*x)/sum(w*y)*100 with a zero-safe denominator.",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        li.groupBy(col("l_returnflag"))
+          .agg(
+            sum((lit(1.0) - col("l_discount")) * col("l_extendedprice")).as("wnum"),
+            sum((lit(1.0) - col("l_discount")) * col("l_quantity")).as("wden"))
+          .select(
+            col("l_returnflag"),
+            round(when(col("wden") =!= 0.0, col("wnum") / col("wden") * 100.0), 4).as("weighted_rate"))
+      },
+      Some("""
+        SELECT l_returnflag,
+               round(sum((1.0 - l_discount) * l_extendedprice)
+                     / nullif(sum((1.0 - l_discount) * l_quantity), 0) * 100.0, 4) AS weighted_rate
+        FROM lineitem GROUP BY 1""")),
+
+    // ----- A12: first-wins dedup via row_number -------------------------
+    Q(
+      "a12_dedup_first_wins",
+      "Deterministic first-wins dedup (normalize.py:883-894 semantics): " +
+        "first order per customer under an explicit (date, key) order — " +
+        "row_number()===1, not dropDuplicates, so 'first' is well-defined.",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val o = Tables.orders(s, d)
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        o.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(
+            col("o_custkey"),
+            col("o_orderkey").as("first_orderkey"),
+            to_date(col("o_orderdate")).as("first_date"))
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey AS first_orderkey,
+               CAST(o_orderdate AS DATE) AS first_date
+        FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn FROM orders)
+        WHERE rn = 1""")),
+
+    // ----- A13: distinct -------------------------------------------------
+    Q(
+      "a13_distinct",
+      "SELECT DISTINCT (gap_fill.py:84 coverage pattern).",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .select(col("l_returnflag"), col("l_linestatus")).distinct(),
+      Some("SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem")),
+
+    // ----- A14: audit aggregates ----------------------------------------
+    Q(
+      "a14_audit",
+      "Data-quality audit (audit_lakehouse.py:187-245): row counts, " +
+        "distinct keys, null counts/percentages, duplicate-PK counts.",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        o.groupBy(col("o_orderstatus"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            countDistinct(col("o_custkey")).as("n_cust"),
+            (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dup_pk_cnt"),
+            sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("null_price_cnt"),
+            round(min(col("o_totalprice")), 2).as("min_price"),
+            round(max(col("o_totalprice")), 2).as("max_price"))
+      },
+      Some("""
+        SELECT o_orderstatus, count(*) AS n_rows,
+               count(DISTINCT o_custkey) AS n_cust,
+               count(*) - count(DISTINCT o_orderkey) AS dup_pk_cnt,
+               CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_price_cnt,
+               round(min(o_totalprice), 2) AS min_price,
+               round(max(o_totalprice), 2) AS max_price
+        FROM orders GROUP BY 1""")),
+
+    // ----- J1/J2: broadcast join chain on a fact spine ------------------
+    Q(
+      "j01_broadcast_chain",
+      "Fact spine -> chained dim joins (team_power_rankings.py:34-228): " +
+        "orders->customer->nation->region with small dims broadcast; " +
+        "per-region rollup. At 100 TB the dims stay broadcast and only " +
+        "the orders->customer equi-join shuffles.",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val c = Tables.customer(s, d)
+        val n = Tables.nation(s, d)
+        val r = Tables.region(s, d)
+        o.join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            round(sum(col("o_totalprice")), 2).as("total_rev"),
+            countDistinct(col("c_custkey")).as("n_cust"))
+      },
+      Some("""
+        SELECT r_name, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_rev,
+               count(DISTINCT c_custkey) AS n_cust
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1""")),
+
+    // ----- J1: left join + fill-if-null (coalesce) ----------------------
+    Q(
+      "j03_left_join_fill",
+      "Left join with coalesce fill (power-rankings fill-if-null, " +
+        "team_power_rankings.py:196-228): every customer keeps a row, " +
+        "missing aggregates become zeros.",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d)
+        val agg = o.groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("sp"))
+        c.join(agg, col("c_custkey") === col("o_custkey"), "left")
+          .select(
+            col("c_custkey"),
+            coalesce(col("cnt"), lit(0L)).as("n_orders"),
+            coalesce(col("sp"), lit(0.0)).as("spend"))
+      },
+      Some("""
+        SELECT c_custkey,
+               CAST(coalesce(cnt, 0) AS BIGINT) AS n_orders,
+               coalesce(sp, 0.0) AS spend
+        FROM customer LEFT JOIN (
+          SELECT o_custkey, count(*) AS cnt, round(sum(o_totalprice), 2) AS sp
+          FROM orders GROUP BY 1) o ON c_custkey = o_custkey""")),
+
+    // ----- J6: anti join --------------------------------------------------
+    Q(
+      "j06_anti_join",
+      "Gap-discovery anti join (gap_fill.py:79-88): parts never shipped " +
+        "in quantity > 48 — left_anti against a filtered distinct set.",
+      (s, d) => {
+        val p = Tables.part(s, d)
+        val li = Tables.lineitem(s, d).filter(col("l_quantity") > 48)
+        p.join(li.select(col("l_partkey")).distinct(),
+            col("p_partkey") === col("l_partkey"), "left_anti")
+          .select(col("p_partkey"), col("p_name"), col("p_brand"))
+      },
+      Some("""
+        SELECT p_partkey, p_name, p_brand FROM part
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_partkey = p_partkey AND l_quantity > 48)""")),
+
+    // ----- U4/P4: semi join ----------------------------------------------
+    Q(
+      "u04_semi_join",
+      "Membership semi join (D1-team filter pattern, " +
+        "adjusted_efficiencies.py:285-345): suppliers with at least one " +
+        "large shipment.",
+      (s, d) => {
+        val sup = Tables.supplier(s, d)
+        val li = Tables.lineitem(s, d).filter(col("l_quantity") > 45)
+        sup.join(li.select(col("l_suppkey")), col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select(col("s_suppkey"), col("s_name"))
+      },
+      Some("""
+        SELECT s_suppkey, s_name FROM supplier
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_suppkey = s_suppkey AND l_quantity > 45)""")),
+
+    // ----- J8: opponent self-join -----------------------------------------
+    Q(
+      "j08_self_join_opponent",
+      "Opponent self-join (build_pbp_game_teams_flat.py:258-268): pair " +
+        "each (order, supplier) aggregate with the other suppliers' " +
+        "aggregates in the same order.",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val a = li.groupBy(col("l_orderkey"), col("l_suppkey"))
+          .agg(sum(col("l_quantity")).as("qty"))
+        val t = a.as("t")
+        val o = a.select(col("l_orderkey").as("o_ok"), col("l_suppkey").as("o_sk"), col("qty").as("o_qty"))
+        t.join(o, col("t.l_orderkey") === col("o_ok") && col("t.l_suppkey") =!= col("o_sk"))
+          .groupBy(col("t.l_orderkey").as("l_orderkey"), col("t.l_suppkey").as("l_suppkey"))
+          .agg(
+            count(lit(1)).as("n_opp"),
+            round(avg(col("o_qty")), 4).as("opp_avg_qty"))
+      },
+      Some("""
+        WITH a AS (SELECT l_orderkey, l_suppkey, sum(l_quantity) AS qty
+                   FROM lineitem GROUP BY 1, 2)
+        SELECT t.l_orderkey, t.l_suppkey, count(*) AS n_opp,
+               round(avg(o.qty), 4) AS opp_avg_qty
+        FROM a t JOIN a o ON t.l_orderkey = o.l_orderkey
+                         AND t.l_suppkey <> o.l_suppkey
+        GROUP BY 1, 2""")),
+
+    // ----- J9/J2: unpivot via explode + union-shaped agg ------------------
+    Q(
+      "j09_unpivot",
+      "Home/away unpivot (team_season_summary.py:244-299, " +
+        "game_predictions_features.py:78-82): one input row fans out to " +
+        "two metric rows via explode(array(struct...)), then re-aggregates.",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        li.select(
+            col("l_returnflag"),
+            explode(array(
+              struct(lit("disc_amt").as("metric"),
+                (col("l_extendedprice") * col("l_discount")).as("v")),
+              struct(lit("tax_amt").as("metric"),
+                (col("l_extendedprice") * col("l_tax")).as("v")))).as("m"))
+          .select(col("l_returnflag"), col("m.metric").as("metric"), col("m.v").as("v"))
+          .groupBy(col("l_returnflag"), col("metric"))
+          .agg(round(sum(col("v")), 2).as("total"), count(lit(1)).as("n"))
+      },
+      Some("""
+        SELECT l_returnflag, metric, round(sum(v), 2) AS total, count(*) AS n
+        FROM (
+          SELECT l_returnflag, 'disc_amt' AS metric,
+                 l_extendedprice * l_discount AS v FROM lineitem
+          UNION ALL
+          SELECT l_returnflag, 'tax_amt' AS metric,
+                 l_extendedprice * l_tax AS v FROM lineitem)
+        GROUP BY 1, 2""")),
+
+    // ----- J5: string-normalized join --------------------------------------
+    Q(
+      "j05_string_norm_join",
+      "Case-normalized string join (recruiting->team, " +
+        "team_season_summary.py:302-341): join documents to an " +
+        "upper-cased language dim via lower().",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val dim = docs.select(upper(col("lang")).as("lang_u")).distinct()
+        docs.join(broadcast(dim), lower(col("lang_u")) === col("lang"))
+          .groupBy(col("lang_u"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      },
+      Some("""
+        SELECT lang_u, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents d JOIN (SELECT DISTINCT upper(lang) AS lang_u
+                               FROM documents) x ON lower(x.lang_u) = d.lang
+        GROUP BY 1""")),
+
+    // ----- J10: coverage percentage ----------------------------------------
+    Q(
+      "j10_coverage_pct",
+      "Coverage join (data_completeness_audit.sql:27-50): per nation, " +
+        "the share of customers having at least one order.",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val n = Tables.nation(s, d)
+        val withOrders = Tables.orders(s, d).select(col("o_custkey")).distinct()
+        c.join(withOrders, col("c_custkey") === col("o_custkey"), "left")
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(
+            count(lit(1)).as("n_cust"),
+            sum(when(col("o_custkey").isNotNull, 1L).otherwise(0L)).as("n_with_orders"))
+          .select(
+            col("n_name"), col("n_cust"), col("n_with_orders"),
+            round(col("n_with_orders") * 100.0 / col("n_cust"), 2).as("coverage_pct"))
+      },
+      Some("""
+        SELECT n_name, count(*) AS n_cust,
+               CAST(sum(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_orders,
+               round(sum(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) * 100.0 / count(*), 2) AS coverage_pct
+        FROM customer
+        LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o ON c_custkey = o_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1""")),
+
+    // ----- U1: union by name with missing columns ---------------------------
+    Q(
+      "u01_union_byname",
+      "Permissive union with schema promotion (_io_helpers.py:141-178): " +
+        "unionByName(allowMissingColumns) — the missing aggregate column " +
+        "becomes null.",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val li = Tables.lineitem(s, d)
+        val a = o.groupBy(col("o_orderstatus").as("grp"))
+          .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+          .withColumn("src", lit("orders"))
+        val b = li.groupBy(col("l_returnflag").as("grp"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("src", lit("lineitem"))
+        a.unionByName(b, allowMissingColumns = true)
+      },
+      Some("""
+        SELECT grp, n, total, src FROM (
+          SELECT o_orderstatus AS grp, count(*) AS n,
+                 round(sum(o_totalprice), 2) AS total, 'orders' AS src
+          FROM orders GROUP BY 1
+          UNION ALL
+          SELECT l_returnflag AS grp, count(*) AS n,
+                 CAST(NULL AS DOUBLE) AS total, 'lineitem' AS src
+          FROM lineitem GROUP BY 1)""")),
+
+    // ----- U3: set difference -----------------------------------------------
+    Q(
+      "u03_except",
+      "Set difference (gap_fill.py:170): nations that have customers but " +
+        "no suppliers.",
+      (s, d) => {
+        val c = Tables.customer(s, d).select(col("c_nationkey").cast("int").as("nationkey"))
+        val sup = Tables.supplier(s, d).select(col("s_nationkey").cast("int").as("nationkey"))
+        c.except(sup)
+      },
+      Some("""
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT
+        SELECT s_nationkey AS nationkey FROM supplier""")),
+
+    // ----- O4: top-k ----------------------------------------------------------
+    Q(
+      "o04_topk",
+      "Top-k (athena_examples.sql ORDER BY ... LIMIT): top 10 customers " +
+        "by total spend, deterministic tiebreak on key. Spark executes " +
+        "this as TakeOrderedAndProject — no global sort materialization.",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        o.groupBy(col("o_custkey"))
+          .agg(round(sum(col("o_totalprice")), 2).as("spend"), count(lit(1)).as("n"))
+          .orderBy(col("spend").desc, col("o_custkey").asc)
+          .limit(10)
+      },
+      Some("""
+        SELECT o_custkey, round(sum(o_totalprice), 2) AS spend, count(*) AS n
+        FROM orders GROUP BY 1
+        ORDER BY spend DESC, o_custkey ASC LIMIT 10""")),
+
+    // ----- P2/P3: filter + projection pushdown (TPC-H Q6 shape) ---------------
+    Q(
+      "p02_pushdown_agg",
+      "Selective filter + narrow projection (P2/P3 + predicate pushdown " +
+        "upgrade per SURVEY §4): TPC-H Q6 shape — the scan must show " +
+        "PushedFilters on shipdate/discount/quantity and a 4-column " +
+        "ReadSchema.",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val lo = java.time.LocalDateTime.of(1996, 1, 1, 0, 0)
+        val hi = java.time.LocalDateTime.of(1997, 1, 1, 0, 0)
+        li.filter(col("l_shipdate") >= lit(lo) && col("l_shipdate") < lit(hi)
+            && col("l_discount") >= 0.05 && col("l_discount") <= 0.07
+            && col("l_quantity") < 24)
+          .agg(
+            round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+            count(lit(1)).as("n"))
+      },
+      Some("""
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+               count(*) AS n
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""")),
+
+    // ----- F5: date functions ---------------------------------------------------
+    Q(
+      "f05_date_buckets",
+      "Date bucketing + arithmetic (F5: season windows, 30-day chunks): " +
+        "orders per calendar month with day-span stats.",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        o.select(
+            to_date(date_trunc("month", col("o_orderdate"))).as("month"),
+            col("o_totalprice"),
+            datediff(to_date(col("o_orderdate")), to_date(date_trunc("month", col("o_orderdate")))).as("day_in_month"))
+          .groupBy(col("month"))
+          .agg(
+            count(lit(1)).as("n"),
+            round(sum(col("o_totalprice")), 2).as("total"),
+            max(col("day_in_month")).as("max_day_offset"))
+      },
+      Some("""
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               count(*) AS n, round(sum(o_totalprice), 2) AS total,
+               max(date_diff('day', CAST(date_trunc('month', o_orderdate) AS DATE),
+                             CAST(o_orderdate AS DATE))) AS max_day_offset
+        FROM orders GROUP BY 1""")),
+
+    // ----- F6: JSON extraction ----------------------------------------------------
+    Q(
+      "f06_json_extract",
+      "JSON field extraction (F6: teamStats JSON strings, " +
+        "orchestrate.py:1188-1227): pull props.k out of the events JSON " +
+        "column, cast leniently, aggregate.",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        e.select(
+            col("event_type"),
+            expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").as("k"))
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("k")).as("k_sum"),
+            sum(when(col("k").isNull, 1L).otherwise(0L)).as("k_nulls"),
+            round(avg(col("k")), 4).as("k_avg"))
+      },
+      Some("""
+        SELECT event_type, count(*) AS n,
+               CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+               CAST(sum(CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS k_nulls,
+               round(avg(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS k_avg
+        FROM events GROUP BY 1""")),
+
+    // ----- F7: zero-safe math, clamp, abs, round -----------------------------------
+    Q(
+      "f07_safe_math",
+      "Safe math (F7: _io_helpers.py:70-91 safe_div, clamp [40,200]): " +
+        "guarded ratios, least/greatest clamping, abs deviations.",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val p = Tables.part(s, d)
+        li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(
+            sum(col("l_extendedprice")).as("rev"),
+            sum(col("l_quantity")).as("qty"),
+            avg(col("l_discount")).as("adisc"),
+            count(lit(1)).as("n"))
+          .select(
+            col("p_brand"), col("n"),
+            round(when(col("qty") =!= 0.0, col("rev") / col("qty")), 4).as("price_per_unit"),
+            round(least(greatest(when(col("qty") =!= 0.0, col("rev") / col("qty")), lit(100.0)), lit(2000.0)), 4).as("ppu_clamped"),
+            round(abs(col("adisc") - 0.05), 4).as("disc_dev"))
+      },
+      Some("""
+        SELECT p_brand, count(*) AS n,
+               round(sum(l_extendedprice) / nullif(sum(l_quantity), 0), 4) AS price_per_unit,
+               round(least(greatest(sum(l_extendedprice) / nullif(sum(l_quantity), 0), 100.0), 2000.0), 4) AS ppu_clamped,
+               round(abs(avg(l_discount) - 0.05), 4) AS disc_dev
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1""")),
+
+    // ----- F11: lenient casts ----------------------------------------------------------
+    Q(
+      "f11_try_cast",
+      "Lenient casting (F11: _to_int/_to_float null-on-failure, " +
+        "orchestrate.py:1230-1272): parse the numeric id out of c_name " +
+        "with try_cast; a non-numeric column casts to all-null.",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        c.select(
+            expr("try_cast(element_at(split(c_name, '#'), 2) AS BIGINT)").as("parsed"),
+            expr("try_cast(c_mktsegment AS BIGINT)").as("bogus"),
+            col("c_custkey"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(when(col("parsed") === col("c_custkey"), 1L).otherwise(0L)).as("n_match"),
+            sum(when(col("parsed").isNull, 1L).otherwise(0L)).as("n_parse_null"),
+            sum(when(col("bogus").isNull, 1L).otherwise(0L)).as("n_bogus_null"))
+      },
+      Some("""
+        SELECT count(*) AS n,
+               CAST(sum(CASE WHEN TRY_CAST(split_part(c_name, '#', 2) AS BIGINT) = c_custkey THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+               CAST(sum(CASE WHEN TRY_CAST(split_part(c_name, '#', 2) AS BIGINT) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_parse_null,
+               CAST(sum(CASE WHEN TRY_CAST(c_mktsegment AS BIGINT) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bogus_null
+        FROM customer""")),
+
+    // ----- F12: stable hashing -----------------------------------------------------------
+    Q(
+      "f12_sha_fingerprint",
+      "Stable content hashing (F12: utils.py:6-8 sha256 part naming): " +
+        "sha2-256 fingerprint per document, plus an 8-hex-char short id.",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        docs.select(
+          col("doc_id"),
+          sha2(concat(col("lang"), lit(":"), col("text")), 256).as("fp"),
+          substring(sha2(concat(col("lang"), lit(":"), col("text")), 256), 1, 8).as("fp8"))
+      },
+      Some("""
+        SELECT doc_id, sha256(lang || ':' || text) AS fp,
+               substring(sha256(lang || ':' || text), 1, 8) AS fp8
+        FROM documents""")),
+
+    // ----- W5/F9: exponential decay weighting ----------------------------------------------
+    Q(
+      "w05_decay_weights",
+      "Recency decay weights (iterative_ratings.py:48-55): " +
+        "w = 0.5^(days_ago/half_life) against the max date, weighted " +
+        "average per group.",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val anchor = o.agg(max(to_date(col("o_orderdate"))).as("anchor"))
+        o.crossJoin(broadcast(anchor))
+          .withColumn("w", pow(lit(0.5),
+            datediff(col("anchor"), to_date(col("o_orderdate"))).cast("double") / 90.0))
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            round(sum(col("w") * col("o_totalprice")) / sum(col("w")), 4).as("decayed_avg_price"),
+            round(sum(col("w")), 4).as("effective_n"))
+      },
+      Some("""
+        SELECT o_orderstatus,
+               round(sum(w * o_totalprice) / sum(w), 4) AS decayed_avg_price,
+               round(sum(w), 4) AS effective_n
+        FROM (SELECT o_orderstatus, o_totalprice,
+                     pow(0.5, date_diff('day', CAST(o_orderdate AS DATE),
+                       (SELECT CAST(max(o_orderdate) AS DATE) FROM orders)) / 90.0) AS w
+              FROM orders)
+        GROUP BY 1"""))
+  )
+}

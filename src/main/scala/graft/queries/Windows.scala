@@ -1,0 +1,288 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Window / ordered-computation surface: SURVEY.md §2.5 (W1–W7), plus
+  * the ordered aggregation analogs A3/A5/A11 and the streaming
+  * window-bucket analog from §2.10.
+  *
+  * Every window here is keyed (`partitionBy(user_id)` etc.) so state is
+  * distributed across executors; the only global windows are over
+  * *distinct metric values* (a11), which stay tiny regardless of fact
+  * size.
+  */
+object Windows {
+
+  /** Epoch millis of the event timestamp (NTZ, session TZ pinned UTC). */
+  private def ms = unix_millis(col("ts").cast("timestamp")).as("ms")
+
+  def defs: Seq[Q] = Seq(
+
+    // ----- W1/W2: latest row per key (argmax via row_number) ---------------
+    Q(
+      "w01_latest_per_key",
+      "Latest-row-per-key (latest poll per type, " +
+        "team_power_rankings.py:104-135; latest rating per team, " +
+        "adjusted_efficiencies.py:127-148): row_number desc over " +
+        "(ts, event_id) keeps exactly one row per user.",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        e.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_id").as("last_event_id"),
+            col("event_type").as("last_event_type"))
+      },
+      Some("""
+        SELECT user_id, event_id AS last_event_id,
+               event_type AS last_event_type
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        WHERE rn = 1""")),
+
+    // ----- W3: running cumulative totals -----------------------------------
+    Q(
+      "w03_running_total",
+      "Running totals (build_pbp_team_daily_rollup.py:252-259): " +
+        "cumulative sum per user over event order, " +
+        "rowsBetween(unboundedPreceding, currentRow).",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        e.select(
+          col("user_id"), col("event_id"),
+          round(sum(col("value")).over(w), 2).as("cum_value"),
+          count(lit(1)).over(w).as("cum_n"))
+      },
+      Some("""
+        SELECT user_id, event_id,
+               round(sum(value) OVER (PARTITION BY user_id
+                 ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_value,
+               count(*) OVER (PARTITION BY user_id
+                 ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+        FROM events""")),
+
+    // ----- A5/W3: dense-calendar season-to-date cumulative ------------------
+    Q(
+      "a05_dense_calendar",
+      "Dense-calendar cumulative rollup " +
+        "(build_pbp_team_daily_rollup.py:241-396): sequence(min..max day) " +
+        "x users spine, left-join daily partial aggregates, then a " +
+        "cumulative window — one row per user per calendar day even with " +
+        "no activity.",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val bounds = e.agg(
+          to_date(min(col("ts"))).as("d0"), to_date(max(col("ts"))).as("d1"))
+        val days = bounds.select(explode(sequence(col("d0"), col("d1"))).as("day"))
+        val users = e.select(col("user_id")).distinct()
+        val daily = e.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(sum(col("value")).as("v"), count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("day").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        users.crossJoin(broadcast(days))
+          .join(daily, Seq("user_id", "day"), "left")
+          .select(col("user_id"), col("day"),
+            coalesce(col("v"), lit(0.0)).as("v"),
+            coalesce(col("n"), lit(0L)).as("n"))
+          .select(col("user_id"), col("day"), col("n"),
+            round(sum(col("v")).over(w), 2).as("cum_value"),
+            sum(col("n")).over(w).as("cum_n"))
+      },
+      Some("""
+        WITH b AS (SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM events),
+        days AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+        users AS (SELECT DISTINCT user_id FROM events),
+        daily AS (SELECT user_id, CAST(ts AS DATE) AS day, sum(value) AS v,
+                         count(*) AS n
+                  FROM events GROUP BY 1, 2)
+        SELECT u.user_id, d.day,
+               CAST(coalesce(dl.n, 0) AS BIGINT) AS n,
+               round(sum(coalesce(dl.v, 0.0)) OVER (PARTITION BY u.user_id
+                 ORDER BY d.day ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_value,
+               CAST(sum(coalesce(dl.n, 0)) OVER (PARTITION BY u.user_id
+                 ORDER BY d.day ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n
+        FROM users u CROSS JOIN days d
+        LEFT JOIN daily dl ON dl.user_id = u.user_id AND dl.day = d.day""")),
+
+    // ----- W7: lag-based deltas ----------------------------------------------
+    Q(
+      "w07_lag_gaps",
+      "lag() deltas (garbage-minutes integration, " +
+        "build_pbp_game_teams_flat.py:301-314): inter-event gap per user " +
+        "in ms, aggregated to per-user gap stats.",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        e.select(col("user_id"), col("event_id"), ms)
+          .withColumn("gap_ms", col("ms") - lag(col("ms"), 1).over(w))
+          .groupBy(col("user_id"))
+          .agg(
+            count(col("gap_ms")).as("n_gaps"),
+            sum(col("gap_ms")).as("total_gap_ms"),
+            max(col("gap_ms")).as("max_gap_ms"),
+            round(avg(col("gap_ms")), 2).as("avg_gap_ms"))
+      },
+      Some("""
+        SELECT user_id, count(gap_ms) AS n_gaps,
+               CAST(sum(gap_ms) AS BIGINT) AS total_gap_ms,
+               max(gap_ms) AS max_gap_ms, round(avg(gap_ms), 2) AS avg_gap_ms
+        FROM (SELECT user_id,
+                     epoch_ms(ts) - lag(epoch_ms(ts), 1) OVER (
+                       PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap_ms
+              FROM events)
+        GROUP BY 1""")),
+
+    // ----- A11: distinct-value percentile-rank composite ----------------------
+    Q(
+      "a11_percentile_composite",
+      "Composite percentile ranking (team_power_rankings.py:263-296): " +
+        "per metric, dense percentile over DISTINCT values (rank/(n-1)*100 " +
+        "— NOT percent_rank over rows), composite = mean of the two. " +
+        "Ranks computed on the distinct-value set (small) then joined back.",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d)
+        val spend = o.groupBy(col("o_custkey"))
+          .agg(round(sum(col("o_totalprice")), 2).as("sp"))
+        val base = c.join(spend, col("c_custkey") === col("o_custkey"), "left")
+          .select(col("c_custkey"), col("c_acctbal"),
+            coalesce(col("sp"), lit(0.0)).as("spend"))
+        def pctTable(metric: String, out: String) = {
+          val dv = base.select(col(metric).as("v")).distinct()
+          val w = Window.orderBy(col("v").asc)
+          dv.select(col("v"),
+            ((row_number().over(w) - 1) * lit(100.0) /
+              (count(lit(1)).over(Window.partitionBy()) - 1)).as(out))
+        }
+        base
+          .join(pctTable("c_acctbal", "p_bal").withColumnRenamed("v", "c_acctbal"), Seq("c_acctbal"))
+          .join(pctTable("spend", "p_sp").withColumnRenamed("v", "spend"), Seq("spend"))
+          .select(col("c_custkey"),
+            round(col("p_bal"), 4).as("acctbal_pct"),
+            round(col("p_sp"), 4).as("spend_pct"),
+            round((col("p_bal") + col("p_sp")) / 2.0, 4).as("composite"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT c_custkey, c_acctbal, coalesce(sp, 0.0) AS spend
+          FROM customer LEFT JOIN (SELECT o_custkey, round(sum(o_totalprice), 2) AS sp
+                                   FROM orders GROUP BY 1) o ON c_custkey = o_custkey),
+        pb AS (SELECT v, (row_number() OVER (ORDER BY v ASC) - 1) * 100.0
+                        / (count(*) OVER () - 1) AS p
+               FROM (SELECT DISTINCT c_acctbal AS v FROM base)),
+        ps AS (SELECT v, (row_number() OVER (ORDER BY v ASC) - 1) * 100.0
+                        / (count(*) OVER () - 1) AS p
+               FROM (SELECT DISTINCT spend AS v FROM base))
+        SELECT b.c_custkey,
+               round(pb.p, 4) AS acctbal_pct,
+               round(ps.p, 4) AS spend_pct,
+               round((pb.p + ps.p) / 2.0, 4) AS composite
+        FROM base b JOIN pb ON b.c_acctbal = pb.v JOIN ps ON b.spend = ps.v""")),
+
+    // ----- A3/O5: mode (most-common value per key) ------------------------------
+    Q(
+      "a03_mode_top1",
+      "most_common(1) per key (build_pbp_game_team_stats.py:89-96): " +
+        "count + row_number desc with a deterministic lexicographic " +
+        "tiebreak.",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val cnt = e.groupBy(col("user_id"), col("event_type")).agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("n").desc, col("event_type").asc)
+        cnt.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type").as("top_event_type"), col("n").as("top_n"))
+      },
+      Some("""
+        SELECT user_id, event_type AS top_event_type, n AS top_n
+        FROM (SELECT user_id, event_type, count(*) AS n,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY count(*) DESC, event_type ASC) AS rn
+              FROM events GROUP BY 1, 2)
+        WHERE rn = 1""")),
+
+    // ----- W6: gap-based sessionization (SQL-expressible form) ------------------
+    Q(
+      "w06_sessionize",
+      "Gap sessionization (possession segmentation analog, " +
+        "build_pbp_plays_enriched.py:113-276): 30-min inactivity gap " +
+        "opens a new session; session id = running sum of gap flags; " +
+        "per-session rollup. The stateful flatMapGroups variant lives in " +
+        "graft.operators.Sessionize with a parity test against this.",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val ord = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        e.select(col("user_id"), col("event_id"), col("value"), ms)
+          .withColumn("new_sess",
+            when(col("ms") - lag(col("ms"), 1).over(ord) > 1800000L, 1L)
+              .when(lag(col("ms"), 1).over(ord).isNull, 1L)
+              .otherwise(0L))
+          .withColumn("session_id", sum(col("new_sess")).over(cum))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            min(col("event_id")).as("first_event_id"),
+            max(col("event_id")).as("last_event_id"),
+            (max(col("ms")) - min(col("ms"))).as("duration_ms"),
+            round(sum(col("value")), 2).as("session_value"))
+      },
+      Some("""
+        WITH t AS (SELECT user_id, event_id, value, epoch_ms(ts) AS ms,
+                          CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts), 1) OVER (
+                                 PARTITION BY user_id ORDER BY ts ASC, event_id ASC) > 1800000
+                               THEN 1
+                               WHEN lag(epoch_ms(ts), 1) OVER (
+                                 PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
+                               THEN 1 ELSE 0 END AS new_sess
+                   FROM events),
+        s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+                ORDER BY ms ASC, event_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+              FROM t)
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               count(*) AS n_events,
+               min(event_id) AS first_event_id,
+               max(event_id) AS last_event_id,
+               max(ms) - min(ms) AS duration_ms,
+               round(sum(value), 2) AS session_value
+        FROM s GROUP BY 1, 2""")),
+
+    // ----- §2.10: tumbling time-window aggregation (streaming analog) -------------
+    Q(
+      "st01_window_agg",
+      "Tumbling 6h event-time windows (Structured Streaming analog — the " +
+        "same groupBy(window(ts)) runs unchanged on readStream; see " +
+        "graft.streaming.EventStream). Bucket emitted as a formatted " +
+        "string for engine-neutral comparison.",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        e.groupBy(
+            window(col("ts"), "6 hours").as("w"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+          .select(
+            date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("bucket"),
+            col("event_type"), col("n"), col("total"))
+      },
+      Some("""
+        SELECT strftime(TIMESTAMP '2024-01-01'
+                 + CAST(floor(date_diff('second', TIMESTAMP '2024-01-01', ts) / 21600.0) AS BIGINT)
+                   * INTERVAL 6 HOUR, '%Y-%m-%d %H:%M') AS bucket,
+               event_type, count(*) AS n, round(sum(value), 2) AS total
+        FROM events GROUP BY 1, 2"""))
+  )
+}
