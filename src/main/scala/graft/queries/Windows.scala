@@ -15,8 +15,11 @@ import graft.sources.Tables
   */
 object Windows {
 
-  /** Epoch millis of the event timestamp (NTZ, session TZ pinned UTC). */
-  private def ms = unix_millis(col("ts").cast("timestamp")).as("ms")
+  /** Epoch millis of the event timestamp (NTZ, session TZ pinned UTC).
+    * Tables.events already truncated ns→µs to mirror DuckDB's read, so
+    * `unix_millis` here and `epoch_ms(ts)` in the oracle floor the same
+    * µs value to ms. */
+  private def ms = unix_millis(col("ts")).as("ms")
 
   def defs: Seq[Q] = Seq(
 
@@ -124,7 +127,7 @@ object Windows {
         val e = Tables.events(s, d)
         val w = Window.partitionBy(col("user_id"))
           .orderBy(col("ts").asc, col("event_id").asc)
-        e.select(col("user_id"), col("event_id"), ms)
+        e.select(col("user_id"), col("event_id"), col("ts"), ms)
           .withColumn("gap_ms", col("ms") - lag(col("ms"), 1).over(w))
           .groupBy(col("user_id"))
           .agg(
@@ -161,9 +164,12 @@ object Windows {
         def pctTable(metric: String, out: String) = {
           val dv = base.select(col(metric).as("v")).distinct()
           val w = Window.orderBy(col("v").asc)
+          val n = count(lit(1)).over(Window.partitionBy())
+          // n==1 guard: a single distinct value ranks 0.0 (not null/NaN),
+          // matching the oracle's CASE — see ADVICE r01.
           dv.select(col("v"),
-            ((row_number().over(w) - 1) * lit(100.0) /
-              (count(lit(1)).over(Window.partitionBy()) - 1)).as(out))
+            when(n > 1, (row_number().over(w) - 1) * lit(100.0) / (n - 1))
+              .otherwise(lit(0.0)).as(out))
         }
         base
           .join(pctTable("c_acctbal", "p_bal").withColumnRenamed("v", "c_acctbal"), Seq("c_acctbal"))
@@ -178,11 +184,15 @@ object Windows {
           SELECT c_custkey, c_acctbal, coalesce(sp, 0.0) AS spend
           FROM customer LEFT JOIN (SELECT o_custkey, round(sum(o_totalprice), 2) AS sp
                                    FROM orders GROUP BY 1) o ON c_custkey = o_custkey),
-        pb AS (SELECT v, (row_number() OVER (ORDER BY v ASC) - 1) * 100.0
-                        / (count(*) OVER () - 1) AS p
+        pb AS (SELECT v, CASE WHEN count(*) OVER () > 1
+                              THEN (row_number() OVER (ORDER BY v ASC) - 1) * 100.0
+                                   / (count(*) OVER () - 1)
+                              ELSE 0.0 END AS p
                FROM (SELECT DISTINCT c_acctbal AS v FROM base)),
-        ps AS (SELECT v, (row_number() OVER (ORDER BY v ASC) - 1) * 100.0
-                        / (count(*) OVER () - 1) AS p
+        ps AS (SELECT v, CASE WHEN count(*) OVER () > 1
+                              THEN (row_number() OVER (ORDER BY v ASC) - 1) * 100.0
+                                   / (count(*) OVER () - 1)
+                              ELSE 0.0 END AS p
                FROM (SELECT DISTINCT spend AS v FROM base))
         SELECT b.c_custkey,
                round(pb.p, 4) AS acctbal_pct,
@@ -219,14 +229,13 @@ object Windows {
       "Gap sessionization (possession segmentation analog, " +
         "build_pbp_plays_enriched.py:113-276): 30-min inactivity gap " +
         "opens a new session; session id = running sum of gap flags; " +
-        "per-session rollup. The stateful flatMapGroups variant lives in " +
-        "graft.operators.Sessionize with a parity test against this.",
+        "per-session rollup.",
       (s, d) => {
         val e = Tables.events(s, d)
         val ord = Window.partitionBy(col("user_id"))
           .orderBy(col("ts").asc, col("event_id").asc)
         val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        e.select(col("user_id"), col("event_id"), col("value"), ms)
+        e.select(col("user_id"), col("event_id"), col("value"), col("ts"), ms)
           .withColumn("new_sess",
             when(col("ms") - lag(col("ms"), 1).over(ord) > 1800000L, 1L)
               .when(lag(col("ms"), 1).over(ord).isNull, 1L)
@@ -241,7 +250,7 @@ object Windows {
             round(sum(col("value")), 2).as("session_value"))
       },
       Some("""
-        WITH t AS (SELECT user_id, event_id, value, epoch_ms(ts) AS ms,
+        WITH t AS (SELECT user_id, event_id, value, ts, epoch_ms(ts) AS ms,
                           CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts), 1) OVER (
                                  PARTITION BY user_id ORDER BY ts ASC, event_id ASC) > 1800000
                                THEN 1
@@ -250,7 +259,7 @@ object Windows {
                                THEN 1 ELSE 0 END AS new_sess
                    FROM events),
         s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id
-                ORDER BY ms ASC, event_id ASC
+                ORDER BY ts ASC, event_id ASC
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
               FROM t)
         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
@@ -265,9 +274,8 @@ object Windows {
     Q(
       "st01_window_agg",
       "Tumbling 6h event-time windows (Structured Streaming analog — the " +
-        "same groupBy(window(ts)) runs unchanged on readStream; see " +
-        "graft.streaming.EventStream). Bucket emitted as a formatted " +
-        "string for engine-neutral comparison.",
+        "same groupBy(window(ts)) runs unchanged on readStream). Bucket " +
+        "emitted as a formatted string for engine-neutral comparison.",
       (s, d) => {
         val e = Tables.events(s, d)
         e.groupBy(
