@@ -1,7 +1,307 @@
 package graft.queries
 
-/** Domain (basketball-semantics) operators exercised on the generic test
-  * tables (filled in incrementally). */
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.multimodal.MediaOps
+import graft.operators.Sessionize
+import graft.ratings.IterativeRatings
+
+/** Domain (reference-semantics) operators exercised on the generic test
+  * tables: the basketball formula families (SURVEY.md §2.8 F8–F10), the
+  * regex play-classifier pattern (F1), leakage-free as-of windows (W4),
+  * the iterative SOS solver (§2.9 I1), the stateful sessionizer (W6),
+  * and the multimodal payload plumbing.
+  */
 object DomainOps {
-  def defs: Seq[Q] = Seq()
+
+  def defs: Seq[Q] = Seq(
+
+    // ----- F8: possessions / shooting-efficiency formula family ---------------
+    Q(
+      "dm01_possession_formula",
+      "Basketball formula family (F8, build_pbp_game_team_stats.py:271, " +
+        "build_pbp_game_teams_flat.py:277-293): conditional counting " +
+        "stats then poss = FGA - OREB + TOV + 0.44*FTA, eFG%, TS%, FT " +
+        "rate, TOV ratio — pure conditional-agg + arithmetic, one " +
+        "shuffle.",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        li.groupBy(col("l_returnflag"))
+          .agg(
+            sum(when(col("l_quantity") > 10, 1L).otherwise(0L)).as("fga"),
+            sum(when(col("l_discount") < 0.03, 1L).otherwise(0L)).as("fgm"),
+            sum(when(col("l_tax") > 0.06, 1L).otherwise(0L)).as("fg3m"),
+            sum(when(col("l_quantity") < 5, 1L).otherwise(0L)).as("fta"),
+            sum(when(col("l_discount") > 0.08, 1L).otherwise(0L)).as("oreb"),
+            sum(when(col("l_quantity").between(20, 25), 1L).otherwise(0L)).as("tov"),
+            sum(col("l_quantity")).as("pts"))
+          .select(
+            col("l_returnflag"), col("fga"), col("fta"), col("tov"),
+            round(col("fga") - col("oreb") + col("tov") + lit(0.44) * col("fta"), 2).as("poss"),
+            round((col("fgm") + lit(0.5) * col("fg3m")) * lit(1.0) / col("fga"), 4).as("efg"),
+            round(col("pts") / (lit(2.0) * (col("fga") + lit(0.44) * col("fta"))), 4).as("ts_pct"),
+            round(col("fta") * lit(1.0) / col("fga"), 4).as("ft_rate"),
+            round(col("tov") / (col("fga") - col("oreb") + col("tov") + lit(0.44) * col("fta")), 4).as("tov_ratio"))
+      },
+      Some("""
+        WITH a AS (
+          SELECT l_returnflag,
+                 sum(CASE WHEN l_quantity > 10 THEN 1 ELSE 0 END) AS fga,
+                 sum(CASE WHEN l_discount < 0.03 THEN 1 ELSE 0 END) AS fgm,
+                 sum(CASE WHEN l_tax > 0.06 THEN 1 ELSE 0 END) AS fg3m,
+                 sum(CASE WHEN l_quantity < 5 THEN 1 ELSE 0 END) AS fta,
+                 sum(CASE WHEN l_discount > 0.08 THEN 1 ELSE 0 END) AS oreb,
+                 sum(CASE WHEN l_quantity BETWEEN 20 AND 25 THEN 1 ELSE 0 END) AS tov,
+                 sum(l_quantity) AS pts
+          FROM lineitem GROUP BY 1)
+        SELECT l_returnflag, CAST(fga AS BIGINT) AS fga,
+               CAST(fta AS BIGINT) AS fta, CAST(tov AS BIGINT) AS tov,
+               round(fga - oreb + tov + 0.44 * fta, 2) AS poss,
+               round((fgm + 0.5 * fg3m) * 1.0 / fga, 4) AS efg,
+               round(pts / (2.0 * (fga + 0.44 * fta)), 4) AS ts_pct,
+               round(fta * 1.0 / fga, 4) AS ft_rate,
+               round(tov / (fga - oreb + tov + 0.44 * fta), 4) AS tov_ratio
+        FROM a""")),
+
+    // ----- F9: rating math (clamp, barthag, SOS multiplier) --------------------
+    Q(
+      "dm02_rating_math",
+      "Rating math family (F9, iterative_ratings.py:27-28,58-77,254-264): " +
+        "efficiency clamped to [40,200], BARTHAG = oe^11.5/(oe^11.5 + " +
+        "de^11.5), SOS multiplier (league/opp)^0.85 vs a broadcast league " +
+        "average.",
+      (s, d) => {
+        val sup = Tables.supplier(s, d)
+        val li = Tables.lineitem(s, d)
+        val n = Tables.nation(s, d)
+        val base = li.join(sup, col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(
+            avg(col("l_extendedprice")).as("ap"),
+            avg(col("l_quantity")).as("aq"))
+          .select(col("n_name"),
+            least(greatest(col("ap") / 400.0, lit(40.0)), lit(200.0)).as("oe"),
+            least(greatest(col("aq") * 4.0, lit(40.0)), lit(200.0)).as("de"))
+        val league = base.agg(avg(col("de")).as("league_de"))
+        base.crossJoin(broadcast(league))
+          .select(
+            col("n_name"), round(col("oe"), 4).as("oe"), round(col("de"), 4).as("de"),
+            round(pow(col("oe"), 11.5) / (pow(col("oe"), 11.5) + pow(col("de"), 11.5)), 6).as("barthag"),
+            round(pow(col("league_de") / col("de"), 0.85), 6).as("sos_mult"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT n_name,
+                 least(greatest(avg(l_extendedprice) / 400.0, 40.0), 200.0) AS oe,
+                 least(greatest(avg(l_quantity) * 4.0, 40.0), 200.0) AS de
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          GROUP BY 1),
+        lg AS (SELECT avg(de) AS league_de FROM base)
+        SELECT n_name, round(oe, 4) AS oe, round(de, 4) AS de,
+               round(pow(oe, 11.5) / (pow(oe, 11.5) + pow(de, 11.5)), 6) AS barthag,
+               round(pow(league_de / de, 0.85), 6) AS sos_mult
+        FROM base, lg""")),
+
+    // ----- F10: ATS / betting-market derivations --------------------------------
+    Q(
+      "dm03_ats_market",
+      "ATS derivation family (F10, market_lines_analysis.py:110-132 + " +
+        "margin-cap splitting, adjusted_efficiencies.py:183-208): derive " +
+        "scores/spread per game row, ats_margin = margin + spread, cover " +
+        "and over flags, abs spread error, capped margin (excess halved); " +
+        "rolled up per priority bucket.",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val g = o.select(
+          col("o_orderpriority"),
+          (col("o_orderkey") % 100).cast("double").as("home_score"),
+          (col("o_custkey") % 100).cast("double").as("away_score"),
+          ((col("o_orderkey") % 30) - lit(15) + lit(0.5)).as("spread"))
+          .withColumn("margin", col("home_score") - col("away_score"))
+          .withColumn("ats_margin", col("margin") + col("spread"))
+          .withColumn("total_points", col("home_score") + col("away_score"))
+          .withColumn("capped_margin",
+            signum(col("margin")) * (least(abs(col("margin")), lit(15.0))
+              + greatest(abs(col("margin")) - 15.0, lit(0.0)) * 0.5))
+        g.groupBy(col("o_orderpriority"))
+          .agg(
+            count(lit(1)).as("n"),
+            round(avg(when(col("ats_margin") > 0, 1.0).otherwise(0.0)), 4).as("cover_rate"),
+            round(avg(when(col("total_points") > 95.5, 1.0).otherwise(0.0)), 4).as("over_rate"),
+            round(avg(abs(col("margin") + col("spread"))), 4).as("avg_spread_error"),
+            round(avg(col("capped_margin")), 4).as("avg_capped_margin"))
+      },
+      Some("""
+        WITH g AS (
+          SELECT o_orderpriority,
+                 CAST(o_orderkey % 100 AS DOUBLE) AS home_score,
+                 CAST(o_custkey % 100 AS DOUBLE) AS away_score,
+                 (o_orderkey % 30) - 15 + 0.5 AS spread
+          FROM orders),
+        h AS (SELECT *, home_score - away_score AS margin,
+                     home_score + away_score AS total_points FROM g),
+        i AS (SELECT *, margin + spread AS ats_margin,
+                     sign(margin) * (least(abs(margin), 15.0)
+                       + greatest(abs(margin) - 15.0, 0.0) * 0.5) AS capped_margin
+              FROM h)
+        SELECT o_orderpriority, count(*) AS n,
+               round(avg(CASE WHEN ats_margin > 0 THEN 1.0 ELSE 0.0 END), 4) AS cover_rate,
+               round(avg(CASE WHEN total_points > 95.5 THEN 1.0 ELSE 0.0 END), 4) AS over_rate,
+               round(avg(abs(margin + spread)), 4) AS avg_spread_error,
+               round(avg(capped_margin), 4) AS avg_capped_margin
+        FROM i GROUP BY 1""")),
+
+    // ----- F1: regex classification ----------------------------------------------
+    Q(
+      "dm04_regex_classify",
+      "Regex play-classifier pattern (F1, pbp_stats.py:10-110: ordered " +
+        "pattern classes, first match wins) applied to documents: " +
+        "precedence when-chain of rlike classes, rolled up per " +
+        "(lang, class).",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        docs.withColumn("class",
+            when(col("text").rlike("stream|window"), "streaming")
+              .when(col("text").rlike("join|merge"), "join")
+              .when(col("text").rlike("vector|embedding"), "vector")
+              .when(col("text").rlike("scan|filter|sort"), "scan")
+              .otherwise("other"))
+          .groupBy(col("lang"), col("class"))
+          .agg(count(lit(1)).as("n"),
+            round(avg(col("n_chars")), 2).as("avg_chars"))
+      },
+      Some("""
+        SELECT lang,
+               CASE WHEN regexp_matches(text, 'stream|window') THEN 'streaming'
+                    WHEN regexp_matches(text, 'join|merge') THEN 'join'
+                    WHEN regexp_matches(text, 'vector|embedding') THEN 'vector'
+                    WHEN regexp_matches(text, 'scan|filter|sort') THEN 'scan'
+                    ELSE 'other' END AS class,
+               count(*) AS n, round(avg(n_chars), 2) AS avg_chars
+        FROM documents GROUP BY 1, 2""")),
+
+    // ----- W4: leakage-free strictly-prior window ---------------------------------
+    Q(
+      "dm05_leakage_free_prior",
+      "Leakage-free as-of stats (W4, build_pbp_team_daily_rollup_adj.py" +
+        ":255-313 'prior games only'): per order, aggregates over the " +
+        "customer's STRICTLY prior orders — rowsBetween(unboundedPreceding" +
+        ", -1), the frame the reference hand-rolls with a driver loop.",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        // sum not avg: cent-valued sums stay safely off the half-way
+        // rounding boundaries that avg/2^k lands on cross-engine
+        o.select(
+          col("o_orderkey"), col("o_custkey"),
+          count(lit(1)).over(w).as("prior_n"),
+          round(sum(col("o_totalprice")).over(w), 2).as("prior_total_price"),
+          round(max(col("o_totalprice")).over(w), 2).as("prior_max_price"))
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey,
+               CAST(count(*) OVER w AS BIGINT) AS prior_n,
+               round(sum(o_totalprice) OVER w, 2) AS prior_total_price,
+               round(max(o_totalprice) OVER w, 2) AS prior_max_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate ASC, o_orderkey ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)""")),
+
+    // ----- W6: stateful sessionizer parity ----------------------------------------
+    Q(
+      "w06b_sessionize_stateful",
+      "The flatMapGroups stateful sessionizer (graft.operators." +
+        "Sessionize) run against the SAME DuckDB oracle as the SQL-window " +
+        "form w06 — procedural operator, declarative semantics, " +
+        "hash-matched.",
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            unix_millis(col("ts")).as("ms"), col("value"))
+          .as[Sessionize.Ev]
+        Sessionize.sessionize(e, 1800000L).toDF()
+      },
+      Some(Windows.SessionizeOracle)),
+
+    // ----- I1: iterative SOS-adjusted ratings solver --------------------------------
+    Q(
+      "dm10_iterative_ratings",
+      "The iterative SOS-adjustment fixed-point solver (I1, " +
+        "iterative_ratings.py:80-353) over synthetic games derived " +
+        "deterministically from orders: collect observations to the " +
+        "driver (≤ teams x games, tiny by design), solve in sorted " +
+        "order, return the ratings table. Non-SQL-expressible: driver " +
+        "records a rows-only check; invariants live in " +
+        "IterativeRatingsSpec.",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val rows = o.select(
+            (col("o_orderkey") % 40).as("home"),
+            ((col("o_orderkey") % 40) + 1 + (col("o_custkey") % 39)).mod(40).as("away"),
+            (lit(60) + col("o_orderkey") % 40).cast("double").as("home_pts"),
+            (lit(60) + col("o_custkey") % 40).cast("double").as("away_pts"),
+            (lit(65) + col("o_orderkey") % 10).cast("double").as("poss"))
+          .filter(col("home") =!= col("away"))
+          .collect()
+        val games = rows.iterator.flatMap { r =>
+          val (h, a) = (r.getLong(0), r.getLong(1))
+          val (hp, ap, ps) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+          Iterator(
+            IterativeRatings.GameObs(h, a, hp, ps, ap, ps, 1.0, isHome = true, neutral = false),
+            IterativeRatings.GameObs(a, h, ap, ps, hp, ps, 1.0, isHome = false, neutral = false))
+        }.toSeq
+        val ratings = IterativeRatings.solve(games,
+          IterativeRatings.Config(maxIter = 100, tol = 1e-4))
+        import s.implicits._
+        ratings.map(r => (r.team, math.rint(r.adjOe * 1e4) / 1e4,
+            math.rint(r.adjDe * 1e4) / 1e4,
+            math.rint(r.barthag * 1e6) / 1e6, r.games))
+          .toDF("team", "adj_oe", "adj_de", "barthag", "games")
+      },
+      None),
+
+    // ----- multimodal payload plumbing ----------------------------------------------
+    Q(
+      "m01_multimodal_meta",
+      "Multimodal binary-column plumbing (graft.multimodal.MediaOps): " +
+        "payload as binary, typed metadata struct from the (stubbed) " +
+        "decode, fixed-size frame sampling with per-frame fingerprints. " +
+        "The oracle replays the same derivations on the text bytes.",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        MediaOps.withFrameHashes(MediaOps.withMeta(MediaOps.withPayload(docs)))
+          .select(
+            col("doc_id"),
+            col("media_meta.byte_len").as("byte_len"),
+            col("media_meta.width").as("width"),
+            col("media_meta.height").as("height"),
+            col("n_frames"),
+            md5(col("payload")).as("payload_md5"),
+            element_at(col("frame_hashes"), 1).as("frame0_md5"),
+            element_at(col("frame_hashes"), -1).as("frame_last_md5"))
+      },
+      Some(s"""
+        WITH p AS (SELECT doc_id, length(text) AS byte_len,
+                          upper(to_hex(text::BLOB)) AS hx, text
+                   FROM documents),
+        f AS (SELECT doc_id, byte_len,
+                     byte_len % 640 AS width, (byte_len * 7) % 480 AS height,
+                     CAST(ceil(byte_len / ${MediaOps.FrameBytes}.0) AS BIGINT) AS n_frames,
+                     md5(text) AS payload_md5,
+                     md5(substr(hx, 1, ${MediaOps.FrameBytes * 2})) AS frame0_md5,
+                     md5(substr(hx, (CAST(ceil(byte_len / ${MediaOps.FrameBytes}.0) AS BIGINT) - 1)
+                                    * ${MediaOps.FrameBytes * 2} + 1, ${MediaOps.FrameBytes * 2})) AS frame_last_md5
+              FROM p)
+        SELECT doc_id, byte_len, width, height, n_frames, payload_md5,
+               frame0_md5, frame_last_md5
+        FROM f"""))
+  )
 }

@@ -14,6 +14,19 @@ import graft.sources.Tables
   */
 object Relational {
 
+  /** Dialect-neutral validation corpus SQL — executed verbatim by BOTH
+    * spark.sql (the engine's ad-hoc surface) and the DuckDB oracle. */
+  val ValidationSql: String = """
+    SELECT tbl, grp, n FROM (
+      SELECT 'orders' AS tbl, o_orderstatus AS grp, count(*) AS n
+      FROM orders GROUP BY o_orderstatus
+      UNION ALL
+      SELECT 'lineitem' AS tbl, l_returnflag AS grp, count(*) AS n
+      FROM lineitem GROUP BY l_returnflag
+      UNION ALL
+      SELECT 'customer' AS tbl, c_mktsegment AS grp, count(*) AS n
+      FROM customer GROUP BY c_mktsegment) v"""
+
   def defs: Seq[Q] = Seq(
 
     // ----- A1/A2: conditional hash aggregation (sum(when), count, max) --
@@ -521,6 +534,20 @@ object Relational {
         SELECT doc_id, sha256(lang || ':' || text) AS fp,
                substring(sha256(lang || ':' || text), 1, 8) AS fp8
         FROM documents""")),
+
+    // ----- S12/U2/A15: the SQL surface itself ----------------------------------------------
+    Q(
+      "sql01_union_validation",
+      "The ad-hoc SQL surface (S12: Athena delegated to spark.sql; U2 + " +
+        "A15: UNION ALL validation row counts, " +
+        "bronze_silver_validation_queries.sql:44-60): the EXACT same ANSI " +
+        "SQL text runs on spark.sql over registered views and on the " +
+        "DuckDB oracle.",
+      (s, d) => {
+        graft.sources.LakeIO.registerTables(s, d)
+        s.sql(Relational.ValidationSql)
+      },
+      Some(Relational.ValidationSql)),
 
     // ----- W5/F9: exponential decay weighting ----------------------------------------------
     Q(

@@ -1,6 +1,401 @@
 package graft.queries
 
-/** Text-analysis + dedup surface (filled in incrementally). */
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Text-analysis + document-dedup surface over the `documents` table —
+  * the LLM-training-data-pipeline operators that go beyond the
+  * reference's own inventory (see the build brief): quality scoring,
+  * token counting, language-ID, fingerprinting, exact dedup,
+  * MinHash+LSH near-dup, and exact n-gram Jaccard verification.
+  *
+  * Scale design: every operator here is a narrow projection + explode +
+  * hash-aggregate — no cross joins, no driver collection. The LSH
+  * candidate join is an equi-join on (band_index, band_hash), so at
+  * 100 TB it shuffles only the tiny signature table (one row per doc),
+  * never the corpus, and candidate volume is bounded by the band
+  * collision rate rather than n².
+  *
+  * Engine-neutral hashing: md5 hex (lowercase in both Spark and DuckDB)
+  * ordered as strings, so min() minhash components agree bit-for-bit
+  * with the oracle without sharing any RNG.
+  */
 object TextOps {
-  def defs: Seq[Q] = Seq()
+
+  private val StopWords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Number of minhash components / bands (4 bands x 3 rows). */
+  private val K = 12
+  private val Bands = 4
+  private val RowsPerBand = K / Bands
+
+  // ---- shared Spark-side pipeline pieces -----------------------------------
+
+  /** (doc_id, sh): word 4-shingles, single-space tokenization. */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 4)
+      .select(col("doc_id"),
+        expr("explode(transform(sequence(0, size(w)-4), " +
+          "i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3])))").as("sh"))
+
+  /** One row per doc: mh0..mh11 minhash components (min of seeded md5). */
+  private def signatures(s: SparkSession, d: String): DataFrame =
+    shingles(s, d).groupBy(col("doc_id"))
+      .agg(
+        min(md5(concat(lit("0|"), col("sh")))).as("mh0"),
+        (1 until K).map(j =>
+          min(md5(concat(lit(s"$j|"), col("sh")))).as(s"mh$j")): _*)
+
+  /** Long-form band table: (doc_id, b, h). */
+  private def bandTable(sig: DataFrame): DataFrame = {
+    val bandCols = (0 until Bands).map { b =>
+      val parts = (0 until RowsPerBand).map(r => col(s"mh${RowsPerBand * b + r}"))
+      struct(lit(b).as("b"), md5(concat(parts: _*)).as("h"))
+    }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("m"))
+      .select(col("doc_id"), col("m.b").as("b"), col("m.h").as("h"))
+  }
+
+  /** LSH candidate pairs (doc_a < doc_b) with minhash-estimated Jaccard. */
+  private def candidatePairs(s: SparkSession, d: String): DataFrame = {
+    val sig = signatures(s, d)
+    val bl = bandTable(sig)
+    val pairs = bl.as("x")
+      .join(bl.as("y"),
+        col("x.b") === col("y.b") && col("x.h") === col("y.h") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sa = sig.toDF(sig.columns.map("a_" + _): _*)
+    val sb = sig.toDF(sig.columns.map("b_" + _): _*)
+    val nMatch = (0 until K)
+      .map(j => when(col(s"a_mh$j") === col(s"b_mh$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    pairs
+      .join(sa, col("doc_a") === col("a_doc_id"))
+      .join(sb, col("doc_b") === col("b_doc_id"))
+      .select(col("doc_a"), col("doc_b"), nMatch.as("n_match"))
+      .withColumn("est_jaccard", round(col("n_match") / lit(K.toDouble), 4))
+  }
+
+  // ---- shared oracle (DuckDB) pipeline pieces ------------------------------
+
+  private val mhSelect =
+    (0 until K).map(j => s"min(md5('$j|' || sh)) AS mh$j").mkString(", ")
+
+  private val bandList = (0 until Bands).map { b =>
+    val parts = (0 until RowsPerBand).map(r => s"mh${RowsPerBand * b + r}")
+    s"md5(${parts.mkString(" || ")})"
+  }.mkString(", ")
+
+  /** Shared CTE prefix: words -> shingles -> signatures -> bands -> pairs. */
+  private val oracleLshCtes = s"""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS sh
+           FROM (SELECT doc_id, w, unnest(range(1, len(w)-2)) AS i
+                 FROM words WHERE len(w) >= 4)),
+    sig AS (SELECT doc_id, $mhSelect FROM sh GROUP BY 1),
+    bl AS (SELECT doc_id, unnest([${(0 until Bands).mkString(",")}]) AS b,
+                  unnest([$bandList]) AS h FROM sig),
+    pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+              FROM bl x JOIN bl y ON x.b = y.b AND x.h = y.h
+                                 AND x.doc_id < y.doc_id)"""
+
+  private val oracleNMatch = (0 until K)
+    .map(j => s"CASE WHEN sa.mh$j = sb.mh$j THEN 1 ELSE 0 END")
+    .mkString(" + ")
+
+  def defs: Seq[Q] = Seq(
+
+    // ----- text quality scoring ---------------------------------------------
+    Q(
+      "t01_quality_score",
+      "Per-document quality scoring (length, stopword ratio, alpha ratio " +
+        "— the training-data quality-filter family): scalar features + a " +
+        "composite score + a grade bucket. One explode + hash agg; " +
+        "embarrassingly parallel at any scale.",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val toks = docs.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("tok"))
+        val tokAgg = toks.groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_tokens"),
+            sum(when(col("tok").isin(StopWords: _*), 1L).otherwise(0L)).as("n_stop"),
+            round(avg(length(col("tok"))), 4).as("mean_wlen"))
+        docs.join(tokAgg, Seq("doc_id"))
+          .select(
+            col("doc_id"), col("lang"), col("n_chars"), col("n_tokens"),
+            col("mean_wlen"),
+            round(col("n_stop") * lit(1.0) / col("n_tokens"), 4).as("stop_ratio"),
+            round(length(regexp_replace(col("text"), "[^a-z]", "")) * lit(1.0)
+              / col("n_chars"), 4).as("alpha_ratio"))
+          .withColumn("quality",
+            round(lit(0.4) * least(col("n_tokens") / 100.0, lit(1.0))
+              + lit(0.4) * col("stop_ratio") + lit(0.2) * col("alpha_ratio"), 4))
+          .withColumn("grade",
+            when(col("quality") >= 0.6, "high")
+              .when(col("quality") >= 0.4, "mid").otherwise("low"))
+      },
+      Some(s"""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        ta AS (SELECT doc_id, count(*) AS n_tokens,
+                      sum(CASE WHEN tok IN (${StopWords.map("'" + _ + "'").mkString(",")}) THEN 1 ELSE 0 END) AS n_stop,
+                      round(avg(length(tok)), 4) AS mean_wlen
+               FROM tok GROUP BY 1),
+        base AS (SELECT d.doc_id, d.lang, d.n_chars,
+                        CAST(ta.n_tokens AS BIGINT) AS n_tokens, ta.mean_wlen,
+                        round(ta.n_stop * 1.0 / ta.n_tokens, 4) AS stop_ratio,
+                        round(length(regexp_replace(d.text, '[^a-z]', '', 'g')) * 1.0 / d.n_chars, 4) AS alpha_ratio
+                 FROM documents d JOIN ta ON d.doc_id = ta.doc_id),
+        q AS (SELECT *, round(0.4 * least(n_tokens / 100.0, 1.0)
+                              + 0.4 * stop_ratio + 0.2 * alpha_ratio, 4) AS quality
+              FROM base)
+        SELECT *, CASE WHEN quality >= 0.6 THEN 'high'
+                       WHEN quality >= 0.4 THEN 'mid' ELSE 'low' END AS grade
+        FROM q""")),
+
+    // ----- token counting ----------------------------------------------------
+    Q(
+      "t02_token_count",
+      "Token counting (whitespace + a BPE-ish regex segmenter " +
+        "[a-z]+|[0-9]+|punct) rolled up per language — the budget/len " +
+        "accounting pass of a training-data pipeline.",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        docs.select(
+            col("lang"),
+            size(split(col("text"), " ")).as("ws_toks"),
+            size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).as("bpe_toks"),
+            col("n_chars"))
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("ws_toks").cast("long")).as("total_ws_tokens"),
+            sum(col("bpe_toks").cast("long")).as("total_bpe_tokens"),
+            round(sum(col("n_chars")) * lit(1.0) / sum(col("bpe_toks")), 4)
+              .as("chars_per_token"))
+      },
+      Some("""
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens,
+               CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS total_bpe_tokens,
+               round(sum(n_chars) * 1.0 / sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))), 4) AS chars_per_token
+        FROM documents GROUP BY 1""")),
+
+    // ----- language identification -------------------------------------------
+    Q(
+      "t03_lang_id",
+      "Stopword-profile language ID (n-gram-heuristic family): score " +
+        "each doc against five language profiles, argmax with a " +
+        "deterministic alphabetical tiebreak; emitted next to the true " +
+        "label for accuracy auditing.",
+      (s, d) => {
+        val profiles = Seq(
+          "de" -> Seq("der", "die", "und", "das", "ist"),
+          "en" -> Seq("the", "a", "of", "and", "to"),
+          "es" -> Seq("el", "la", "los", "que", "por"),
+          "fr" -> Seq("le", "les", "des", "une", "est"),
+          "zh" -> Seq("zh", "shi", "bu", "wo", "ni"))
+        val docs = Tables.documents(s, d)
+        val toks = docs.select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("tok"))
+        val scoreCols = profiles.map { case (l, ws) =>
+          sum(when(col("tok").isin(ws: _*), 1L).otherwise(0L)).as(s"s_$l")
+        }
+        val scored = toks.groupBy(col("doc_id"), col("lang"))
+          .agg(scoreCols.head, scoreCols.tail: _*)
+        // first-wins >= chain = alphabetical tiebreak (de,en,es,fr,zh)
+        val langs = profiles.map(_._1)
+        val pred = langs.init.zipWithIndex.foldRight(lit(langs.last)) {
+          case ((l, i), rest) =>
+            val ge = langs.drop(i + 1)
+              .map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _)
+            when(ge, lit(l)).otherwise(rest)
+        }
+        scored.select(
+          (Seq(col("doc_id"), col("lang")) ++
+            langs.map(l => col(s"s_$l")) :+ pred.as("pred_lang")): _*)
+          .withColumn("is_correct", col("pred_lang") === col("lang"))
+      },
+      Some("""
+        WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+        sc AS (SELECT doc_id, lang,
+                      sum(CASE WHEN tok IN ('der','die','und','das','ist') THEN 1 ELSE 0 END) AS s_de,
+                      sum(CASE WHEN tok IN ('the','a','of','and','to') THEN 1 ELSE 0 END) AS s_en,
+                      sum(CASE WHEN tok IN ('el','la','los','que','por') THEN 1 ELSE 0 END) AS s_es,
+                      sum(CASE WHEN tok IN ('le','les','des','une','est') THEN 1 ELSE 0 END) AS s_fr,
+                      sum(CASE WHEN tok IN ('zh','shi','bu','wo','ni') THEN 1 ELSE 0 END) AS s_zh
+               FROM tok GROUP BY 1, 2),
+        p AS (SELECT doc_id, lang,
+                     CAST(s_de AS BIGINT) AS s_de, CAST(s_en AS BIGINT) AS s_en,
+                     CAST(s_es AS BIGINT) AS s_es, CAST(s_fr AS BIGINT) AS s_fr,
+                     CAST(s_zh AS BIGINT) AS s_zh,
+                     CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                          WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                          WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                          WHEN s_fr >= s_zh THEN 'fr'
+                          ELSE 'zh' END AS pred_lang
+              FROM sc)
+        SELECT *, pred_lang = lang AS is_correct FROM p""")),
+
+    // ----- document fingerprinting --------------------------------------------
+    Q(
+      "t04_fingerprint",
+      "Rolling-hash document fingerprinting (winnowing-lite): 8-char " +
+        "k-gram md5s, keep the min as the doc fingerprint plus the " +
+        "distinct-kgram count. Equivalent work per doc regardless of " +
+        "corpus size.",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        docs.filter(length(col("text")) >= 8)
+          .select(col("doc_id"),
+            expr("explode(transform(sequence(1, length(text)-7), " +
+              "i -> substring(text, i, 8)))").as("kg"))
+          .groupBy(col("doc_id"))
+          .agg(
+            countDistinct(col("kg")).as("n_kgrams"),
+            min(md5(col("kg"))).as("fp"))
+          .withColumn("fp8", substring(col("fp"), 1, 8))
+      },
+      Some("""
+        WITH kg AS (SELECT doc_id, substr(text, i, 8) AS kg
+                    FROM (SELECT doc_id, text, unnest(range(1, length(text)-6)) AS i
+                          FROM documents WHERE length(text) >= 8))
+        SELECT doc_id, count(DISTINCT kg) AS n_kgrams, min(md5(kg)) AS fp,
+               substr(min(md5(kg)), 1, 8) AS fp8
+        FROM kg GROUP BY 1""")),
+
+    // ----- exact dedup ---------------------------------------------------------
+    Q(
+      "d01_exact_dedup",
+      "Exact dedup via normalized content hash (hash-groupBy): lowercase " +
+        "+ whitespace-collapse + md5, one group row per distinct content " +
+        "with the canonical (min) doc id — the first stage of any " +
+        "training-data dedup cascade.",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        docs.select(col("doc_id"),
+            md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("h"))
+          .groupBy(col("h"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            min(col("doc_id")).as("canonical_doc"),
+            max(col("doc_id")).as("max_doc"))
+      },
+      Some("""
+        SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h,
+               count(*) AS n_docs, min(doc_id) AS canonical_doc,
+               max(doc_id) AS max_doc
+        FROM documents GROUP BY 1""")),
+
+    // ----- MinHash + LSH near-dup candidates ------------------------------------
+    Q(
+      "d02_minhash_lsh",
+      s"MinHash+LSH near-dup detection: word 4-shingles -> $K seeded-md5 " +
+        s"minhash components -> $Bands bands -> equi-join on band hash -> " +
+        "candidate pairs with estimated Jaccard. The join key is " +
+        "(band, band_hash) so candidate generation never goes n².",
+      (s, d) => candidatePairs(s, d),
+      Some(s"""
+        $oracleLshCtes
+        SELECT p.doc_a, p.doc_b,
+               CAST($oracleNMatch AS BIGINT) AS n_match,
+               round(($oracleNMatch) / ${K}.0, 4) AS est_jaccard
+        FROM pairs p JOIN sig sa ON p.doc_a = sa.doc_id
+                     JOIN sig sb ON p.doc_b = sb.doc_id""")),
+
+    // ----- exact n-gram Jaccard verification -------------------------------------
+    Q(
+      "d04_ngram_jaccard",
+      "Exact n-gram Jaccard on the LSH candidates (the verify stage of " +
+        "the dedup cascade): distinct-shingle-set intersection/union per " +
+        "candidate pair. Exact work is bounded by candidate volume, not " +
+        "corpus size.",
+      (s, d) => {
+        val sh = shingles(s, d).distinct()
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+        val pairs = candidatePairs(s, d).select(col("doc_a"), col("doc_b"))
+        val inter = pairs
+          .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+          .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("n_inter"))
+        pairs
+          .join(inter, Seq("doc_a", "doc_b"), "left")
+          .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+          .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+          .select(
+            col("doc_a"), col("doc_b"),
+            coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+            (col("sz_a") + col("sz_b") - coalesce(col("n_inter"), lit(0L))).as("n_union"))
+          .withColumn("jaccard",
+            round(col("n_inter") * lit(1.0) / col("n_union"), 4))
+      },
+      Some(s"""
+        $oracleLshCtes,
+        shd AS (SELECT DISTINCT doc_id, sh FROM sh),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY 1),
+        inter AS (SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+                  FROM pairs p
+                  JOIN shd a ON a.doc_id = p.doc_a
+                  JOIN shd b ON b.doc_id = p.doc_b AND b.sh = a.sh
+                  GROUP BY 1, 2)
+        SELECT p.doc_a, p.doc_b,
+               CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_inter,
+               CAST(za.sz + zb.sz - coalesce(i.n_inter, 0) AS BIGINT) AS n_union,
+               round(coalesce(i.n_inter, 0) * 1.0
+                     / (za.sz + zb.sz - coalesce(i.n_inter, 0)), 4) AS jaccard
+        FROM pairs p
+        LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+        JOIN sizes za ON za.doc_id = p.doc_a
+        JOIN sizes zb ON zb.doc_id = p.doc_b""")),
+
+    // ----- SimHash buckets --------------------------------------------------------
+    Q(
+      "d03_simhash",
+      "16-bit SimHash near-dup buckets: per token, 16 bits from md5 hex " +
+        "nibble high-bits; fingerprint bit j = sign of the +/-1 vote sum; " +
+        "docs grouped by fingerprint (bucket stats, not n² pairs — " +
+        "banding would extend this to hamming>0 at scale).",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val toks = docs.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("tok"))
+        // bit j vote: +1 if the j-th hex nibble of md5(tok) has its high
+        // bit set (nibble in 8..f), else -1
+        val votes = (0 until 16).map { j =>
+          sum(when(substring(md5(col("tok")), j + 1, 1).isin(
+            "8", "9", "a", "b", "c", "d", "e", "f"), 1L).otherwise(-1L))
+            .as(s"v$j")
+        }
+        val agg = toks.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+        val fp = (0 until 16)
+          .map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L))
+          .reduce(_ + _)
+        agg.select(col("doc_id"), fp.as("simhash"))
+          .groupBy(col("simhash"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            min(col("doc_id")).as("canonical_doc"))
+      },
+      Some {
+        val votes = (0 until 16).map(j =>
+          s"sum(CASE WHEN substr(md5(tok), ${j + 1}, 1) IN " +
+            s"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v$j")
+          .mkString(", ")
+        val fp = (0 until 16)
+          .map(j => s"CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END")
+          .mkString(" + ")
+        s"""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        v AS (SELECT doc_id, $votes FROM tok GROUP BY 1),
+        f AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM v)
+        SELECT simhash, count(*) AS n_docs, min(doc_id) AS canonical_doc
+        FROM f GROUP BY 1"""
+      })
+  )
 }

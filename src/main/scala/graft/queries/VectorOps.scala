@@ -1,6 +1,192 @@
 package graft.queries
 
-/** Embedding similarity-search surface (filled in incrementally). */
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Column
+import graft.sources.Tables
+
+/** Embedding similarity-search surface over the `embeddings` table
+  * (64-dim float vectors): brute-force cosine top-k as the exact
+  * baseline, IVF-style cluster-probed ANN as the scale path, and
+  * hyperplane-LSH bucketed near-duplicate pairing.
+  *
+  * Scale design: the query set is broadcast and the corpus is scanned
+  * once (never corpus x corpus); IVF probes one cluster; LSH pairs only
+  * within equal 8-bit codes. Dot products run as codegen'd higher-order
+  * array functions (zip_with + aggregate) — no UDFs — with float→double
+  * casts so the math matches the oracle's DOUBLE[] list_dot_product.
+  */
 object VectorOps {
-  def defs: Seq[Q] = Seq()
+
+  /** Left-to-right double dot product over two float-array columns. */
+  private def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+      "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+
+  private def cosine(a: String, b: String): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  def defs: Seq[Q] = Seq(
+
+    // ----- exact brute-force top-k --------------------------------------------
+    Q(
+      "v01_knn_bruteforce",
+      "Brute-force cosine top-5 neighbors for a broadcast query set " +
+        "(vec_id < 20): one corpus scan x |queries|, ranked per query " +
+        "with a deterministic id tiebreak. The exact baseline every ANN " +
+        "variant is measured against.",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("cid").asc)
+        c.join(broadcast(q), col("qid") =!= col("cid"))
+          .withColumn("cos", cosine("qe", "ce"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("qid").as("query_id"), col("rank"),
+            col("cid").as("neighbor_id"), round(col("cos"), 4).as("cosine"))
+      },
+      Some("""
+        WITH q AS (SELECT vec_id qid, embedding::DOUBLE[] qe FROM embeddings WHERE vec_id < 20),
+        c AS (SELECT vec_id cid, embedding::DOUBLE[] ce FROM embeddings),
+        s AS (SELECT qid, cid, list_dot_product(qe, ce)
+                     / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))) AS cos
+              FROM q, c WHERE qid <> cid)
+        SELECT qid AS query_id, CAST(rn AS INT) AS rank, cid AS neighbor_id,
+               round(cos, 4) AS cosine
+        FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                ORDER BY cos DESC, cid ASC) rn FROM s)
+        WHERE rn <= 5""")),
+
+    // ----- IVF-style cluster-probed ANN ----------------------------------------
+    Q(
+      "v02_ivf_ann",
+      "IVF-style ANN: per-label centroids (long-form avg over posexplode), " +
+        "assign each query to its max-dot-product centroid, then search " +
+        "only that cluster for cosine top-3. At 100 TB the corpus is " +
+        "bucketed by cluster id, so a probe reads ~1/n_clusters of the " +
+        "data.",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val long = e.select(col("vec_id"), col("label"),
+            posexplode(col("embedding")))
+          .select(col("vec_id"), col("label"), col("pos"),
+            col("col").cast("double").as("v"))
+        val cent = long.groupBy(col("label").as("c_label"), col("pos"))
+          .agg(avg(col("v")).as("cv"))
+        val qlong = long.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("pos"), col("v").as("qv"))
+        val assignW = Window.partitionBy(col("qid"))
+          .orderBy(col("dot").desc, col("c_label").asc)
+        val probe = qlong.join(cent, Seq("pos"))
+          .groupBy(col("qid"), col("c_label"))
+          .agg(sum(col("qv") * col("cv")).as("dot"))
+          .withColumn("rn", row_number().over(assignW))
+          .filter(col("rn") === 1)
+          .select(col("qid"), col("c_label").as("probe_label"))
+        val q = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val c = e.select(col("vec_id").as("cid"), col("label").as("c_lab"),
+          col("embedding").as("ce"))
+        val rankW = Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("cid").asc)
+        c.join(broadcast(probe.join(q, Seq("qid"))),
+            col("c_lab") === col("probe_label") && col("cid") =!= col("qid"))
+          .withColumn("cos", cosine("qe", "ce"))
+          .withColumn("rank", row_number().over(rankW))
+          .filter(col("rank") <= 3)
+          .select(col("qid").as("query_id"), col("probe_label"),
+            col("rank"), col("cid").as("neighbor_id"),
+            round(col("cos"), 4).as("cosine"))
+      },
+      Some("""
+        WITH long AS (SELECT vec_id, label, unnest(embedding)::DOUBLE AS v,
+                             unnest(range(len(embedding))) AS pos
+                      FROM embeddings),
+        cent AS (SELECT label AS c_label, pos, avg(v) AS cv
+                 FROM long GROUP BY 1, 2),
+        qlong AS (SELECT vec_id AS qid, pos, v AS qv FROM long WHERE vec_id < 20),
+        assign AS (SELECT qid, c_label, sum(qv * cv) AS dot
+                   FROM qlong JOIN cent USING (pos) GROUP BY 1, 2),
+        probe AS (SELECT qid, c_label AS probe_label
+                  FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                          ORDER BY dot DESC, c_label ASC) rn FROM assign)
+                  WHERE rn = 1),
+        q AS (SELECT vec_id qid, embedding::DOUBLE[] qe FROM embeddings WHERE vec_id < 20),
+        c AS (SELECT vec_id cid, label c_lab, embedding::DOUBLE[] ce FROM embeddings),
+        s AS (SELECT p.qid, p.probe_label, c.cid,
+                     list_dot_product(q.qe, c.ce)
+                     / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(c.ce, c.ce))) AS cos
+              FROM probe p JOIN q ON p.qid = q.qid
+              JOIN c ON c.c_lab = p.probe_label AND c.cid <> p.qid)
+        SELECT qid AS query_id, probe_label, CAST(rn AS INT) AS rank,
+               cid AS neighbor_id, round(cos, 4) AS cosine
+        FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                ORDER BY cos DESC, cid ASC) rn FROM s)
+        WHERE rn <= 3""")),
+
+    // ----- hyperplane-LSH near-dup pairs ----------------------------------------
+    Q(
+      "v03_cosine_neardup",
+      "Embedding near-dup pairing via 8-bit random-hyperplane LSH: " +
+        "deterministic +/-1 planes from md5(j:pos), sign-bit signatures, " +
+        "equal-code bucket join, exact cosine >= 0.2 on candidates only. " +
+        "Pair volume is bounded by bucket occupancy, never n².",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val long = e.select(col("vec_id"), posexplode(col("embedding")))
+          .select(col("vec_id"), col("pos"), col("col").cast("double").as("v"))
+        val planes = s.range(8).select(col("id").as("j"))
+          .crossJoin(s.range(64).select(col("id").as("pos")))
+          .withColumn("s",
+            when(substring(md5(concat(col("j").cast("string"), lit(":"),
+              col("pos").cast("string"))), 1, 1)
+              .isin("8", "9", "a", "b", "c", "d", "e", "f"), lit(1.0))
+              .otherwise(lit(-1.0)))
+        val bits = long.join(broadcast(planes), Seq("pos"))
+          .groupBy(col("vec_id"), col("j"))
+          .agg((sum(col("v") * col("s")) > 0).as("b"))
+        val code = bits.groupBy(col("vec_id"))
+          .agg(sum(expr("CASE WHEN b THEN shiftleft(CAST(1 AS BIGINT), CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END")).as("code"))
+        val pairs = code.as("x")
+          .join(code.as("y"),
+            col("x.code") === col("y.code") && col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+            col("x.code").as("code"))
+        val ea = e.select(col("vec_id").as("vec_a"), col("embedding").as("va"))
+        val eb = e.select(col("vec_id").as("vec_b"), col("embedding").as("vb"))
+        pairs.join(ea, Seq("vec_a")).join(eb, Seq("vec_b"))
+          .withColumn("cos", cosine("va", "vb"))
+          .filter(col("cos") >= 0.2)
+          .select(col("vec_a"), col("vec_b"), col("code"),
+            round(col("cos"), 4).as("cosine"))
+      },
+      Some("""
+        WITH long AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+                             unnest(range(len(embedding))) AS pos
+                      FROM embeddings),
+        planes AS (SELECT j.range AS j, p.range AS pos,
+                          CASE WHEN substr(md5(j.range || ':' || p.range), 1, 1)
+                                 IN ('8','9','a','b','c','d','e','f')
+                               THEN 1.0 ELSE -1.0 END AS s
+                   FROM range(8) j, range(64) p),
+        bits AS (SELECT vec_id, j, sum(v * s) > 0 AS b
+                 FROM long JOIN planes USING (pos) GROUP BY 1, 2),
+        code AS (SELECT vec_id, CAST(sum(CASE WHEN b THEN 1 << j ELSE 0 END) AS BIGINT) AS code
+                 FROM bits GROUP BY 1),
+        pairs AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, x.code
+                  FROM code x JOIN code y ON x.code = y.code
+                                         AND x.vec_id < y.vec_id),
+        ev AS (SELECT vec_id, embedding::DOUBLE[] ve FROM embeddings)
+        SELECT p.vec_a, p.vec_b, p.code,
+               round(list_dot_product(a.ve, b.ve)
+                     / (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))), 4) AS cosine
+        FROM pairs p JOIN ev a ON p.vec_a = a.vec_id
+                     JOIN ev b ON p.vec_b = b.vec_id
+        WHERE list_dot_product(a.ve, b.ve)
+              / (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))) >= 0.2"""))
+  )
 }

@@ -15,6 +15,30 @@ import graft.sources.Tables
   */
 object Windows {
 
+  /** Oracle for gap sessionization — shared by the SQL-window form (w06)
+    * and the stateful flatMapGroups form (w06b in DomainOps), which must
+    * hash-match it identically. */
+  val SessionizeOracle: String = """
+        WITH t AS (SELECT user_id, event_id, value, ts, epoch_ms(ts) AS ms,
+                          CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts), 1) OVER (
+                                 PARTITION BY user_id ORDER BY ts ASC, event_id ASC) > 1800000
+                               THEN 1
+                               WHEN lag(epoch_ms(ts), 1) OVER (
+                                 PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
+                               THEN 1 ELSE 0 END AS new_sess
+                   FROM events),
+        s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+                ORDER BY ts ASC, event_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+              FROM t)
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               count(*) AS n_events,
+               min(event_id) AS first_event_id,
+               max(event_id) AS last_event_id,
+               max(ms) - min(ms) AS duration_ms,
+               round(sum(value), 2) AS session_value
+        FROM s GROUP BY 1, 2"""
+
   /** Epoch millis of the event timestamp (NTZ, session TZ pinned UTC).
     * Tables.events already truncated ns→µs to mirror DuckDB's read, so
     * `unix_millis` here and `epoch_ms(ts)` in the oracle floor the same
@@ -249,26 +273,7 @@ object Windows {
             (max(col("ms")) - min(col("ms"))).as("duration_ms"),
             round(sum(col("value")), 2).as("session_value"))
       },
-      Some("""
-        WITH t AS (SELECT user_id, event_id, value, ts, epoch_ms(ts) AS ms,
-                          CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts), 1) OVER (
-                                 PARTITION BY user_id ORDER BY ts ASC, event_id ASC) > 1800000
-                               THEN 1
-                               WHEN lag(epoch_ms(ts), 1) OVER (
-                                 PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
-                               THEN 1 ELSE 0 END AS new_sess
-                   FROM events),
-        s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id
-                ORDER BY ts ASC, event_id ASC
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-              FROM t)
-        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
-               count(*) AS n_events,
-               min(event_id) AS first_event_id,
-               max(event_id) AS last_event_id,
-               max(ms) - min(ms) AS duration_ms,
-               round(sum(value), 2) AS session_value
-        FROM s GROUP BY 1, 2""")),
+      Some(SessionizeOracle)),
 
     // ----- §2.10: tumbling time-window aggregation (streaming analog) -------------
     Q(

@@ -1,0 +1,68 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Medallion-lake I/O surface (SURVEY.md §2.1): raw gzip-NDJSON sink
+  * (S4, reference s3_io.py:48-55), Hive-partitioned parquet writer with
+  * idempotent overwrite (S5/S7/S13, orchestrate.py:979-998 +
+  * runner.py:134-141), permissive schema-promoting union (U1,
+  * _io_helpers.py:141-178), and the candidate-column fallback /
+  * alias-normalization pass (P1/F13, _io_helpers.py:94-106 +
+  * orchestrate.py:1010-1165).
+  *
+  * Scale notes: writes go through Spark's committer (safe concurrent
+  * writers, atomic rename per partition); `partitionBy` yields the same
+  * `season=…/date=…` layout the reference hand-builds, which is what
+  * makes partition pruning free at read time. Dynamic partition
+  * overwrite replaces only touched partitions — the reference's
+  * purge-prefix-then-write made idempotent without the full-table
+  * delete.
+  */
+object LakeIO {
+
+  /** Raw layer: one JSON object per line, gzip — S4. */
+  def writeRawNdjson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("compression", "gzip").json(path)
+
+  def readRawNdjson(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+
+  /** Bronze/silver layer: snappy parquet, Hive-partitioned — S5/S7. */
+  def writePartitioned(df: DataFrame, path: String, partitions: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitions: _*).parquet(path)
+
+  /** Permissive concat: union by name, missing columns become nulls — U1. */
+  def unionPermissive(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** P1: project the first existing of N candidate column names to
+    * `out`; all-missing yields a typed null column. */
+  def coalesceCandidates(df: DataFrame, out: String, candidates: Seq[String]): DataFrame = {
+    val present = candidates.filter(df.columns.contains)
+    val c =
+      if (present.isEmpty) lit(null).cast("string")
+      else if (present.size == 1) col(present.head)
+      else coalesce(present.map(col): _*)
+    df.withColumn(out, c)
+  }
+
+  /** F13: per-table rename normalization (camelCase → canonical), drop
+    * the alias when both spellings exist (reference drops camelCase). */
+  def applyAliases(df: DataFrame, aliases: Map[String, String]): DataFrame =
+    aliases.foldLeft(df) { case (acc, (from, to)) =>
+      if (!acc.columns.contains(from)) acc
+      else if (acc.columns.contains(to)) acc.drop(from)
+      else acc.withColumnRenamed(from, to)
+    }
+
+  /** S8: register tables for the SQL surface (temp views standing in for
+    * the reference's Glue catalog). */
+  def registerTables(spark: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings")
+      .foreach(t => Tables.table(spark, dir, t).createOrReplaceTempView(t))
+}

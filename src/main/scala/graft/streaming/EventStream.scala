@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming surface (SURVEY.md §2.10). The reference has no
+  * streaming runtime — its "incremental" mode is a batch re-pull of a
+  * rolling window (/root/reference/orchestrate.py:366-379) and its
+  * sessionization is an offline state machine — so this module provides
+  * the Spark-native streaming expression of the same semantics:
+  * identical transform functions run over either a batch DataFrame or a
+  * readStream DataFrame (Catalyst plans both), and the sessionizer maps
+  * onto flatMapGroupsWithState with processing-time timeouts.
+  */
+object EventStream {
+
+  /** Tumbling event-time window aggregation — exactly the batch query
+    * st01_window_agg; pass a streaming DataFrame (with a watermark
+    * applied by the caller) and it becomes a streaming windowed agg. */
+  def windowAgg(events: DataFrame): DataFrame =
+    events.groupBy(
+        window(col("ts"), "6 hours").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("bucket"),
+        col("event_type"), col("n"), col("total"))
+
+  /** Watermarked variant for append-mode streaming sinks. */
+  def windowAggStreaming(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    windowAgg(events.withWatermark("ts", watermark))
+
+  final case class Ev(user_id: Long, event_id: Long, ms: Long, value: Double)
+  final case class SessionState(
+      sessionId: Long,
+      n: Long,
+      firstId: Long,
+      lastId: Long,
+      minMs: Long,
+      maxMs: Long,
+      sum: Double)
+  final case class SessionOut(
+      user_id: Long,
+      session_id: Long,
+      n_events: Long,
+      first_event_id: Long,
+      last_event_id: Long,
+      duration_ms: Long,
+      session_value: Double)
+
+  /** Streaming gap sessionization: per-user state carries the open
+    * session; a batch's events are folded in ms order; sessions closed
+    * by a gap are emitted, the open session stays in state until the
+    * timeout fires. The batch flatMapGroups twin lives in
+    * graft.operators.Sessionize.
+    */
+  def sessionizeStream(
+      events: Dataset[Ev],
+      gapMs: Long,
+      useTimeout: Boolean = true): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val timeout =
+      if (useTimeout) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), timeout) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[SessionState]) =>
+          val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+          if (state.hasTimedOut) {
+            state.getOption.foreach { st =>
+              out += finish(uid, st)
+            }
+            state.remove()
+          } else {
+            var st = state.getOption.orNull
+            it.toArray.sortBy(e => (e.ms, e.event_id)).foreach { e =>
+              if (st == null) {
+                st = SessionState(1L, 0, e.event_id, e.event_id, e.ms, e.ms, 0.0)
+              } else if (e.ms - st.maxMs > gapMs) {
+                out += finish(uid, st)
+                st = SessionState(st.sessionId + 1, 0, e.event_id, e.event_id, e.ms, e.ms, 0.0)
+              }
+              st = st.copy(
+                n = st.n + 1,
+                firstId = math.min(st.firstId, e.event_id),
+                lastId = math.max(st.lastId, e.event_id),
+                minMs = math.min(st.minMs, e.ms),
+                maxMs = math.max(st.maxMs, e.ms),
+                sum = st.sum + e.value)
+            }
+            if (st != null) {
+              state.update(st)
+              if (useTimeout) state.setTimeoutDuration(gapMs)
+            }
+          }
+          out.iterator
+      }
+  }
+
+  private def finish(uid: Long, st: SessionState): SessionOut =
+    SessionOut(uid, st.sessionId, st.n, st.firstId, st.lastId,
+      st.maxMs - st.minMs,
+      BigDecimal(st.sum).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStream
+import graft.streaming.EventStream.Ev
+
+/** Structured-Streaming semantics: the same transform produces the same
+  * result via readStream (MemoryStream) as via a batch DataFrame, and
+  * the stateful sessionizer emits gap-closed sessions incrementally. */
+class EventStreamSpec extends SparkSpec {
+
+  test("windowAgg over a stream (complete mode) equals the batch result") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val rows = Seq(
+      ("2024-01-01 01:00:00", "click", 1.0),
+      ("2024-01-01 02:30:00", "click", 2.0),
+      ("2024-01-01 07:00:00", "view", 3.0),
+      ("2024-01-01 11:59:59", "view", 4.5),
+      ("2024-01-02 00:00:00", "click", 1.5))
+    def toDf(df: org.apache.spark.sql.DataFrame) =
+      df.select(to_timestamp(col("_1")).as("ts"), col("_2").as("event_type"),
+        col("_3").as("value"))
+
+    val batch = EventStream.windowAgg(toDf(rows.toDF())).collect().toSet
+
+    val mem = MemoryStream[(String, String, Double)]
+    mem.addData(rows: _*)
+    val q = EventStream.windowAgg(toDf(mem.toDF()))
+      .writeStream.format("memory").queryName("wagg")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    val streamed = s.table("wagg").collect().toSet
+    q.stop()
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("sessionizeStream emits sessions closed by a gap within the stream") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Ev]
+    // NoTimeout in-test: processing-time timeouts schedule perpetual
+    // no-data batches that keep processAllAvailable from returning
+    val q = EventStream.sessionizeStream(mem.toDS(), gapMs = 1000L, useTimeout = false)
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    // one user: events 0..500ms, then a 5s jump -> first session closes
+    mem.addData(Ev(1, 10, 0, 1.0), Ev(1, 11, 500, 2.0), Ev(1, 12, 6000, 3.0))
+    q.processAllAvailable()
+    val out = s.table("sess").as[EventStream.SessionOut].collect()
+    q.stop()
+    assert(out.length == 1)
+    val s0 = out.head
+    assert(s0.user_id == 1 && s0.session_id == 1 && s0.n_events == 2 &&
+      s0.first_event_id == 10 && s0.last_event_id == 11 &&
+      s0.duration_ms == 500 && s0.session_value == 3.0)
+    // the open session (event 12) correctly stays in state, not emitted
+  }
+}
