@@ -1,0 +1,128 @@
+package graft.gold
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ratings.IterativeRatings
+import graft.ratings.IterativeRatings.{Config, GameObs}
+
+/** Gold: team_adjusted_efficiencies — per-team per-date SOS-adjusted
+  * efficiency snapshots via the iterative solver (semantics per
+  * /root/reference/gold/adjusted_efficiencies.py:285-637).
+  *
+  * Spark shape (SURVEY §2.9 I1/I2): all DataFrame work — JSON teamStats
+  * parsing (F6, incl. the Python-repr fallback), validity filters (P6),
+  * D1 both-sides restriction (P4), game-meta join (J7) — happens
+  * distributed; then the per-season observation set (≤ ~6k games) is
+  * collected and the per-date loop runs on the driver with warm starts,
+  * exactly like the reference's per-date snapshot driver. Parallelizing
+  * ACROSS dates would break warm-start sequencing (SURVEY I2) — the
+  * right parallel axis is seasons, one driver loop each.
+  */
+object AdjustedEfficiencies {
+
+  private val statsSchema = StructType(Seq(
+    StructField("possessions", DoubleType),
+    StructField("points", StructType(Seq(StructField("total", DoubleType))))))
+
+  /** F6: lenient JSON stats parse — canonical JSON or Python-repr
+    * ("{'possessions': 68, 'points': {'total': 70}, 'flag': True}"). */
+  def parseStats(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val canonical = regexp_replace(
+      regexp_replace(
+        regexp_replace(c, "'", "\""),
+        "\\bNone\\b", "null"),
+      "\\bTrue\\b|\\bFalse\\b", "false")
+    // from_json null-fields on Python-repr input; fall back to the
+    // normalized form for those rows
+    coalesce(
+      when(from_json(c, statsSchema).getField("possessions").isNotNull,
+        from_json(c, statsSchema)),
+      from_json(canonical, statsSchema))
+  }
+
+  /** Distributed prep: one row per (gameId, teamId) with parsed stats,
+    * game meta, both-sides D1 filter applied. */
+  def prepare(gameTeams: DataFrame, games: DataFrame, dimTeams: DataFrame): DataFrame = {
+    val d1 = dimTeams.filter(col("conference").isNotNull && col("conference") =!= "")
+      .select(col("teamId"))
+    val meta = games.select(col("gameId"), col("homeTeamId"),
+      substring(col("startDate"), 1, 10).as("game_date"),
+      coalesce(col("neutralSite"), lit(false)).as("neutral"))
+
+    gameTeams
+      .withColumn("ts", parseStats(col("teamStats")))
+      .withColumn("os", parseStats(col("opponentStats")))
+      .select(col("gameId"), col("teamId"),
+        col("ts.possessions").as("poss"),
+        col("ts.points.total").as("pts"),
+        col("os.possessions").as("opp_poss"),
+        col("os.points.total").as("opp_pts"))
+      .filter(col("poss").isNotNull && col("poss") > 0 &&
+        col("opp_poss").isNotNull && col("opp_poss") > 0 &&
+        col("pts").isNotNull && col("opp_pts").isNotNull)
+      .join(broadcast(d1), Seq("teamId"), "left_semi") // this side D1
+      .join(meta, Seq("gameId"))
+      .withColumn("is_home", col("teamId") === col("homeTeamId"))
+      .drop("homeTeamId")
+  }
+
+  final case class Snapshot(
+      teamId: Long, season: Int, rating_date: String,
+      adj_oe: Double, adj_de: Double, barthag: Double,
+      raw_oe: Double, raw_de: Double, games_played: Int, iterations: Int)
+
+  /** Per-date snapshot loop with warm starts. halfLifeDays <= 0 disables
+    * recency decay (reference config default: null). */
+  def build(spark: SparkSession, gameTeams: DataFrame, games: DataFrame,
+      dimTeams: DataFrame, season: Int, cfg: Config = Config(),
+      halfLifeDays: Double = 0.0): DataFrame = {
+    import spark.implicits._
+    val prepped = prepare(gameTeams, games, dimTeams)
+      .select("gameId", "teamId", "poss", "pts", "opp_poss", "opp_pts",
+        "game_date", "neutral", "is_home")
+      .collect()
+
+    // opponent id: the other teamId in the same game
+    val byGame = prepped.groupBy(_.getLong(0))
+    final case class Obs(team: Long, opp: Long, pts: Double, poss: Double,
+        oppPts: Double, oppPoss: Double, date: String, isHome: Boolean,
+        neutral: Boolean)
+    val obs = byGame.values.flatMap { rows =>
+      val ids = rows.map(_.getLong(1)).distinct
+      rows.flatMap { r =>
+        val t = r.getLong(1)
+        ids.find(_ != t).map { opp =>
+          Obs(t, opp, r.getDouble(3), r.getDouble(2), r.getDouble(5),
+            r.getDouble(4), r.getString(6), r.getBoolean(8), r.getBoolean(7))
+        }
+      }
+    }.toSeq.sortBy(o => (o.date, o.team, o.opp))
+
+    val dates = obs.map(_.date).distinct.sorted
+    var warm = Map.empty[Long, (Double, Double)]
+    val out = dates.map { d =>
+      val upTo = obs.filter(_.date <= d)
+      val games = upTo.map { o =>
+        val w =
+          if (halfLifeDays <= 0) 1.0
+          else {
+            val daysAgo = java.time.temporal.ChronoUnit.DAYS.between(
+              java.time.LocalDate.parse(o.date), java.time.LocalDate.parse(d))
+            IterativeRatings.decayWeight(daysAgo.toDouble, halfLifeDays)
+          }
+        GameObs(o.team, o.opp, o.pts, o.poss, o.oppPts, o.oppPoss, w,
+          o.isHome, o.neutral)
+      }
+      val ratings = IterativeRatings.solve(games, cfg, warm)
+      warm = ratings.map(r => r.team -> (r.adjOe, r.adjDe)).toMap
+      d -> ratings
+    }
+
+    out.flatMap { case (d, ratings) =>
+      ratings.map(r => Snapshot(r.team, season, d, r.adjOe, r.adjDe,
+        r.barthag, r.rawOe, r.rawDe, r.games, r.iterations))
+    }.toDF()
+  }
+}

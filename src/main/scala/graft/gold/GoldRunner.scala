@@ -1,0 +1,70 @@
+package graft.gold
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.sources.LakeIO
+
+/** Gold-layer registry + runner, mirroring the reference's
+  * `gold/runner.py` surface (--season, --table, dry-run): each transform
+  * reads its silver inputs from a lake root (Hive-layout parquet),
+  * builds the gold DataFrame, and writes it partitioned by season.
+  *
+  * Silver inputs are read with `spark.read.parquet(root/<table>)` so
+  * partition pruning applies; outputs go to
+  * `<root>/gold/<table>/season=<n>/` via dynamic partition overwrite
+  * (idempotent re-runs, reference runner.py:134-141).
+  */
+object GoldRunner {
+
+  type Build = (SparkSession, String, Int) => DataFrame
+
+  private def rd(s: SparkSession, root: String, t: String): DataFrame =
+    s.read.parquet(s"$root/$t")
+
+  val transforms: Map[String, Build] = Map(
+    "market_lines_analysis" -> ((s, root, season) =>
+      MarketLinesAnalysis.build(
+        rd(s, root, "fct_lines"), rd(s, root, "fct_games"),
+        rd(s, root, "dim_teams"), season)),
+    "team_season_summary" -> ((s, root, season) =>
+      TeamSeasonSummary.build(
+        rd(s, root, "fct_games"), rd(s, root, "dim_teams"),
+        rd(s, root, "fct_ratings_adjusted"), rd(s, root, "fct_ratings_srs"),
+        rd(s, root, "fct_recruiting_players"), season)),
+    "team_power_rankings" -> ((s, root, season) =>
+      TeamPowerRankings.build(
+        rd(s, root, "fct_ratings_adjusted"), rd(s, root, "fct_ratings_srs"),
+        rd(s, root, "fct_rankings"), rd(s, root, "fct_pbp_team_daily_rollup_adj"),
+        rd(s, root, "dim_teams"), season)),
+    "game_predictions_features" -> ((s, root, season) =>
+      GamePredictionsFeatures.build(
+        rd(s, root, "fct_games"), rd(s, root, "fct_ratings_adjusted"),
+        rd(s, root, "fct_ratings_srs"), rd(s, root, "fct_lines"), season)),
+    "player_season_impact" -> ((s, root, season) =>
+      PlayerSeasonImpact.build(
+        rd(s, root, "fct_player_season_stats"),
+        rd(s, root, "fct_recruiting_players"), season)),
+    "team_adjusted_efficiencies" -> ((s, root, season) =>
+      AdjustedEfficiencies.build(s,
+        rd(s, root, "fct_game_teams"), rd(s, root, "fct_games"),
+        rd(s, root, "dim_teams"), season)))
+
+  /** Run one or all transforms; errors per table are caught and reported
+    * so the run continues (reference runner.py:98-108). Returns
+    * table -> Right(rowCount) | Left(error). */
+  def run(spark: SparkSession, root: String, season: Int,
+      only: Option[String] = None, dryRun: Boolean = false): Map[String, Either[String, Long]] = {
+    val selected = only.fold(transforms)(t => transforms.filter(_._1 == t))
+    selected.map { case (name, build) =>
+      name -> (try {
+        val df = build(spark, root, season).withColumn("season",
+          org.apache.spark.sql.functions.lit(season))
+        if (dryRun) Right(df.count())
+        else {
+          LakeIO.writePartitioned(df, s"$root/gold/$name", Seq("season"))
+          Right(spark.read.parquet(s"$root/gold/$name").count())
+        }
+      } catch { case e: Throwable => Left(e.getMessage) })
+    }
+  }
+}

@@ -268,6 +268,48 @@ object DomainOps {
       },
       None),
 
+    // ----- W6/A1/J8: full PBP chain (classifier -> possessions -> box stats) --------
+    Q(
+      "pbp01_game_team_stats",
+      "The full PBP derivation chain (SURVEY §3.3) on a deterministic " +
+        "play stream derived from events: regex classification (F1) -> " +
+        "possession state machine with and-1 lookahead (W6, " +
+        "graft.pbp.PossessionEngine flatMapGroups) -> per-game-team " +
+        "conditional aggs + opponent self-join (A1/J8, " +
+        "graft.pbp.GameTeamStats). Non-SQL-expressible (procedural " +
+        "lookahead) -> rows-only check; semantics proven in " +
+        "PossessionEngineSpec.",
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.events(s, d)
+        val plays = e.select(
+            col("event_id").as("id"),
+            col("user_id").as("gameId"),
+            (lit(1L) + col("event_id") % 2).as("teamId"),
+            (lit(2L) - col("event_id") % 2).as("opponentId"),
+            (lit(1) + (col("event_id") % 97 % 2)).cast("int").as("period"),
+            (lit(1200L) - col("event_id") % 1200).as("secondsRemaining"),
+            when(col("event_type") === "click", "JumpShot")
+              .when(col("event_type") === "view", "Defensive Rebound")
+              .when(col("event_type") === "purchase", "Three Point Jump Shot")
+              .when(col("event_type") === "signup", "Free Throw 1 of 1")
+              .otherwise("Lost Ball Turnover").as("playType"),
+            lit(null).cast("string").as("playText"),
+            (col("value") > 0.5).as("scoringPlay"),
+            lit(null).cast("boolean").as("shootingPlay"),
+            when(col("event_type") === "signup", 1.0)
+              .when(col("event_type") === "purchase", 3.0)
+              .when(col("event_type") === "click", 2.0).as("scoreValue"),
+            (col("event_id") % 40).as("homeScore"),
+            (col("event_id") % 37).as("awayScore"),
+            (col("event_id") % 2 === 0).as("isHomeTeam"))
+          .as[graft.pbp.PossessionEngine.Play]
+        val enriched = graft.pbp.PossessionEngine.enrich(plays)
+        graft.pbp.GameTeamStats.build(enriched.toDF())
+          .orderBy(col("gameId"), col("teamId"))
+      },
+      None),
+
     // ----- multimodal payload plumbing ----------------------------------------------
     Q(
       "m01_multimodal_meta",

@@ -1,0 +1,305 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.gold._
+import graft.ratings.IterativeRatings
+
+/** Gold transforms over reference-shaped fixtures — scenarios mirror the
+  * reference's own tests (/root/reference/tests/test_gold.py: labels
+  * computed, spread flipped for away side, conference-game detection,
+  * ATS calculations, W/L record, zero-division guards). */
+class GoldSpec extends SparkSpec {
+
+  import scala.jdk.CollectionConverters._
+
+  // --- fixtures (FIXTURES.md §A2: 3 teams, 3-game round robin) -------------
+
+  private lazy val dimTeams = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (101L, "Duke", "ACC"),
+      (102L, "UNC", "ACC"),
+      (103L, "Kentucky", "SEC"),
+      (104L, "Smallville", null.asInstanceOf[String])) // non-D1
+      .toDF("teamId", "school", "conference")
+  }
+
+  private lazy val games = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      // gameId, startDate, home, away, hs, as, neutral
+      (1L, "2025-01-10T19:00:00", 101L, 102L, 80L, 70L, false), // Duke beats UNC (conf game)
+      (2L, "2025-01-15T19:00:00", 102L, 103L, 65L, 75L, false), // Kentucky beats UNC
+      (3L, "2025-01-20T19:00:00", 103L, 101L, 60L, 90L, true))  // Duke beats Kentucky (neutral)
+      .toDF("gameId", "startDate", "homeTeamId", "awayTeamId",
+        "homeScore", "awayScore", "neutralSite")
+  }
+
+  private lazy val lines = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "consensus", -5.5, 145.5, -200.0, 170.0),
+      (1L, "zother", -6.0, 146.0, -210.0, 180.0), // 2nd provider, same game
+      (2L, "consensus", 3.5, 140.5, 150.0, -180.0),
+      (3L, "consensus", 7.5, 150.5, 250.0, -300.0))
+      .toDF("gameId", "provider", "spread", "overUnder",
+        "homeMoneyline", "awayMoneyline")
+  }
+
+  private lazy val adj = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (101L, "Duke", "ACC", 118.0, 92.0, 26.0),
+      (102L, "UNC", "ACC", 110.0, 98.0, 12.0),
+      (103L, "Kentucky", "SEC", 112.0, 95.0, 17.0))
+      .toDF("teamid", "team", "conference", "offenserating",
+        "defenserating", "netrating")
+  }
+
+  private lazy val srs = {
+    val s = spark
+    import s.implicits._
+    Seq((101L, 2025, 20.0), (102L, 2025, 8.0), (103L, 2025, 12.0),
+      (101L, 2024, 15.0)) // other season filtered out
+      .toDF("teamId", "season", "rating")
+  }
+
+  private lazy val recruiting = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (9001L, 2025, 5L, 12L, 0.99, "DUKE"),     // case-insensitive school match
+      (9002L, 2025, 4L, 40L, 0.92, "duke"),
+      (9003L, 2025, 5L, 3L, 0.995, "Kentucky"),
+      (9004L, 2025, 3L, 200L, 0.80, "Nowhere U")) // no dim match -> dropped
+      .toDF("playerId", "season", "stars", "ranking", "rating", "committedTo")
+  }
+
+  // --- market_lines_analysis -----------------------------------------------
+
+  test("market lines: ATS labels computed per reference semantics") {
+    val out = MarketLinesAnalysis.build(lines, games, dimTeams, 2025)
+    val rows = out.collect().map(r => (r.getAs[Long]("gameId"),
+      r.getAs[String]("provider")) -> r).toMap
+    assert(rows.size == 4) // inner join keeps all lines w/ outcomes, per provider
+
+    val g1 = rows((1L, "consensus"))
+    assert(g1.getAs[Long]("total_points") == 150L)
+    assert(g1.getAs[Long]("home_margin") == 10L)
+    assert(g1.getAs[Boolean]("home_win"))
+    // ats_margin = margin + spread = 10 + (-5.5) = 4.5 -> covered
+    assert(math.abs(g1.getAs[Double]("ats_margin") - 4.5) < 1e-9)
+    assert(g1.getAs[Boolean]("home_covered"))
+    // over: 150 > 145.5
+    assert(g1.getAs[Boolean]("over_hit"))
+    // spread_error = |margin - (-spread)| = |10 - 5.5| = 4.5
+    assert(math.abs(g1.getAs[Double]("spread_error") - 4.5) < 1e-9)
+    assert(g1.getAs[String]("home_team") == "Duke")
+    assert(g1.getAs[String]("away_conference") == "ACC")
+    assert(g1.getAs[String]("game_date") == "2025-01-10")
+
+    val g2 = rows((2L, "consensus"))
+    // margin = -10, spread 3.5 -> ats -6.5, not covered; total 140 < 140.5
+    assert(!g2.getAs[Boolean]("home_covered"))
+    assert(!g2.getAs[Boolean]("over_hit"))
+  }
+
+  // --- team_season_summary -------------------------------------------------
+
+  test("season summary: W/L + conference record + D1 restriction + recruiting") {
+    val out = TeamSeasonSummary.build(games, dimTeams, adj, srs, recruiting, 2025)
+    val rows = out.collect().map(r => r.getAs[Long]("teamId") -> r).toMap
+    assert(rows.keySet == Set(101L, 102L, 103L)) // D1 only (spine = adj)
+
+    val duke = rows(101L)
+    assert(duke.getAs[Long]("wins") == 2 && duke.getAs[Long]("losses") == 0)
+    // only game 1 (Duke/UNC, both ACC) is a conference game
+    assert(duke.getAs[Long]("conf_wins") == 1 && duke.getAs[Long]("conf_losses") == 0)
+    assert(math.abs(duke.getAs[Double]("win_pct") - 1.0) < 1e-9)
+    assert(duke.getAs[Double]("srs") == 20.0) // 2025 row, not 2024's 15.0
+    // recruiting: DUKE + duke match case-insensitively
+    assert(duke.getAs[Long]("recruit_class_size") == 2)
+    assert(duke.getAs[Long]("recruit_top_stars") == 5)
+    assert(math.abs(duke.getAs[Double]("recruit_avg_rating") - 0.955) < 1e-9)
+
+    val unc = rows(102L)
+    assert(unc.getAs[Long]("wins") == 0 && unc.getAs[Long]("losses") == 2)
+    assert(unc.getAs[Long]("conf_losses") == 1) // game 2 vs SEC is non-conf
+    assert(unc.isNullAt(unc.fieldIndex("recruit_class_size")) ||
+      unc.getAs[Long]("recruit_class_size") == 0)
+
+    val uk = rows(103L)
+    assert(uk.getAs[Long]("wins") == 1 && uk.getAs[Long]("losses") == 1)
+    assert(uk.getAs[Long]("conf_wins") == 0 && uk.getAs[Long]("conf_losses") == 0)
+  }
+
+  test("season summary: zero games -> win_pct null, zero counts (guard)") {
+    val s = spark
+    import s.implicits._
+    val noGames = Seq.empty[(Long, String, Long, Long, Long, Long, Boolean)]
+      .toDF("gameId", "startDate", "homeTeamId", "awayTeamId",
+        "homeScore", "awayScore", "neutralSite")
+    val out = TeamSeasonSummary.build(noGames, dimTeams, adj, srs, recruiting, 2025)
+    val duke = out.filter(col("teamId") === 101L).head()
+    assert(duke.getAs[Long]("wins") == 0)
+    assert(duke.isNullAt(duke.fieldIndex("win_pct")))
+  }
+
+  // --- team_power_rankings -------------------------------------------------
+
+  test("power rankings: latest poll per type + distinct-value composite") {
+    val s = spark
+    import s.implicits._
+    val polls = Seq(
+      // pollType, pollDate, teamId, ranking — two dates, latest must win
+      ("AP Top 25", "2025-01-06", 101L, 4L),
+      ("AP Top 25", "2025-01-13", 101L, 2L),
+      ("AP Top 25", "2025-01-13", 103L, 8L),
+      ("Coaches Poll", "2025-01-13", 101L, 3L))
+      .toDF("pollType", "pollDate", "teamId", "ranking")
+    val pbpAdj = Seq((101L, 24.0), (102L, 10.0), (103L, 18.0))
+      .toDF("teamid", "adj_net_eff")
+
+    val out = TeamPowerRankings.build(adj, srs, polls, pbpAdj, dimTeams, 2025)
+    val rows = out.collect().map(r => r.getAs[Long]("teamId") -> r).toMap
+
+    assert(rows(101L).getAs[Long]("ap_rank") == 2L) // latest date, not 4
+    assert(rows(101L).getAs[Long]("coaches_rank") == 3L)
+    assert(rows(102L).isNullAt(rows(102L).fieldIndex("ap_rank")))
+
+    // composite: Duke tops every metric -> 100; UNC bottom -> 0
+    assert(math.abs(rows(101L).getAs[Double]("composite_rank") - 100.0) < 1e-9)
+    assert(math.abs(rows(102L).getAs[Double]("composite_rank") - 0.0) < 1e-9)
+    val mid = rows(103L).getAs[Double]("composite_rank")
+    assert(mid > 0 && mid < 100)
+  }
+
+  // --- game_predictions_features -------------------------------------------
+
+  test("features: two rows per game, away side flips the spread") {
+    val out = GamePredictionsFeatures.build(games, adj, srs, lines, 2025)
+    assert(out.count() == 6) // 3 games x 2 sides
+    val rows = out.collect()
+      .map(r => (r.getAs[Long]("gameId"), r.getAs[Boolean]("is_home")) -> r).toMap
+
+    val homeSide = rows((1L, true))
+    val awaySide = rows((1L, false))
+    // first provider (provider asc: 'consensus' < 'zother') wins -> -5.5
+    assert(math.abs(homeSide.getAs[Double]("team_spread") - (-5.5)) < 1e-9)
+    assert(math.abs(awaySide.getAs[Double]("team_spread") - 5.5) < 1e-9)
+    assert(homeSide.getAs[Long]("margin") == 10L)
+    assert(awaySide.getAs[Long]("margin") == -10L)
+    assert(homeSide.getAs[Boolean]("won") && !awaySide.getAs[Boolean]("won"))
+    // team/opp ratings swap across sides
+    assert(homeSide.getAs[Double]("team_net") == 26.0)
+    assert(homeSide.getAs[Double]("opp_net") == 12.0)
+    assert(awaySide.getAs[Double]("team_net") == 12.0)
+    assert(math.abs(homeSide.getAs[Double]("rating_diff")
+      + awaySide.getAs[Double]("rating_diff")) < 1e-9)
+  }
+
+  // --- player_season_impact ------------------------------------------------
+
+  test("player impact: efficiency ratios with zero-division guards") {
+    val s = spark
+    import s.implicits._
+    val stats = Seq(
+      (9001L, "Duke", "ACC", 30L, 900.0, 450.0, 150.0, 90.0, 30.0, 12.0, 60.0,
+        175.0, 367.0, 45.0, 120.0, 95.0, 110.0),
+      // zero-minutes player: every per-minute stat must be null, not NaN
+      (9999L, "Duke", "ACC", 0L, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
+        0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+      .toDF("playerId", "team", "conference", "games", "minutes", "points",
+        "rebounds", "assists", "steals", "blocks", "turnovers",
+        "fieldGoalsMade", "fieldGoalsAttempted",
+        "threePointFieldGoalsMade", "threePointFieldGoalsAttempted",
+        "freeThrowsMade", "freeThrowsAttempted")
+    val out = PlayerSeasonImpact.build(stats, recruiting, 2025)
+    val rows = out.collect().map(r => r.getAs[Long]("playerId") -> r).toMap
+
+    val p = rows(9001L)
+    assert(math.abs(p.getAs[Double]("ppg") - 15.0) < 1e-9)
+    assert(math.abs(p.getAs[Double]("efg_pct") - (175.0 + 0.5 * 45.0) / 367.0) < 1e-9)
+    assert(math.abs(p.getAs[Double]("true_shooting")
+      - 450.0 / (2 * (367.0 + 0.44 * 110.0))) < 1e-9)
+    assert(math.abs(p.getAs[Double]("per_40_pts") - 450.0 / 900.0 * 40.0) < 1e-9)
+    assert(p.getAs[Long]("recruit_stars") == 5L) // joined by playerId
+
+    val z = rows(9999L)
+    Seq("mpg", "ppg", "efg_pct", "true_shooting", "usage_rate", "per_40_pts")
+      .foreach(c => assert(z.isNullAt(z.fieldIndex(c)), s"$c must be null"))
+  }
+
+  // --- team_adjusted_efficiencies ------------------------------------------
+
+  test("adjusted efficiencies: JSON parse (incl. python-repr), per-date warm-start snapshots") {
+    val s = spark
+    import s.implicits._
+    val gameTeams = Seq(
+      // canonical JSON side + python-repr side in the same table
+      (1L, 101L, """{"possessions": 70, "points": {"total": 80}}""",
+        """{"possessions": 70, "points": {"total": 70}}"""),
+      (1L, 102L, """{'possessions': 70, 'points': {'total': 70}}""",
+        """{'possessions': 70, 'points': {'total': 80}}"""),
+      (2L, 102L, """{"possessions": 68, "points": {"total": 65}}""",
+        """{"possessions": 68, "points": {"total": 75}}"""),
+      (2L, 103L, """{"possessions": 68, "points": {"total": 75}}""",
+        """{"possessions": 68, "points": {"total": 65}}"""),
+      (3L, 103L, """{"possessions": 72, "points": {"total": 60}}""",
+        """{"possessions": 72, "points": {"total": 90}}"""),
+      (3L, 101L, """{"possessions": 72, "points": {"total": 90}}""",
+        """{"possessions": 72, "points": {"total": 60}}"""),
+      // invalid row: possessions <= 0 must be filtered (P6)
+      (3L, 104L, """{"possessions": 0, "points": {"total": 10}}""",
+        """{"possessions": 0, "points": {"total": 10}}"""))
+      .toDF("gameId", "teamId", "teamStats", "opponentStats")
+
+    val out = AdjustedEfficiencies.build(s, gameTeams, games, dimTeams, 2025)
+    val rows = out.collect()
+    // 3 distinct dates; snapshot at date d covers teams seen up to d
+    val dates = rows.map(_.getAs[String]("rating_date")).distinct.sorted
+    assert(dates.toSeq == Seq("2025-01-10", "2025-01-15", "2025-01-20"))
+    val last = rows.filter(_.getAs[String]("rating_date") == "2025-01-20")
+      .map(r => r.getAs[Long]("teamId") -> r).toMap
+    assert(last.keySet == Set(101L, 102L, 103L)) // 104 filtered (non-D1 + poss<=0)
+    // Duke won both its games -> best net rating at the final snapshot
+    def net(t: Long) = last(t).getAs[Double]("adj_oe") - last(t).getAs[Double]("adj_de")
+    assert(net(101L) > net(103L) && net(103L) > net(102L))
+    assert(last(101L).getAs[Double]("barthag") > 0.5)
+    // first snapshot only knows game 1's teams
+    val first = rows.filter(_.getAs[String]("rating_date") == "2025-01-10")
+    assert(first.map(_.getAs[Long]("teamId")).toSet == Set(101L, 102L))
+  }
+
+  // --- runner ---------------------------------------------------------------
+
+  test("gold runner: end-to-end over a silver lake root, partitioned output") {
+    val s = spark
+    val root = java.nio.file.Files.createTempDirectory("graft-gold").toString
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$root/$name")
+    write(dimTeams, "dim_teams"); write(games, "fct_games")
+    write(lines, "fct_lines"); write(adj, "fct_ratings_adjusted")
+    write(srs, "fct_ratings_srs"); write(recruiting, "fct_recruiting_players")
+
+    val res = GoldRunner.run(s, root, 2025, only = Some("market_lines_analysis"))
+    assert(res("market_lines_analysis") == Right(4L))
+    val written = s.read.parquet(s"$root/gold/market_lines_analysis")
+    assert(written.filter(col("season") === 2025).count() == 4)
+
+    // dry run must not write
+    val res2 = GoldRunner.run(s, root, 2025, only = Some("team_season_summary"),
+      dryRun = true)
+    assert(res2("team_season_summary").isRight)
+    assert(!new java.io.File(s"$root/gold/team_season_summary").exists())
+
+    // missing input -> Left(error), run continues (reference runner.py:98-108)
+    val res3 = GoldRunner.run(s, root, 2025, only = Some("player_season_impact"))
+    assert(res3("player_season_impact").isLeft)
+  }
+}
