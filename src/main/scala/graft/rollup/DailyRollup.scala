@@ -1,0 +1,70 @@
+package graft.rollup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Season-to-date dense-calendar team rollup (SURVEY §2.4 A4/A5 + §2.5
+  * W3; semantics per
+  * /root/reference/scripts/build_pbp_team_daily_rollup.py:179-396): one
+  * output row per team per CALENDAR day from the season's first to last
+  * game date — not just game days — carrying running totals and derived
+  * per-game / per-possession ratios.
+  *
+  * Spark shape: daily partial aggregates (map-side combinable sums) →
+  * `sequence(min,max)` calendar × team spine (the calendar is a few
+  * hundred rows — broadcast) → left join → cumulative window
+  * `rowsBetween(unboundedPreceding, currentRow)` partitioned by team.
+  * The window state is O(1) per row (running sums), so the operator
+  * scales with rows-per-team, never materializing the season in memory.
+  */
+object DailyRollup {
+
+  /** Per-game team stats in → dense-calendar cumulative rollup out.
+    * Expects columns: teamid, startdate (ISO string or date),
+    * team_points, opp_points, team_poss, opp_poss, game_minutes. */
+  def build(gameTeams: DataFrame): DataFrame = {
+    val daily = gameTeams
+      .withColumn("date", to_date(substring(col("startdate"), 1, 10)))
+      .groupBy(col("teamid"), col("date"))
+      .agg(
+        count(lit(1)).as("g"),
+        sum(col("team_points")).as("tp"),
+        sum(col("opp_points")).as("op"),
+        sum(col("team_poss")).as("tposs"),
+        sum(col("opp_poss")).as("oposs"),
+        sum(col("game_minutes")).as("mins"))
+
+    val bounds = daily.agg(min(col("date")).as("d0"), max(col("date")).as("d1"))
+    val days = bounds.select(explode(sequence(col("d0"), col("d1"))).as("date"))
+    val teams = daily.select(col("teamid")).distinct()
+
+    val w = Window.partitionBy(col("teamid")).orderBy(col("date").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    teams.crossJoin(broadcast(days))
+      .join(daily, Seq("teamid", "date"), "left")
+      .na.fill(0L, Seq("g")).na.fill(0.0, Seq("tp", "op", "tposs", "oposs", "mins"))
+      .withColumn("games_played", sum(col("g")).over(w))
+      .withColumn("team_points_total", sum(col("tp")).over(w))
+      .withColumn("opp_points_total", sum(col("op")).over(w))
+      .withColumn("team_possessions", sum(col("tposs")).over(w))
+      .withColumn("opp_possessions", sum(col("oposs")).over(w))
+      .withColumn("game_minutes_total", sum(col("mins")).over(w))
+      .withColumn("team_points_per_game",
+        when(col("games_played") > 0, col("team_points_total") / col("games_played")))
+      .withColumn("opp_points_per_game",
+        when(col("games_played") > 0, col("opp_points_total") / col("games_played")))
+      .withColumn("off_eff",
+        when(col("team_possessions") > 0,
+          col("team_points_total") / col("team_possessions") * 100.0))
+      .withColumn("def_eff",
+        when(col("opp_possessions") > 0,
+          col("opp_points_total") / col("opp_possessions") * 100.0))
+      .withColumn("pace",
+        when(col("game_minutes_total") > 0,
+          (col("team_possessions") + col("opp_possessions")) / 2.0
+            * (lit(40.0) / (col("game_minutes_total") / col("games_played")))))
+      .drop("g", "tp", "op", "tposs", "oposs", "mins")
+  }
+}
