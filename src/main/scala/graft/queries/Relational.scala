@@ -77,6 +77,28 @@ object Relational {
                      / nullif(sum((1.0 - l_discount) * l_quantity), 0) * 100.0, 4) AS weighted_rate
         FROM lineitem GROUP BY 1""")),
 
+    // ----- §2.11: typed Aggregator (UDAF) --------------------------------
+    Q(
+      "a09_weighted_mean_udaf",
+      "Typed Aggregator UDAF (graft.operators.WeightedMean, SURVEY " +
+        "§2.11): discount-weighted mean price per return flag via " +
+        "functions.udaf — partial-aggregating two-double buffer, " +
+        "hash-agg shaped like a built-in.",
+      (s, d) => {
+        val wmean = udaf(graft.operators.WeightedMean)
+        val li = Tables.lineitem(s, d)
+        li.select(col("l_returnflag"),
+            col("l_extendedprice").as("x"),
+            (lit(1.0) - col("l_discount")).as("w"))
+          .groupBy(col("l_returnflag"))
+          .agg(round(wmean(col("x"), col("w")), 4).as("wmean_price"))
+      },
+      Some("""
+        SELECT l_returnflag,
+               round(sum(l_extendedprice * (1.0 - l_discount))
+                     / sum(1.0 - l_discount), 4) AS wmean_price
+        FROM lineitem GROUP BY 1""")),
+
     // ----- A12: first-wins dedup via row_number -------------------------
     Q(
       "a12_dedup_first_wins",

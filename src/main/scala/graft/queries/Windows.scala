@@ -275,6 +275,68 @@ object Windows {
       },
       Some(SessionizeOracle)),
 
+    // ----- as-of join (beyond-reference time-series operator) ----------------------
+    Q(
+      "aj01_asof_join",
+      "As-of join (graft.operators.AsOfJoin.leftAsOf): each purchase " +
+        "event matched to the user's latest click at-or-before it — the " +
+        "union-and-window trick (one shuffle on the key, no inequality " +
+        "nested loop). Oracle: DuckDB's native ASOF LEFT JOIN.",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts"))
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_event"),
+            col("value").as("click_value"), col("ts"))
+        graft.operators.AsOfJoin
+          .leftAsOf(purchases, clicks, "user_id", "ts",
+            Seq("click_event", "click_value", "ts"), prefix = "c_")
+          .select(
+            col("user_id"), col("event_id").as("purchase_event"),
+            col("c_click_event").as("click_event"),
+            round(col("c_click_value"), 2).as("click_value"),
+            (unix_millis(col("ts")) - unix_millis(col("c_ts"))).as("gap_ms"))
+      },
+      Some("""
+        SELECT p.user_id, p.event_id AS purchase_event,
+               c.event_id AS click_event,
+               round(c.value, 2) AS click_value,
+               CAST(epoch_ms(p.ts) - epoch_ms(c.ts) AS BIGINT) AS gap_ms
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts""")),
+
+    // ----- bucketed range join ------------------------------------------------------
+    Q(
+      "j11_range_join",
+      "Range join (graft.operators.AsOfJoin.rangeJoin): (purchase, " +
+        "click) pairs within 30 minutes, same user — the two-bucket " +
+        "trick turns the inequality join into an equi-join plus a " +
+        "residual filter. Oracle: plain inequality join.",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"))
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"))
+        graft.operators.AsOfJoin
+          .rangeJoin(purchases, clicks, "user_id", "ms", 1800000L)
+          .select(
+            col("user_id"), col("event_id").as("purchase_event"),
+            col("event_id_r").as("click_event"),
+            (col("ms") - col("ms_r")).as("gap_ms"))
+      },
+      Some("""
+        SELECT p.user_id, p.event_id AS purchase_event,
+               c.event_id AS click_event,
+               CAST(epoch_ms(p.ts) - epoch_ms(c.ts) AS BIGINT) AS gap_ms
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id
+         AND epoch_ms(c.ts) <= epoch_ms(p.ts)
+         AND epoch_ms(c.ts) >= epoch_ms(p.ts) - 1800000""")),
+
     // ----- §2.10: tumbling time-window aggregation (streaming analog) -------------
     Q(
       "st01_window_agg",
