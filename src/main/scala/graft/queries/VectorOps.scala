@@ -128,6 +128,42 @@ object VectorOps {
                 ORDER BY cos DESC, cid ASC) rn FROM s)
         WHERE rn <= 3""")),
 
+    // ----- codegen'd Catalyst expression variant ---------------------------------
+    Q(
+      "v04_knn_codegen",
+      "v01's brute-force top-5, but the cosine is the native Catalyst " +
+        "expression graft.plans.CosineSimilarity (doGenCode single-pass " +
+        "loop inside whole-stage codegen, registered via " +
+        "SparkSessionExtensions / functionRegistry) instead of the " +
+        "3-pass zip_with+aggregate composition. Same oracle as v01 — " +
+        "identical numerics, different physical evaluation.",
+      (s, d) => {
+        graft.plans.CosineSimilarity.register(s)
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("cid").asc)
+        c.join(broadcast(q), col("qid") =!= col("cid"))
+          .withColumn("cos", expr("cosine_sim(qe, ce)"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("qid").as("query_id"), col("rank"),
+            col("cid").as("neighbor_id"), round(col("cos"), 4).as("cosine"))
+      },
+      Some("""
+        WITH q AS (SELECT vec_id qid, embedding::DOUBLE[] qe FROM embeddings WHERE vec_id < 20),
+        c AS (SELECT vec_id cid, embedding::DOUBLE[] ce FROM embeddings),
+        s AS (SELECT qid, cid, list_dot_product(qe, ce)
+                     / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))) AS cos
+              FROM q, c WHERE qid <> cid)
+        SELECT qid AS query_id, CAST(rn AS INT) AS rank, cid AS neighbor_id,
+               round(cos, 4) AS cosine
+        FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                ORDER BY cos DESC, cid ASC) rn FROM s)
+        WHERE rn <= 5""")),
+
     // ----- hyperplane-LSH near-dup pairs ----------------------------------------
     Q(
       "v03_cosine_neardup",
