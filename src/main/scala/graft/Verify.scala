@@ -15,7 +15,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // run queries concurrently: the Spark scheduler interleaves their
+    // jobs across the local cores, hiding per-query planning latency;
+    // each query writes its own directory so there is no write contention
+    import scala.collection.parallel.CollectionConverters._
+    val par = SparkEntry.queries.toSeq.sortBy(_._1).par
+    par.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(
+      new java.util.concurrent.ForkJoinPool(4))
+    par.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
