@@ -275,6 +275,39 @@ object Windows {
       },
       Some(SessionizeOracle)),
 
+    // ----- W8: ranking columns ------------------------------------------------------
+    Q(
+      "w08_rank",
+      "Ranking columns (W8, orchestrate.py:1154-1158 ranking_* " +
+        "pass-throughs recomputed): rank + dense_rank over a global " +
+        "aggregate ordering — the ranked set is one row per nation, so " +
+        "the unpartitioned window is tiny by construction.",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val sup = Tables.supplier(s, d)
+        val n = Tables.nation(s, d)
+        val rev = li.join(sup, col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(round(sum(col("l_extendedprice")), 2).as("total_rev"),
+            count(lit(1)).as("n_items"))
+        val w = Window.orderBy(col("total_rev").desc, col("n_name").asc)
+        rev.select(col("n_name"), col("total_rev"), col("n_items"),
+          rank().over(w).as("rev_rank"),
+          dense_rank().over(w).as("rev_dense_rank"))
+      },
+      Some("""
+        SELECT n_name, total_rev, n_items,
+               CAST(rank() OVER w AS INT) AS rev_rank,
+               CAST(dense_rank() OVER w AS INT) AS rev_dense_rank
+        FROM (SELECT n_name, round(sum(l_extendedprice), 2) AS total_rev,
+                     count(*) AS n_items
+              FROM lineitem
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              GROUP BY 1)
+        WINDOW w AS (ORDER BY total_rev DESC, n_name ASC)""")),
+
     // ----- as-of join (beyond-reference time-series operator) ----------------------
     Q(
       "aj01_asof_join",

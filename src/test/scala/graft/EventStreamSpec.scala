@@ -38,6 +38,46 @@ class EventStreamSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("file-source stream: windowAggStreaming over NDJSON files arriving in a directory") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val inDir = s"$dir/in"; new java.io.File(inDir).mkdirs()
+    def writeBatch(name: String, rows: Seq[(String, String, Double)]): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$inDir/$name"),
+        rows.map { case (ts, et, v) =>
+          s"""{"ts": "$ts", "event_type": "$et", "value": $v}"""
+        }.mkString("", "\n", "\n"))
+    writeBatch("b1.json", Seq(
+      ("2024-01-01 01:00:00", "click", 1.0),
+      ("2024-01-01 02:00:00", "click", 2.0)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+    val stream = s.readStream.schema(schema).json(inDir)
+    val q = EventStream.windowAgg(stream)
+      .writeStream.format("memory").queryName("fwagg")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    assert(s.table("fwagg").collect().map(r =>
+      (r.getString(0), r.getLong(2))).toSet == Set(("2024-01-01 00:00", 2L)))
+    // a late-arriving file lands in an existing AND a new window
+    writeBatch("b2.json", Seq(
+      ("2024-01-01 03:00:00", "click", 4.0),
+      ("2024-01-01 07:00:00", "view", 8.0)))
+    q.processAllAvailable()
+    val after = s.table("fwagg").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    q.stop()
+    assert(after(("2024-01-01 00:00", "click")) == ((3L, 7.0)))
+    assert(after(("2024-01-01 06:00", "view")) == ((1L, 8.0)))
+  }
+
   test("sessionizeStream emits sessions closed by a gap within the stream") {
     val s = spark
     import s.implicits._
