@@ -268,6 +268,75 @@ object DomainOps {
       },
       None),
 
+    // ----- I4: opponent-weighted efficiency ------------------------------------------
+    Q(
+      "dm06_opponent_weighted",
+      "Opponent-weighted efficiency (I4, build_pbp_team_daily_rollup_adj" +
+        ".py:276-307): each supplier's per-item revenue scaled by its " +
+        "order-partners' group strength relative to the league mean — " +
+        "join the per-group rating back onto the fact rows, then a " +
+        "weighted mean per supplier.",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        // 'opponent group' = the part's brand; rating = brand avg price
+        val p = Tables.part(s, d)
+        val brandStrength = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand")).agg(avg(col("l_extendedprice")).as("brand_rating"))
+        val league = brandStrength.agg(avg(col("brand_rating")).as("league_rating"))
+        li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(brandStrength), Seq("p_brand"))
+          .crossJoin(broadcast(league))
+          .groupBy(col("l_suppkey"))
+          .agg(
+            count(lit(1)).as("n_items"),
+            round(sum(col("l_extendedprice") * col("league_rating") / col("brand_rating"))
+              / sum(lit(1.0)), 2).as("opp_weighted_rev"))
+          .filter(col("n_items") >= 200)
+      },
+      Some("""
+        WITH bs AS (SELECT p_brand, avg(l_extendedprice) AS brand_rating
+                    FROM lineitem JOIN part ON l_partkey = p_partkey
+                    GROUP BY 1),
+        lg AS (SELECT avg(brand_rating) AS league_rating FROM bs)
+        SELECT l_suppkey, count(*) AS n_items,
+               round(sum(l_extendedprice * league_rating / brand_rating)
+                     / sum(1.0), 2) AS opp_weighted_rev
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN bs USING (p_brand), lg
+        GROUP BY 1 HAVING count(*) >= 200""")),
+
+    // ----- A14: anomaly detection vs median ------------------------------------------
+    Q(
+      "a15_median_anomaly",
+      "Audit anomaly detection vs median (A14, audit_lakehouse.py:187-245" +
+        "): monthly row counts compared to the exact median month; " +
+        "anomaly = count below half the median. The median is computed " +
+        "over the tiny per-month aggregate, broadcast back.",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val monthly = o.groupBy(
+            to_date(date_trunc("month", col("o_orderdate"))).as("month"))
+          .agg(count(lit(1)).as("n"))
+        val med = monthly.agg(
+          expr("percentile(n, 0.5)").as("median_n"))
+        monthly.crossJoin(broadcast(med))
+          .select(
+            col("month"), col("n"),
+            round(col("median_n"), 2).as("median_n"),
+            round(col("n") / col("median_n"), 4).as("ratio_to_median"),
+            (col("n") < col("median_n") * 0.5).as("is_anomaly"))
+      },
+      Some("""
+        WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                          count(*) AS n
+                   FROM orders GROUP BY 1),
+        md AS (SELECT quantile_cont(n, 0.5) AS median_n FROM m)
+        SELECT month, n, round(median_n, 2) AS median_n,
+               round(n / median_n, 4) AS ratio_to_median,
+               n < median_n * 0.5 AS is_anomaly
+        FROM m, md""")),
+
     // ----- W6/A1/J8: full PBP chain (classifier -> possessions -> box stats) --------
     Q(
       "pbp01_game_team_stats",
