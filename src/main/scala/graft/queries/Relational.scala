@@ -378,6 +378,29 @@ object Relational {
                  CAST(NULL AS DOUBLE) AS total, 'lineitem' AS src
           FROM lineitem GROUP BY 1)""")),
 
+    // ----- beyond-reference: multi-dimensional aggregation (CUBE) -------------
+    Q(
+      "u05_cube",
+      "CUBE aggregation (beyond the reference's flat GROUP BYs: the " +
+        "SURVEY notes it has no grouping sets — this is the OLAP " +
+        "completeness piece): all 4 grouping combinations of " +
+        "(returnflag, linestatus) in one pass with grouping_id " +
+        "distinguishing subtotal levels.",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        li.cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            count(lit(1)).as("n"),
+            round(sum(col("l_quantity")), 2).as("qty"),
+            grouping_id(col("l_returnflag"), col("l_linestatus")).as("gid"))
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               round(sum(l_quantity), 2) AS qty,
+               CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)""")),
+
     // ----- U3: set difference -----------------------------------------------
     Q(
       "u03_except",
