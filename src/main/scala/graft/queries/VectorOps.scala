@@ -164,6 +164,25 @@ object VectorOps {
                 ORDER BY cos DESC, cid ASC) rn FROM s)
         WHERE rn <= 5""")),
 
+    // ----- IVF index build (k-means) ---------------------------------------------
+    Q(
+      "v05_kmeans_build",
+      "IVF index BUILD: deterministic Lloyd's k-means " +
+        "(graft.operators.KMeans — driver-held centroids, one " +
+        "distributed assignment + partial-sum pass per iteration) over " +
+        "the embeddings; output = per-cluster occupancy stats, the " +
+        "index metadata an IVF probe consumes. Iterative -> rows-only " +
+        "check; geometry proven in KMeansSpec.",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val (assign, _) = graft.operators.KMeans.fit(s, e, k = 8, iterations = 2)
+        assign.groupBy(col("cluster"))
+          .agg(count(lit(1)).as("n_vectors"),
+            min(col("vec_id")).as("min_vec"), max(col("vec_id")).as("max_vec"))
+          .orderBy(col("cluster"))
+      },
+      None),
+
     // ----- hyperplane-LSH near-dup pairs ----------------------------------------
     Q(
       "v03_cosine_neardup",

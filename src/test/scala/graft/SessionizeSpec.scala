@@ -53,6 +53,41 @@ class SessionizeSpec extends SparkSpec {
       out.head.last_event_id == 32 && out.head.session_value == 3.0)
   }
 
+  test("streaming sessionizer closed sessions match the batch operator") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val evs = Seq(
+      graft.streaming.EventStream.Ev(1, 10, 0, 1.0),
+      graft.streaming.EventStream.Ev(1, 11, 500, 2.0),
+      graft.streaming.EventStream.Ev(1, 12, 9000, 3.0),  // closes session 1
+      graft.streaming.EventStream.Ev(2, 20, 100, 4.0),
+      graft.streaming.EventStream.Ev(2, 21, 20000, 5.0)) // closes user 2's s1
+    val mem = MemoryStream[graft.streaming.EventStream.Ev]
+    mem.addData(evs: _*)
+    val q = graft.streaming.EventStream
+      .sessionizeStream(mem.toDS(), gapMs = 1000L, useTimeout = false)
+      .writeStream.format("memory").queryName("sess_parity")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val streamed = s.table("sess_parity")
+      .as[graft.streaming.EventStream.SessionOut].collect()
+      .map(x => (x.user_id, x.session_id, x.n_events, x.first_event_id,
+        x.last_event_id, x.duration_ms, x.session_value)).toSet
+    q.stop()
+    val batch = Sessionize.sessionize(
+        evs.map(e => Ev(e.user_id, e.event_id, e.ms, e.value)).toDS(), 1000L)
+      .collect()
+      .map(x => (x.user_id, x.session_id, x.n_events, x.first_event_id,
+        x.last_event_id, x.duration_ms, x.session_value)).toSet
+    // streaming emits only CLOSED sessions; batch emits all — the
+    // streamed set must be exactly the batch set minus open sessions
+    assert(streamed.subsetOf(batch))
+    assert(streamed.map(t => (t._1, t._2)) ==
+      Set((1L, 1L), (2L, 1L))) // one closed session per user
+  }
+
   test("matches the SQL window formulation on the sf0.001 events table") {
     val s = spark
     import s.implicits._
