@@ -434,6 +434,40 @@ object Relational {
         FROM orders GROUP BY 1
         ORDER BY spend DESC, o_custkey ASC LIMIT 10""")),
 
+    // ----- skew handling: two-stage salted aggregation -------------------------
+    Q(
+      "a16_salted_skew_agg",
+      "Skew-safe aggregation (the salting pattern from the build brief: " +
+        "events has only 5 event_type values — a catastrophic-skew key " +
+        "at 100 TB): stage 1 aggregates by (key, salt=hash%16) spreading " +
+        "each hot key over 16 reducers, stage 2 merges the 16 partials. " +
+        "Result is provably identical to the direct groupBy — the " +
+        "oracle is the plain GROUP BY.",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val salted = e.groupBy(col("event_type"),
+            pmod(hash(col("event_id")), lit(16)).as("__salt"))
+          .agg(
+            count(lit(1)).as("pn"),
+            sum(col("value")).as("psum"),
+            min(col("value")).as("pmin"),
+            max(col("value")).as("pmax"))
+        salted.groupBy(col("event_type"))
+          .agg(
+            sum(col("pn")).as("n"),
+            round(sum(col("psum")), 2).as("total_value"),
+            round(sum(col("psum")) / sum(col("pn")), 4).as("avg_value"),
+            round(min(col("pmin")), 4).as("min_value"),
+            round(max(col("pmax")), 4).as("max_value"))
+      },
+      Some("""
+        SELECT event_type, count(*) AS n,
+               round(sum(value), 2) AS total_value,
+               round(sum(value) / count(*), 4) AS avg_value,
+               round(min(value), 4) AS min_value,
+               round(max(value), 4) AS max_value
+        FROM events GROUP BY 1""")),
+
     // ----- P2/P3: filter + projection pushdown (TPC-H Q6 shape) ---------------
     Q(
       "p02_pushdown_agg",
