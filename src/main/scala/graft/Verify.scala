@@ -5,7 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional 3rd arg: comma list of name prefixes (local iteration only;
+    // the driver always runs the full surface)
+    val only: Option[Seq[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSeq) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -19,7 +23,9 @@ object Verify {
     // jobs across the local cores, hiding per-query planning latency;
     // each query writes its own directory so there is no write contention
     import scala.collection.parallel.CollectionConverters._
-    val par = SparkEntry.queries.toSeq.sortBy(_._1).par
+    val selected = SparkEntry.queries.filter { case (n, _) =>
+      only.forall(_.exists(n.startsWith)) }
+    val par = selected.toSeq.sortBy(_._1).par
     par.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(
       new java.util.concurrent.ForkJoinPool(4))
     par.foreach { case (name, fn) =>
@@ -42,6 +48,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.exists(k.startsWith)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
