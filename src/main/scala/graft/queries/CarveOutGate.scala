@@ -1,0 +1,220 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.pbp.PlayClassifier
+import graft.ratings.SolverSweep
+import graft.sources.Tables
+
+/** SQL-expressible single-step variants of the three rows-only
+  * procedural operators, so each carries a hard DuckDB hash check of
+  * its core math; only the irreducibly iterative loops stay rows-only.
+  *
+  *  - dm10b: one solver sweep (the (league/opp)^α re-estimate) — the
+  *    same observations dm10 feeds the full fixed-point solver.
+  *  - v05b: one Lloyd assignment step against the deterministic
+  *    md5-seeded centroids KMeans.fit starts from.
+  *  - pbp02: the classifier + flags + ends_possession stage of the PBP
+  *    chain (everything before the procedural and-1 lookahead).
+  */
+object CarveOutGate {
+
+  private def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+      "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+
+  def defs: Seq[Q] = Seq(
+
+    // ----- I1 single sweep ------------------------------------------------------
+    Q(
+      "dm10b_solver_sweep",
+      "One sweep of the iterative SOS solver (I1, iterative_ratings.py:" +
+        "225-297) on the SAME synthetic observations as dm10, as a pure " +
+        "DataFrame transform (graft.ratings.SolverSweep) — hash-matched " +
+        "vs the SQL re-statement; RatingsPropertiesSpec pins it to " +
+        "solve(maxIter=1) so the procedural loop can't drift.",
+      (s, d) => {
+        val base = Tables.orders(s, d).select(
+            (col("o_orderkey") % 40).as("home"),
+            ((col("o_orderkey") % 40) + 1 + (col("o_custkey") % 39)).mod(40).as("away"),
+            (lit(60) + col("o_orderkey") % 40).cast("double").as("home_pts"),
+            (lit(60) + col("o_custkey") % 40).cast("double").as("away_pts"),
+            (lit(65) + col("o_orderkey") % 10).cast("double").as("poss"))
+          .filter(col("home") =!= col("away"))
+        val obs = base.select(explode(array(
+            struct(col("home").as("team"), col("away").as("opp"),
+              col("home_pts").as("pts"), col("away_pts").as("opp_pts"),
+              col("poss"), lit(true).as("is_home")),
+            struct(col("away").as("team"), col("home").as("opp"),
+              col("away_pts").as("pts"), col("home_pts").as("opp_pts"),
+              col("poss"), lit(false).as("is_home")))).as("s"))
+          .select(col("s.*"))
+        SolverSweep.oneSweep(obs)
+          .select(col("team"), col("games"),
+            round(col("adj_oe1"), 3).as("adj_oe1"),
+            round(col("adj_de1"), 3).as("adj_de1"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT o_orderkey % 40 AS home,
+                 ((o_orderkey % 40) + 1 + (o_custkey % 39)) % 40 AS away,
+                 CAST(60 + o_orderkey % 40 AS DOUBLE) AS home_pts,
+                 CAST(60 + o_custkey % 40 AS DOUBLE) AS away_pts,
+                 CAST(65 + o_orderkey % 10 AS DOUBLE) AS poss
+          FROM orders
+          WHERE (o_orderkey % 40) <> ((o_orderkey % 40) + 1 + (o_custkey % 39)) % 40),
+        obs AS (
+          SELECT home AS team, away AS opp, home_pts AS pts, away_pts AS opp_pts,
+                 poss, true AS is_home FROM base
+          UNION ALL
+          SELECT away, home, away_pts, home_pts, poss, false FROM base),
+        eff AS (
+          SELECT *,
+                 pts / poss * 100.0 + CASE WHEN is_home THEN -4.0266 ELSE 4.0266 END AS go,
+                 opp_pts / poss * 100.0 + CASE WHEN is_home THEN 4.0266 ELSE -4.0266 END AS gd
+          FROM obs),
+        lg AS (SELECT sum(pts) / sum(poss) * 100.0 AS league FROM eff),
+        init AS (
+          SELECT team,
+                 least(greatest(sum(go) / count(*), 40.0), 200.0) AS oe0,
+                 least(greatest(sum(gd) / count(*), 40.0), 200.0) AS de0
+          FROM eff GROUP BY 1)
+        SELECT e.team, CAST(count(*) AS BIGINT) AS games,
+               round(least(greatest(sum(e.go * pow(league / i.de0, 0.85)) / count(*),
+                                    40.0), 200.0), 3) AS adj_oe1,
+               round(least(greatest(sum(e.gd * pow(league / i.oe0, 0.85)) / count(*),
+                                    40.0), 200.0), 3) AS adj_de1
+        FROM eff e JOIN init i ON e.opp = i.team, lg
+        GROUP BY e.team""")),
+
+    // ----- one Lloyd assignment step ---------------------------------------------
+    Q(
+      "v05b_lloyd_assign",
+      "One Lloyd assignment step against the deterministic seed " +
+        "centroids KMeans.fit starts from (k=8 smallest md5(vec_id)): " +
+        "max-dot-product cluster per vector with a (dot desc, seed asc) " +
+        "tiebreak — the per-iteration kernel of v05, hash-matched.",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val seeds = e.select(col("vec_id").as("sid"), col("embedding").as("se"),
+            md5(col("vec_id").cast("string")).as("h"))
+          .orderBy(col("h").asc, col("sid").asc).limit(8)
+          .select(col("sid"), col("se"))
+        val c = e.select(col("vec_id"), col("embedding").as("ce"))
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("dot").desc, col("sid").asc)
+        c.join(broadcast(seeds), lit(true))
+          .withColumn("dot", dot("se", "ce"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("sid").as("cluster_seed"),
+            round(col("dot"), 4).as("dot"))
+      },
+      Some("""
+        WITH seeds AS (
+          SELECT vec_id AS sid, embedding::DOUBLE[] AS se
+          FROM embeddings
+          ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 8),
+        c AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings),
+        s AS (SELECT vec_id, sid, list_dot_product(se, ce) AS dot FROM c, seeds)
+        SELECT vec_id, sid AS cluster_seed, round(dot, 4) AS dot
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY dot DESC, sid ASC) rn FROM s)
+        WHERE rn = 1""")),
+
+    // ----- PBP classifier + flags stage --------------------------------------------
+    Q(
+      "pbp02_classifier_flags",
+      "The classifier + flags + ends_possession stage of the PBP chain " +
+        "(pbp_stats.py:10-110 classify + build_pbp_plays_enriched.py " +
+        "possession-end rule, BEFORE the procedural and-1 lookahead), " +
+        "plus the garbage-time rule — all column expressions on the " +
+        "same play stream pbp01 derives from events, hash-matched.",
+      (s, d) => {
+        val cls = new PlayClassifier()
+        val plays = Tables.events(s, d).select(
+          col("event_id").as("id"),
+          col("user_id").as("game_id"),
+          when(col("event_type") === "click", "JumpShot")
+            .when(col("event_type") === "view", "Defensive Rebound")
+            .when(col("event_type") === "purchase", "Three Point Jump Shot")
+            .when(col("event_type") === "signup", "Free Throw 1 of 1")
+            .otherwise("Lost Ball Turnover").as("playType"),
+          lit(null).cast("string").as("playText"),
+          (col("value") > 0.5).as("scoringPlay"),
+          lit(null).cast("boolean").as("shootingPlay"),
+          when(col("event_type") === "signup", 1.0)
+            .when(col("event_type") === "purchase", 3.0)
+            .when(col("event_type") === "click", 2.0).as("scoreValue"),
+          (lit(1) + (col("event_id") % 97 % 2)).cast("int").as("period"),
+          (lit(1200L) - col("event_id") % 1200).as("seconds_remaining"),
+          (col("event_id") % 40).as("home_score"),
+          (col("event_id") % 37).as("away_score"))
+        val text = cls.textCol(col("playType"), col("playText"))
+        val isFt = cls.isFtCol(text, col("scoreValue"))
+        val isShot = cls.isShotCol(text, col("shootingPlay"), col("scoreValue"))
+        val isTo = cls.isTurnoverCol(text)
+        val isDr = cls.isDefReboundCol(text)
+        val isOr = cls.isOffReboundCol(text)
+        val isLastFt = cls.isLastFtCol(text)
+        val isPe = cls.isPeriodEndCol(text)
+        val madeFg = isShot && col("scoringPlay")
+        val madeFt = isFt && col("scoringPlay")
+        val margin = abs(col("home_score") - col("away_score"))
+        plays.select(
+          col("id"), col("game_id"), col("playType").as("play_type"),
+          isTo.as("is_turnover"), isDr.as("is_def_rebound"),
+          isOr.as("is_off_rebound"), isShot.as("is_fga"),
+          madeFg.as("is_made_fg"), isFt.as("is_fta"), madeFt.as("is_made_ft"),
+          isLastFt.as("is_last_ft"), isPe.as("is_period_end"),
+          (isTo || isDr || madeFg || (madeFt && isLastFt) || isPe).as("ends_possession"),
+          (col("period") >= 2 &&
+            ((margin >= 20 && col("seconds_remaining") <= 600) ||
+             (margin >= 15 && col("seconds_remaining") <= 300))).as("garbage_time"))
+      },
+      Some("""
+        WITH plays AS (
+          SELECT event_id AS id, user_id AS game_id,
+                 CASE event_type WHEN 'click' THEN 'JumpShot'
+                                 WHEN 'view' THEN 'Defensive Rebound'
+                                 WHEN 'purchase' THEN 'Three Point Jump Shot'
+                                 WHEN 'signup' THEN 'Free Throw 1 of 1'
+                                 ELSE 'Lost Ball Turnover' END AS play_type,
+                 value > 0.5 AS scoring,
+                 CASE event_type WHEN 'signup' THEN 1.0
+                                 WHEN 'purchase' THEN 3.0
+                                 WHEN 'click' THEN 2.0 END AS score_value,
+                 CAST(1 + (event_id % 97 % 2) AS INT) AS period,
+                 1200 - event_id % 1200 AS seconds_remaining,
+                 event_id % 40 AS home_score, event_id % 37 AS away_score
+          FROM events),
+        f AS (
+          SELECT *, trim(play_type || ' ') AS text,
+                 CASE WHEN score_value IS NOT NULL THEN score_value = 1.0
+                      ELSE regexp_matches(play_type, '(?i)(Free Throw)') END AS is_fta
+          FROM plays),
+        g AS (
+          SELECT *,
+                 regexp_matches(text, '(?i)(Offensive Charge|Lost Ball Turnover|Foul Turnover)') AS is_turnover,
+                 regexp_matches(text, '(?i)(Defensive Rebound|Dead Ball Rebound)') AS is_def_rebound,
+                 regexp_matches(text, '(?i)(Offensive Rebound)') AS is_off_rebound,
+                 CASE WHEN is_fta THEN false
+                      ELSE regexp_matches(text, '(?i)(Shot|JumpShot|RegularJumpShot|LayUpShot|LayupShot|DunkShot|TipShot|Three Pointer|Three Point Jump Shot)')
+                 END AS is_fga,
+                 regexp_matches(text, '(?i)(Free Throw 1 of 1)') AS is_last_ft,
+                 regexp_matches(text, '(?i)(End Game|End Period)') AS is_period_end
+          FROM f)
+        SELECT id, game_id, play_type, is_turnover, is_def_rebound,
+               is_off_rebound, is_fga,
+               is_fga AND scoring AS is_made_fg, is_fta,
+               is_fta AND scoring AS is_made_ft, is_last_ft, is_period_end,
+               is_turnover OR is_def_rebound OR (is_fga AND scoring)
+                 OR ((is_fta AND scoring) AND is_last_ft) OR is_period_end AS ends_possession,
+               period >= 2 AND
+                 ((abs(home_score - away_score) >= 20 AND seconds_remaining <= 600) OR
+                  (abs(home_score - away_score) >= 15 AND seconds_remaining <= 300)) AS garbage_time
+        FROM g"""))
+  )
+}
