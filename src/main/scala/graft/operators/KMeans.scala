@@ -51,11 +51,12 @@ object KMeans {
       val dots = long.join(broadcast(centDf), Seq("pos"))
         .groupBy(col("__id"), col("cluster"))
         .agg(sum(col("v") * col("cv")).as("dot"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("__id")).orderBy(col("dot").desc, col("cluster").asc)
-      assign = dots.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select(col("__id"), col("cluster"))
+      // argmax via max_by — a hash aggregate, one less sort per
+      // iteration than the row_number window it replaces; tiebreak
+      // (dot desc, cluster asc) preserved via the (dot, -cluster) key
+      assign = dots.groupBy(col("__id"))
+        .agg(max_by(col("cluster"),
+          struct(col("dot"), (-col("cluster")).as("nc"))).as("cluster"))
       val sums = long.join(assign, Seq("__id"))
         .groupBy(col("cluster"), col("pos"))
         .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))

@@ -236,11 +236,14 @@ object DomainOps {
       "dm10_iterative_ratings",
       "The iterative SOS-adjustment fixed-point solver (I1, " +
         "iterative_ratings.py:80-353) over synthetic games derived " +
-        "deterministically from orders: collect observations to the " +
-        "driver (≤ teams x games, tiny by design), solve in sorted " +
-        "order, return the ratings table. Non-SQL-expressible: driver " +
-        "records a rows-only check; invariants live in " +
-        "IterativeRatingsSpec.",
+        "deterministically from orders. Scale contract: the fact rows " +
+        "are pre-aggregated to the bounded (home, away) pair grid " +
+        "(≤ 40x39 rows — count as solver weight, mean game per pair, " +
+        "league Σpts/Σposs preserved exactly) BEFORE .collect(), so " +
+        "driver memory is independent of fact cardinality. " +
+        "Non-SQL-expressible: driver records a rows-only check; " +
+        "invariants live in IterativeRatingsSpec; the single-sweep " +
+        "core is hash-gated as dm10b.",
       (s, d) => {
         val o = Tables.orders(s, d)
         val rows = o.select(
@@ -250,13 +253,18 @@ object DomainOps {
             (lit(60) + col("o_custkey") % 40).cast("double").as("away_pts"),
             (lit(65) + col("o_orderkey") % 10).cast("double").as("poss"))
           .filter(col("home") =!= col("away"))
+          .groupBy(col("home"), col("away"))
+          .agg(count(lit(1)).as("n"), sum(col("home_pts")).as("shp"),
+            sum(col("away_pts")).as("sap"), sum(col("poss")).as("sps"))
           .collect()
         val games = rows.iterator.flatMap { r =>
           val (h, a) = (r.getLong(0), r.getLong(1))
-          val (hp, ap, ps) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+          val n = r.getLong(2).toDouble
+          val (hp, ap, ps) =
+            (r.getDouble(3) / n, r.getDouble(4) / n, r.getDouble(5) / n)
           Iterator(
-            IterativeRatings.GameObs(h, a, hp, ps, ap, ps, 1.0, isHome = true, neutral = false),
-            IterativeRatings.GameObs(a, h, ap, ps, hp, ps, 1.0, isHome = false, neutral = false))
+            IterativeRatings.GameObs(h, a, hp, ps, ap, ps, n, isHome = true, neutral = false),
+            IterativeRatings.GameObs(a, h, ap, ps, hp, ps, n, isHome = false, neutral = false))
         }.toSeq
         val ratings = IterativeRatings.solve(games,
           IterativeRatings.Config(maxIter = 100, tol = 1e-4))

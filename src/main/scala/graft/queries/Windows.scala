@@ -176,7 +176,11 @@ object Windows {
       "Composite percentile ranking (team_power_rankings.py:263-296): " +
         "per metric, dense percentile over DISTINCT values (rank/(n-1)*100 " +
         "— NOT percent_rank over rows), composite = mean of the two. " +
-        "Ranks computed on the distinct-value set (small) then joined back.",
+        "spend is near-unique per customer, so the distinct set scales " +
+        "with the data: the rank comes from the two-stage " +
+        "GlobalRank.zeroBasedIndex (range partition + local rank + " +
+        "offsets) and n from a scalar agg — no single-partition window " +
+        "anywhere (VERDICT r2 'What's wrong' #2).",
       (s, d) => {
         val c = Tables.customer(s, d)
         val o = Tables.orders(s, d)
@@ -187,13 +191,14 @@ object Windows {
             coalesce(col("sp"), lit(0.0)).as("spend"))
         def pctTable(metric: String, out: String) = {
           val dv = base.select(col(metric).as("v")).distinct()
-          val w = Window.orderBy(col("v").asc)
-          val n = count(lit(1)).over(Window.partitionBy())
+          val n = dv.agg(count(lit(1)).as("__n"))
           // n==1 guard: a single distinct value ranks 0.0 (not null/NaN),
           // matching the oracle's CASE — see ADVICE r01.
-          dv.select(col("v"),
-            when(n > 1, (row_number().over(w) - 1) * lit(100.0) / (n - 1))
-              .otherwise(lit(0.0)).as(out))
+          graft.operators.GlobalRank.zeroBasedIndex(dv, "v")
+            .crossJoin(broadcast(n))
+            .select(col("v"),
+              when(col("__n") > 1, col("idx") * lit(100.0) / (col("__n") - 1))
+                .otherwise(lit(0.0)).as(out))
         }
         base
           .join(pctTable("c_acctbal", "p_bal").withColumnRenamed("v", "c_acctbal"), Seq("c_acctbal"))
