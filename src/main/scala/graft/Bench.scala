@@ -4,13 +4,17 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: one JSON line with per-query seconds at
   * SPARK_GRAFT_SF_DIR. A warmup pass at sf0.001 (when present) runs every
   * query once first so JIT + codegen + catalog init don't land on the
-  * first timed query — timings then reflect steady-state plan execution,
-  * which is what the 100 TB scale argument is about.
+  * first timed query; each query is then timed SPARK_GRAFT_BENCH_RUNS
+  * times (default 3) and the MEDIAN reported, with the per-query
+  * max−min spread alongside — host-noise regressions (this box has
+  * shown 2x wall-clock swings on identical code) stay distinguishable
+  * from real plan regressions.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -25,15 +29,23 @@ object Bench {
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
     }
-    val results = queries.map { case (name, fn) =>
+    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results = queries.map { case (name, fn) =>
+      val ts = (1 to runs).map(_ => time(fn)).sorted
+      val median = ts(ts.size / 2)
+      (name, median, ts.last - ts.head)
+    }
+    val qs = results.map { case (k, m, _) => "\"" + k + "\":" + m }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val spreads = results.map { case (k, _, sp) =>
+      "\"" + k + "\":" + math.rint(sp * 1000) / 1000 }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -21,5 +21,5 @@ object Q {
   /** All query groups, registered in SparkEntry. */
   def all: Seq[Q] =
     Relational.defs ++ Windows.defs ++ TextOps.defs ++ VectorOps.defs ++
-      DomainOps.defs ++ GoldGate.defs ++ CarveOutGate.defs
+      DomainOps.defs ++ GoldGate.defs ++ CarveOutGate.defs ++ Sketches.defs
 }

@@ -1,0 +1,68 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Approximate-aggregation sketches (beyond-reference; the 100 TB
+  * path for a13-style distincts and a15-style quantiles, where exact
+  * distinct/percentile means a full shuffle of the key set).
+  *
+  * Oracle design: DuckDB can't replay Spark's HLL++/KLL internals, but
+  * it CAN check the contract — each query emits the EXACT statistic
+  * plus a boolean asserting the sketch landed inside its error bound,
+  * and the oracle recomputes the exact side with a literal `true`.
+  * A sketch drifting out of bound flips the boolean and fails the
+  * hash gate, so these are NOT rows-only checks.
+  */
+object Sketches {
+
+  def defs: Seq[Q] = Seq(
+
+    Q(
+      "sk01_approx_distinct",
+      "approx_count_distinct (HLL++, rsd 2%) vs exact distinct per " +
+        "order priority; emits the exact count and a within-5% bound " +
+        "flag the oracle pins to true. At 100 TB the sketch is one " +
+        "mergeable 'register set' per group — no distinct shuffle.",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        o.groupBy(col("o_orderpriority"))
+          .agg(
+            countDistinct(col("o_custkey")).as("n_exact"),
+            approx_count_distinct(col("o_custkey"), 0.02).as("n_approx"))
+          .select(col("o_orderpriority"), col("n_exact"),
+            (abs(col("n_approx") - col("n_exact"))
+              <= col("n_exact") * 0.05).as("within_5pct"))
+      },
+      Some("""
+        SELECT o_orderpriority,
+               count(DISTINCT o_custkey) AS n_exact,
+               true AS within_5pct
+        FROM orders GROUP BY 1""")),
+
+    Q(
+      "sk02_approx_quantile",
+      "percentile_approx (accuracy 10000) vs the exact interpolated " +
+        "median per order priority; emits the exact median and a flag " +
+        "that the sketch median sits inside the exact [p45, p55] band, " +
+        "pinned to true by the oracle.",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        o.groupBy(col("o_orderpriority"))
+          .agg(
+            expr("percentile(o_totalprice, 0.5)").as("p50_exact"),
+            expr("percentile(o_totalprice, 0.45)").as("p45"),
+            expr("percentile(o_totalprice, 0.55)").as("p55"),
+            expr("percentile_approx(o_totalprice, 0.5, 10000)").as("p50_approx"))
+          .select(col("o_orderpriority"),
+            round(col("p50_exact"), 2).as("p50_exact"),
+            col("p50_approx").between(col("p45"), col("p55")).as("in_band"))
+      },
+      Some("""
+        SELECT o_orderpriority,
+               round(quantile_cont(o_totalprice, 0.5), 2) AS p50_exact,
+               true AS in_band
+        FROM orders GROUP BY 1"""))
+  )
+}

@@ -65,4 +65,26 @@ object LakeIO {
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "documents", "embeddings")
       .foreach(t => Tables.table(spark, dir, t).createOrReplaceTempView(t))
+
+  /** S8 persistent path (reference glue_catalog.py:13-62): register an
+    * EXTERNAL parquet location in the session catalog — the analog of
+    * Glue's create_table over an S3 prefix. Schema and Hive-style
+    * partition columns are inferred from the files; `RECOVER
+    * PARTITIONS` syncs the partition list into the catalog for
+    * partitioned layouts (Glue's batch_create_partition). */
+  def registerExternal(spark: org.apache.spark.sql.SparkSession,
+      name: String, path: String, partitioned: Boolean = false): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    spark.catalog.createTable(name, path, "parquet")
+    if (partitioned) spark.sql(s"ALTER TABLE `$name` RECOVER PARTITIONS")
+  }
+
+  /** S8 persistent path, managed flavor: saveAsTable into the session
+    * warehouse (CREATE TABLE ... USING PARQUET PARTITIONED BY). */
+  def saveAsManagedTable(df: DataFrame, name: String,
+      partitions: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+    (if (partitions.isEmpty) w else w.partitionBy(partitions: _*))
+      .saveAsTable(name)
+  }
 }
