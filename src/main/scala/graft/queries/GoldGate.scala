@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.gold.{GamePredictionsFeatures, MarketLinesAnalysis, TeamPowerRankings, TeamSeasonSummary}
+import graft.gold.{AdjustedEfficiencies, GamePredictionsFeatures, MarketLinesAnalysis, PlayerSeasonImpact, TeamPowerRankings, TeamSeasonSummary}
 import graft.sources.Tables
 
 /** The gold transforms under the hard cross-engine gate.
@@ -114,6 +114,57 @@ object GoldGate {
         when(col("c_custkey") % 2 === 0, upper(col("school")))
           .otherwise(lower(col("school"))).as("committedTo"))
 
+  /** Player season stats: per-row modulo-derived, with zero-game /
+    * zero-FGA / null-turnover players to exercise every safeDiv guard. */
+  def playerStats(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(broadcast(dimTeams(s, d)), col("c_custkey") % 25 === col("teamId"))
+      .select(
+        col("c_custkey").as("playerId"),
+        col("school").as("team"), col("conference"),
+        when(col("c_custkey") % 10 === 9, 0L)
+          .otherwise(lit(10L) + col("c_custkey") % 25).as("games"),
+        when(col("c_custkey") % 10 === 9, 0.0)
+          .otherwise(lit(100.0) + (col("c_custkey") % 800).cast("double")).as("minutes"),
+        ((col("c_custkey") * 3) % 600).cast("double").as("points"),
+        ((col("c_custkey") * 7) % 300).cast("double").as("rebounds"),
+        ((col("c_custkey") * 11) % 200).cast("double").as("assists"),
+        when(col("c_custkey") % 7 === 0, lit(null).cast("double"))
+          .otherwise(((col("c_custkey") * 5) % 80).cast("double")).as("turnovers"),
+        ((col("c_custkey") * 13) % 250).cast("double").as("fieldGoalsMade"),
+        when(col("c_custkey") % 11 === 0, 0.0)
+          .otherwise((lit(200) + col("c_custkey") % 300).cast("double")).as("fieldGoalsAttempted"),
+        ((col("c_custkey") * 17) % 90).cast("double").as("threePointFieldGoalsMade"),
+        ((col("c_custkey") * 19) % 150).cast("double").as("threePointFieldGoalsAttempted"),
+        ((col("c_custkey") * 23) % 120).cast("double").as("freeThrowsMade"),
+        ((col("c_custkey") * 29) % 160).cast("double").as("freeThrowsAttempted"))
+
+  /** dim variant with some null conferences (non-D1 teams for P4). */
+  def dimD1(s: SparkSession, d: String): DataFrame =
+    dimTeams(s, d).withColumn("conference",
+      when(col("teamId") % 7 === 3, lit(null).cast("string"))
+        .otherwise(col("conference")))
+
+  /** game_teams with JSON stats strings: canonical JSON, Python-repr
+    * (single quotes) every 4th game, possessions=0 every 13th (must be
+    * filtered by the validity predicates). Integer-valued fields so
+    * string rendering is engine-neutral. */
+  def gameTeams(s: SparkSession, d: String): DataFrame = {
+    val g = games(s, d).withColumn("poss",
+      when(col("gameId") % 13 === 0, lit(0L))
+        .otherwise(lit(64L) + col("gameId") % 9))
+    def js(t: org.apache.spark.sql.Column) =
+      when(col("gameId") % 4 === 1,
+        concat(lit("{'possessions': "), col("poss").cast("string"),
+          lit(", 'points': {'total': "), t.cast("string"), lit("}}")))
+        .otherwise(concat(lit("{\"possessions\": "), col("poss").cast("string"),
+          lit(", \"points\": {\"total\": "), t.cast("string"), lit("}}")))
+    g.select(col("gameId"), col("homeTeamId").as("teamId"),
+        js(col("homeScore")).as("teamStats"), js(col("awayScore")).as("opponentStats"))
+      .unionByName(g.select(col("gameId"), col("awayTeamId").as("teamId"),
+        js(col("awayScore")).as("teamStats"), js(col("homeScore")).as("opponentStats")))
+  }
+
   /** The same fixtures as DuckDB CTEs (interpolated into each oracle). */
   val FixtureSql: String = """
     dim_t AS (SELECT n_nationkey AS teamId, n_name AS school, r_name AS conference
@@ -172,7 +223,62 @@ object GoldGate {
              0.5 + CAST(c_custkey % 16 AS DOUBLE) / 32.0 AS rating,
              CASE WHEN c_custkey % 2 = 0 THEN upper(school) ELSE lower(school) END AS committedTo
       FROM customer JOIN dim_t ON c_custkey % 25 = teamId
-      WHERE c_custkey % 4 = 0)"""
+      WHERE c_custkey % 4 = 0),
+    fx_pstats AS (
+      SELECT c_custkey AS playerId, school AS team, conference,
+             CASE WHEN c_custkey % 10 = 9 THEN 0 ELSE 10 + c_custkey % 25 END AS games,
+             CASE WHEN c_custkey % 10 = 9 THEN 0.0
+                  ELSE 100.0 + CAST(c_custkey % 800 AS DOUBLE) END AS minutes,
+             CAST((c_custkey * 3) % 600 AS DOUBLE) AS points,
+             CAST((c_custkey * 7) % 300 AS DOUBLE) AS rebounds,
+             CAST((c_custkey * 11) % 200 AS DOUBLE) AS assists,
+             CASE WHEN c_custkey % 7 = 0 THEN NULL
+                  ELSE CAST((c_custkey * 5) % 80 AS DOUBLE) END AS turnovers,
+             CAST((c_custkey * 13) % 250 AS DOUBLE) AS fgm,
+             CASE WHEN c_custkey % 11 = 0 THEN 0.0
+                  ELSE CAST(200 + c_custkey % 300 AS DOUBLE) END AS fga,
+             CAST((c_custkey * 17) % 90 AS DOUBLE) AS fg3m,
+             CAST((c_custkey * 19) % 150 AS DOUBLE) AS fg3a,
+             CAST((c_custkey * 23) % 120 AS DOUBLE) AS ftm,
+             CAST((c_custkey * 29) % 160 AS DOUBLE) AS fta
+      FROM customer JOIN dim_t ON c_custkey % 25 = teamId),
+    dim_d1 AS (
+      SELECT teamId, school,
+             CASE WHEN teamId % 7 = 3 THEN NULL ELSE conference END AS conference
+      FROM dim_t),
+    fx_gp AS (
+      SELECT *, CASE WHEN gameId % 13 = 0 THEN 0 ELSE 64 + gameId % 9 END AS poss
+      FROM fx_games),
+    fx_gt AS (
+      SELECT gameId, homeTeamId AS teamId,
+             CASE WHEN gameId % 4 = 1
+                  THEN '{''possessions'': ' || CAST(poss AS VARCHAR)
+                       || ', ''points'': {''total'': ' || CAST(homeScore AS VARCHAR) || '}}'
+                  ELSE '{"possessions": ' || CAST(poss AS VARCHAR)
+                       || ', "points": {"total": ' || CAST(homeScore AS VARCHAR) || '}}'
+             END AS teamStats,
+             CASE WHEN gameId % 4 = 1
+                  THEN '{''possessions'': ' || CAST(poss AS VARCHAR)
+                       || ', ''points'': {''total'': ' || CAST(awayScore AS VARCHAR) || '}}'
+                  ELSE '{"possessions": ' || CAST(poss AS VARCHAR)
+                       || ', "points": {"total": ' || CAST(awayScore AS VARCHAR) || '}}'
+             END AS opponentStats
+      FROM fx_gp
+      UNION ALL
+      SELECT gameId, awayTeamId,
+             CASE WHEN gameId % 4 = 1
+                  THEN '{''possessions'': ' || CAST(poss AS VARCHAR)
+                       || ', ''points'': {''total'': ' || CAST(awayScore AS VARCHAR) || '}}'
+                  ELSE '{"possessions": ' || CAST(poss AS VARCHAR)
+                       || ', "points": {"total": ' || CAST(awayScore AS VARCHAR) || '}}'
+             END,
+             CASE WHEN gameId % 4 = 1
+                  THEN '{''possessions'': ' || CAST(poss AS VARCHAR)
+                       || ', ''points'': {''total'': ' || CAST(homeScore AS VARCHAR) || '}}'
+                  ELSE '{"possessions": ' || CAST(poss AS VARCHAR)
+                       || ', "points": {"total": ' || CAST(homeScore AS VARCHAR) || '}}'
+             END
+      FROM fx_gp)"""
 
   // ---------------------------------------------------------------- queries
 
@@ -386,6 +492,95 @@ object GoldGate {
         LEFT JOIN ratings o ON s.oppId = o.tid
         LEFT JOIN srssel ts ON s.teamId = ts.tid
         LEFT JOIN srssel os ON s.oppId = os.tid
-        LEFT JOIN firstlines fl ON s.gameId = fl.gameId"""))
+        LEFT JOIN firstlines fl ON s.gameId = fl.gameId""")),
+
+    Q(
+      "g05_gold_player_impact",
+      "Gold player_season_impact (reference gold/player_season_impact" +
+        ".py:79-308): zero-safe ratio derivations (eFG%, TS%, usage, " +
+        "per-40) + recruiting pedigree join, with zero-game / zero-FGA " +
+        "/ null-turnover players exercising every guard — real builder " +
+        "vs SQL-CTE oracle.",
+      (s, d) => PlayerSeasonImpact.build(playerStats(s, d), recruiting(s, d), Season),
+      Some(s"""
+        WITH $FixtureSql
+        SELECT p.playerId, 2025 AS season, p.team, p.conference,
+               p.games, p.minutes,
+               CASE WHEN games > 0 THEN minutes * 1.0 / games END AS mpg,
+               CASE WHEN games > 0 THEN points * 1.0 / games END AS ppg,
+               CASE WHEN games > 0 THEN rebounds * 1.0 / games END AS rpg,
+               CASE WHEN games > 0 THEN assists * 1.0 / games END AS apg,
+               CASE WHEN fga > 0 THEN fgm * 1.0 / fga END AS fg_pct,
+               CASE WHEN fg3a > 0 THEN fg3m * 1.0 / fg3a END AS fg3_pct,
+               CASE WHEN fta > 0 THEN ftm * 1.0 / fta END AS ft_pct,
+               CASE WHEN fga > 0 THEN (fgm + 0.5 * fg3m) * 1.0 / fga END AS efg_pct,
+               CASE WHEN 2.0 * (fga + 0.44 * fta) > 0
+                    THEN points * 1.0 / (2.0 * (fga + 0.44 * fta)) END AS true_shooting,
+               CASE WHEN minutes > 0
+                    THEN (fga + 0.44 * fta + coalesce(turnovers, 0.0)) * 1.0 / minutes
+               END AS usage_rate,
+               CASE WHEN minutes > 0 THEN points * 40.0 / minutes END AS per_40_pts,
+               CASE WHEN minutes > 0 THEN rebounds * 40.0 / minutes END AS per_40_reb,
+               CASE WHEN minutes > 0 THEN assists * 40.0 / minutes END AS per_40_ast,
+               CASE WHEN turnovers IS NOT NULL AND turnovers > 0
+                    THEN assists * 1.0 / turnovers END AS ast_to_ratio,
+               r.stars AS recruit_stars, r.rating AS recruit_rating,
+               r.ranking AS recruit_ranking
+        FROM fx_pstats p
+        LEFT JOIN fx_rec r ON p.playerId = r.playerId""")),
+
+    Q(
+      "g06_gold_adjeff_prepare",
+      "The distributed prep stage of gold team_adjusted_efficiencies " +
+        "(reference adjusted_efficiencies.py:285-420): lenient JSON " +
+        "stats parse incl. the Python-repr healing fallback (F6), " +
+        "validity predicates (P6), D1 semi-join (P4), game-meta join " +
+        "(J7) — the real AdjustedEfficiencies.prepare on JSON-string " +
+        "fixtures vs a DuckDB json_extract oracle. Only the warm-start " +
+        "per-date solver loop stays procedural.",
+      (s, d) => AdjustedEfficiencies.prepare(gameTeams(s, d), games(s, d), dimD1(s, d))
+        .select(col("gameId"), col("teamId"), col("poss"), col("pts"),
+          col("opp_poss"), col("opp_pts"), col("game_date"),
+          col("neutral"), col("is_home")),
+      Some(s"""
+        WITH $FixtureSql,
+        parsed AS (
+          SELECT gameId, teamId,
+                 coalesce(
+                   CASE WHEN json_valid(teamStats)
+                        THEN CAST(json_extract(teamStats, '$$.possessions') AS DOUBLE) END,
+                   CASE WHEN json_valid(replace(teamStats, '''', '"'))
+                        THEN CAST(json_extract(replace(teamStats, '''', '"'),
+                                               '$$.possessions') AS DOUBLE) END) AS poss,
+                 coalesce(
+                   CASE WHEN json_valid(teamStats)
+                        THEN CAST(json_extract(teamStats, '$$.points.total') AS DOUBLE) END,
+                   CASE WHEN json_valid(replace(teamStats, '''', '"'))
+                        THEN CAST(json_extract(replace(teamStats, '''', '"'),
+                                               '$$.points.total') AS DOUBLE) END) AS pts,
+                 coalesce(
+                   CASE WHEN json_valid(opponentStats)
+                        THEN CAST(json_extract(opponentStats, '$$.possessions') AS DOUBLE) END,
+                   CASE WHEN json_valid(replace(opponentStats, '''', '"'))
+                        THEN CAST(json_extract(replace(opponentStats, '''', '"'),
+                                               '$$.possessions') AS DOUBLE) END) AS opp_poss,
+                 coalesce(
+                   CASE WHEN json_valid(opponentStats)
+                        THEN CAST(json_extract(opponentStats, '$$.points.total') AS DOUBLE) END,
+                   CASE WHEN json_valid(replace(opponentStats, '''', '"'))
+                        THEN CAST(json_extract(replace(opponentStats, '''', '"'),
+                                               '$$.points.total') AS DOUBLE) END) AS opp_pts
+          FROM fx_gt)
+        SELECT p.gameId, p.teamId, p.poss, p.pts, p.opp_poss, p.opp_pts,
+               substr(g.startDate, 1, 10) AS game_date,
+               coalesce(g.neutralSite, false) AS neutral,
+               p.teamId = g.homeTeamId AS is_home
+        FROM parsed p
+        JOIN fx_games g ON p.gameId = g.gameId
+        WHERE p.poss IS NOT NULL AND p.poss > 0
+          AND p.opp_poss IS NOT NULL AND p.opp_poss > 0
+          AND p.pts IS NOT NULL AND p.opp_pts IS NOT NULL
+          AND p.teamId IN (SELECT teamId FROM dim_d1
+                           WHERE conference IS NOT NULL AND conference <> '')"""))
   )
 }

@@ -319,6 +319,31 @@ object TextOps {
         FROM pairs p JOIN sig sa ON p.doc_a = sa.doc_id
                      JOIN sig sb ON p.doc_b = sb.doc_id""")),
 
+    // ----- near-dup CLUSTERS: connected components over LSH pairs ---------------
+    Q(
+      "d05_dup_clusters",
+      "Duplicate-group clustering: connected components over the LSH " +
+        "candidate pairs (graft.operators.ConnectedComponents min-label " +
+        "propagation) — the stage that turns pairwise similarity into a " +
+        "keep-one-per-group dedup decision. Hash-matched against a " +
+        "DuckDB recursive-CTE transitive closure.",
+      (s, d) => {
+        val pairs = candidatePairsFrom(s, signaturesFrom(shingles(s, d)))
+          .select(col("doc_a"), col("doc_b"))
+        graft.operators.ConnectedComponents.minLabel(pairs, "doc_a", "doc_b")
+          .select(col("id").as("doc_id"), col("component"))
+      },
+      Some(s"""
+        ${oracleLshCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+                  UNION SELECT doc_b, doc_a FROM pairs),
+        reach AS (
+          SELECT s, d FROM edges
+          UNION
+          SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+        SELECT s AS doc_id, least(s, min(d)) AS component
+        FROM reach GROUP BY s""")),
+
     // ----- exact n-gram Jaccard verification -------------------------------------
     Q(
       "d04_ngram_jaccard",
