@@ -32,8 +32,14 @@ object ConnectedComponents {
     *         component = min node id in the component */
   def minLabel(edges: DataFrame, src: String = "src", dst: String = "dst",
       maxRounds: Int = 50): DataFrame = {
-    val sym = edges.select(col(src).as("s"), col(dst).as("d"))
-      .union(edges.select(col(dst).as("s"), col(src).as("d")))
+    // materialize the edge list ONCE, BEFORE symmetrizing: the loop
+    // touches it twice per round and the union reads it twice, so an
+    // unmaterialized lineage (e.g. a full LSH candidate pipeline)
+    // would otherwise re-execute end-to-end 2x at build + 2x per
+    // round — measured 26s -> ~3s on the d05 dedup-cluster query
+    val e0 = edges.select(col(src).as("s"), col(dst).as("d"))
+      .localCheckpoint(true)
+    val sym = e0.union(e0.select(col("d").as("s"), col("s").as("d")))
 
     var labels = sym.select(col("s").as("id")).distinct()
       .withColumn("component", col("id"))
@@ -56,6 +62,7 @@ object ConnectedComponents {
       labels = next
       round += 1
     }
+    e0.unpersist() // labels is materialized; edge blocks can go
     labels
   }
 }

@@ -103,14 +103,14 @@ object CarveOutGate {
           .orderBy(col("h").asc, col("sid").asc).limit(8)
           .select(col("sid"), col("se"))
         val c = e.select(col("vec_id"), col("embedding").as("ce"))
-        val w = Window.partitionBy(col("vec_id"))
-          .orderBy(col("dot").desc, col("sid").asc)
+        // argmax via max_by (hash agg, no per-key sort); tiebreak
+        // (dot desc, sid asc) via the (dot, -sid) ordering key
         c.join(broadcast(seeds), lit(true))
           .withColumn("dot", dot("se", "ce"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("sid").as("cluster_seed"),
-            round(col("dot"), 4).as("dot"))
+          .groupBy(col("vec_id"))
+          .agg(
+            max_by(col("sid"), struct(col("dot"), (-col("sid")).as("ns"))).as("cluster_seed"),
+            round(max(struct(col("dot"), (-col("sid")).as("ns"))).getField("dot"), 4).as("dot"))
       },
       Some("""
         WITH seeds AS (
