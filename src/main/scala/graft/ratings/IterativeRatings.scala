@@ -33,7 +33,10 @@ object IterativeRatings {
       clampLo: Double = 40.0,
       clampHi: Double = 200.0,
       barthagExp: Double = 11.5,
-      sosExponent: Double = 0.85)
+      sosExponent: Double = 0.85,
+      // post-convergence shrink toward league average (reference
+      // iterative_ratings.py:89,299-303; sos_sweep_solver.py variants)
+      shrinkage: Double = 0.0)
 
   final case class Rating(
       team: Long,
@@ -146,6 +149,13 @@ object IterativeRatings {
       }
       oe = nextOe; de = nextDe
       iter += 1
+    }
+
+    // post-convergence shrinkage toward the league average, BEFORE
+    // barthag (reference order: shrink maps, then build results)
+    if (cfg.shrinkage > 0) teams.foreach { t =>
+      oe(t) = (1.0 - cfg.shrinkage) * oe(t) + cfg.shrinkage * league
+      de(t) = (1.0 - cfg.shrinkage) * de(t) + cfg.shrinkage * league
     }
 
     teams.map { t =>

@@ -119,4 +119,33 @@ class IterativeRatingsSpec extends AnyFunSuite {
     assert(r(1L)._1 - r(1L)._2 > r(2L)._1 - r(2L)._2)
     assert(r(2L)._1 - r(2L)._2 > r(3L)._1 - r(3L)._2)
   }
+
+  test("post-convergence shrinkage contracts toward the league average") {
+    val games = twoSided(1, 2, 90, 60) ++ twoSided(2, 3, 80, 70) ++
+      twoSided(1, 3, 95, 55)
+    val base = IterativeRatings.solve(games).map(r => r.team -> r).toMap
+    val league = IterativeRatings.leagueAverage(
+      games.sortBy(g => (g.team, g.opp, g.pts, g.oppPts)))
+
+    // shrinkage 1.0: every rating IS the league average (reference
+    // iterative_ratings.py:299-303), barthag from shrunk values -> 0.5
+    val full = IterativeRatings.solve(games, Config(shrinkage = 1.0))
+    full.foreach { r =>
+      assert(math.abs(r.adjOe - league) < 1e-9)
+      assert(math.abs(r.adjDe - league) < 1e-9)
+      assert(math.abs(r.barthag - 0.5) < 1e-9)
+    }
+
+    // shrinkage 0.5: exact affine blend of the unshrunk fixed point
+    val half = IterativeRatings.solve(games, Config(shrinkage = 0.5))
+    half.foreach { r =>
+      val b = base(r.team)
+      assert(math.abs(r.adjOe - (0.5 * b.adjOe + 0.5 * league)) < 1e-9)
+      assert(math.abs(r.adjDe - (0.5 * b.adjDe + 0.5 * league)) < 1e-9)
+    }
+
+    // default shrinkage 0.0 is the identity
+    val zero = IterativeRatings.solve(games, Config(shrinkage = 0.0))
+    zero.foreach(r => assert(r.adjOe == base(r.team).adjOe))
+  }
 }
