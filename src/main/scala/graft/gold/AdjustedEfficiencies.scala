@@ -70,8 +70,9 @@ object AdjustedEfficiencies {
 
   final case class Snapshot(
       teamId: Long, season: Int, rating_date: String,
-      adj_oe: Double, adj_de: Double, barthag: Double,
-      raw_oe: Double, raw_de: Double, games_played: Int, iterations: Int)
+      adj_oe: Double, adj_de: Double, adj_tempo: Double, barthag: Double,
+      adj_margin: Double, raw_oe: Double, raw_de: Double,
+      sos_oe: Double, sos_de: Double, games_played: Int, iterations: Int)
 
   /** Per-date snapshot loop with warm starts. halfLifeDays <= 0 disables
     * recency decay (reference config default: null). */
@@ -122,7 +123,8 @@ object AdjustedEfficiencies {
 
     out.flatMap { case (d, ratings) =>
       ratings.map(r => Snapshot(r.team, season, d, r.adjOe, r.adjDe,
-        r.barthag, r.rawOe, r.rawDe, r.games, r.iterations))
+        r.adjTempo, r.barthag, r.adjOe - r.adjDe, r.rawOe, r.rawDe,
+        r.sosOe, r.sosDe, r.games, r.iterations))
     }.toDF()
   }
 }

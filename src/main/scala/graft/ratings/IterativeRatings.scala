@@ -46,7 +46,12 @@ object IterativeRatings {
       rawDe: Double,
       barthag: Double,
       games: Int,
-      iterations: Int)
+      iterations: Int,
+      // tempo + strength-of-schedule aggregates
+      // (reference iterative_ratings.py:305-353)
+      adjTempo: Double = 0.0,
+      sosOe: Double = 0.0,
+      sosDe: Double = 0.0)
 
   private def clamp(x: Double, lo: Double, hi: Double): Double =
     math.max(lo, math.min(hi, x))
@@ -106,15 +111,21 @@ object IterativeRatings {
     var de = scala.collection.mutable.LinkedHashMap[Long, Double]()
     val rawOe = scala.collection.mutable.Map[Long, Double]()
     val rawDe = scala.collection.mutable.Map[Long, Double]()
+    // raw tempo = weighted mean possessions per game over valid
+    // (poss > 0) games (reference iterative_ratings.py:187-202)
+    val rawTempo = scala.collection.mutable.Map[Long, Double]()
     teams.foreach { t =>
       var wo = 0.0; var wd = 0.0; var w = 0.0
+      var tp = 0.0; var tw = 0.0
       byTeam(t).foreach { g =>
         val (go, gd) = gameEff(g, cfg.hca)
         wo += g.weight * go; wd += g.weight * gd; w += g.weight
+        if (g.poss > 0) { tp += g.weight * g.poss; tw += g.weight }
       }
       val ro = if (w > 0) wo / w else league
       val rd = if (w > 0) wd / w else league
       rawOe(t) = ro; rawDe(t) = rd
+      rawTempo(t) = if (tw > 0) tp / tw else 0.0
       val (o0, d0) = warmStart.getOrElse(t, (ro, rd))
       oe(t) = clamp(o0, cfg.clampLo, cfg.clampHi)
       de(t) = clamp(d0, cfg.clampLo, cfg.clampHi)
@@ -158,9 +169,38 @@ object IterativeRatings {
       de(t) = (1.0 - cfg.shrinkage) * de(t) + cfg.shrinkage * league
     }
 
+    // adjusted tempo: scale raw tempo by league-avg over opponent-avg
+    // tempo; SOS = recency-weighted mean of opponents' adjusted ratings
+    // (reference iterative_ratings.py:305-353)
+    var leagueTempo = 0.0
+    var tempoCount = 0
+    teams.foreach { t =>
+      if (byTeam(t).nonEmpty && rawTempo(t) > 0) {
+        leagueTempo += rawTempo(t); tempoCount += 1
+      }
+    }
+    if (tempoCount > 0) leagueTempo /= tempoCount
+
     teams.map { t =>
+      var wOppDe = 0.0; var wOppOe = 0.0; var wOppTempo = 0.0; var w = 0.0
+      byTeam(t).foreach { g =>
+        if (g.poss > 0) {
+          wOppDe += g.weight * de.getOrElse(g.opp, league)
+          wOppOe += g.weight * oe.getOrElse(g.opp, league)
+          wOppTempo += g.weight * rawTempo.getOrElse(g.opp, leagueTempo)
+          w += g.weight
+        }
+      }
+      val sosOe = if (w > 0) wOppDe / w else league
+      val sosDe = if (w > 0) wOppOe / w else league
+      val avgOppTempo = if (w > 0) wOppTempo / w else leagueTempo
+      val adjTempo =
+        if (leagueTempo > 0 && avgOppTempo > 0)
+          rawTempo(t) * (leagueTempo / avgOppTempo)
+        else rawTempo(t)
       Rating(t, oe(t), de(t), rawOe(t), rawDe(t),
-        barthag(oe(t), de(t), cfg.barthagExp), byTeam(t).size, iter)
+        barthag(oe(t), de(t), cfg.barthagExp), byTeam(t).size, iter,
+        adjTempo, sosOe, sosDe)
     }
   }
 

@@ -148,4 +148,36 @@ class IterativeRatingsSpec extends AnyFunSuite {
     val zero = IterativeRatings.solve(games, Config(shrinkage = 0.0))
     zero.foreach(r => assert(r.adjOe == base(r.team).adjOe))
   }
+
+  test("tempo and SOS aggregates (reference iterative_ratings.py:305-353)") {
+    // uniform tempo: adjTempo == rawTempo == poss for every team
+    val uniform = (1 to 3).flatMap(_ => twoSided(1, 2, 80, 70, poss = 70,
+      neutral = true)) ++ twoSided(2, 3, 75, 72, poss = 70, neutral = true)
+    IterativeRatings.solve(uniform, Config(tol = 1e-8)).foreach { r =>
+      assert(math.abs(r.adjTempo - 70.0) < 1e-9)
+    }
+
+    // team 1 plays only slow opponents (60 poss), league has a fast pair
+    // (90 poss): 1's opponent-avg tempo < league avg -> adjTempo > rawTempo
+    val mixed =
+      twoSided(1, 2, 70, 65, poss = 60, neutral = true) ++
+        twoSided(3, 4, 95, 90, poss = 90, neutral = true)
+    val m = IterativeRatings.solve(mixed, Config(tol = 1e-8))
+      .map(x => x.team -> x).toMap
+    assert(m(1).adjTempo > 60.0 - 1e-9)
+    assert(m(3).adjTempo < 90.0 + 1e-9)
+
+    // SOS: a team's sosOe is the weighted mean of its opponents' adjDe
+    // (and sosDe of their adjOe) — check directly on a 3-team league
+    val games = twoSided(1, 2, 80, 70, neutral = true) ++
+      twoSided(2, 3, 75, 72, neutral = true)
+    val r = IterativeRatings.solve(games, Config(tol = 1e-8))
+      .map(x => x.team -> x).toMap
+    // team 1's only opponent is 2
+    assert(math.abs(r(1).sosOe - r(2).adjDe) < 1e-9)
+    assert(math.abs(r(1).sosDe - r(2).adjOe) < 1e-9)
+    // team 2 played 1 and 3 once each, equal weight
+    assert(math.abs(r(2).sosOe - (r(1).adjDe + r(3).adjDe) / 2) < 1e-9)
+    assert(math.abs(r(2).sosDe - (r(1).adjOe + r(3).adjOe) / 2) < 1e-9)
+  }
 }
