@@ -27,19 +27,19 @@ object AdjustedEfficiencies {
     StructField("points", StructType(Seq(StructField("total", DoubleType))))))
 
   /** F6: lenient JSON stats parse — canonical JSON or Python-repr
-    * ("{'possessions': 68, 'points': {'total': 70}, 'flag': True}"). */
+    * ("{'possessions': 68, 'points': {'total': 70}, 'flag': True}").
+    * Dispatches on the opening quote style so every row pays exactly ONE
+    * from_json, and the repr-normalizing regexes run only on the repr
+    * branch (CASE WHEN branches evaluate lazily under codegen) — this
+    * stage is the CPU bound of the gold prep at scale. */
   def parseStats(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val canonical = regexp_replace(
       regexp_replace(
         regexp_replace(c, "'", "\""),
         "\\bNone\\b", "null"),
       "\\bTrue\\b|\\bFalse\\b", "false")
-    // from_json null-fields on Python-repr input; fall back to the
-    // normalized form for those rows
-    coalesce(
-      when(from_json(c, statsSchema).getField("possessions").isNotNull,
-        from_json(c, statsSchema)),
-      from_json(canonical, statsSchema))
+    when(startswith(ltrim(c), lit("{'")), from_json(canonical, statsSchema))
+      .otherwise(from_json(c, statsSchema))
   }
 
   /** Distributed prep: one row per (gameId, teamId) with parsed stats,

@@ -27,6 +27,45 @@ object Relational {
       SELECT 'customer' AS tbl, c_mktsegment AS grp, count(*) AS n
       FROM customer GROUP BY c_mktsegment) v"""
 
+  /** Data-completeness audit (scripts/sql/data_completeness_audit.sql:7-50
+    * Q1-Q3 shape): per-table record counts, duplicate-PK counts, null-FK
+    * counts, and FK coverage pct vs the referenced table. Coverage ratios
+    * stay un-rounded doubles — IEEE division is bit-identical cross-engine,
+    * while round() can split on exact decimal halves. */
+  val CompletenessSql: String = """
+    SELECT tbl, records, distinct_pk, dup_pk, null_fk, fk_coverage_pct FROM (
+      SELECT 'customer' AS tbl, count(*) AS records,
+             count(DISTINCT c_custkey) AS distinct_pk,
+             count(*) - count(DISTINCT c_custkey) AS dup_pk,
+             count(*) - count(c_nationkey) AS null_fk,
+             CAST(count(DISTINCT c_nationkey) AS DOUBLE) / (SELECT count(*) FROM nation) * 100 AS fk_coverage_pct
+      FROM customer
+      UNION ALL
+      SELECT 'lineitem', count(*),
+             count(DISTINCT CAST(l_orderkey AS STRING) || '#' || CAST(l_linenumber AS STRING)),
+             count(*) - count(DISTINCT CAST(l_orderkey AS STRING) || '#' || CAST(l_linenumber AS STRING)),
+             count(*) - count(l_partkey),
+             CAST(count(DISTINCT l_orderkey) AS DOUBLE) / (SELECT count(*) FROM orders) * 100
+      FROM lineitem
+      UNION ALL
+      SELECT 'orders', count(*), count(DISTINCT o_orderkey),
+             count(*) - count(DISTINCT o_orderkey),
+             count(*) - count(o_custkey),
+             CAST(count(DISTINCT o_custkey) AS DOUBLE) / (SELECT count(*) FROM customer) * 100
+      FROM orders
+      UNION ALL
+      SELECT 'part', count(*), count(DISTINCT p_partkey),
+             count(*) - count(DISTINCT p_partkey),
+             count(*) - count(p_brand),
+             CAST(count(DISTINCT p_partkey) AS DOUBLE) / count(*) * 100
+      FROM part
+      UNION ALL
+      SELECT 'supplier', count(*), count(DISTINCT s_suppkey),
+             count(*) - count(DISTINCT s_suppkey),
+             count(*) - count(s_nationkey),
+             CAST(count(DISTINCT s_nationkey) AS DOUBLE) / (SELECT count(*) FROM nation) * 100
+      FROM supplier) v"""
+
   def defs: Seq[Q] = Seq(
 
     // ----- A1/A2: conditional hash aggregation (sum(when), count, max) --
@@ -627,6 +666,19 @@ object Relational {
         s.sql(Relational.ValidationSql)
       },
       Some(Relational.ValidationSql)),
+
+    Q(
+      "sql02_completeness_audit",
+      "Data-completeness audit (A14/A15 + S12: " +
+        "data_completeness_audit.sql:7-50, audit_lakehouse.py:187-245): " +
+        "per-table record counts, duplicate-PK counts, null-FK counts, " +
+        "and FK coverage pct — the EXACT same ANSI SQL text on spark.sql " +
+        "and the DuckDB oracle.",
+      (s, d) => {
+        graft.sources.LakeIO.registerTables(s, d)
+        s.sql(Relational.CompletenessSql)
+      },
+      Some(Relational.CompletenessSql)),
 
     // ----- W5/F9: exponential decay weighting ----------------------------------------------
     Q(

@@ -396,6 +396,33 @@ object Windows {
                  + CAST(floor(date_diff('second', TIMESTAMP '2024-01-01', ts) / 21600.0) AS BIGINT)
                    * INTERVAL 6 HOUR, '%Y-%m-%d %H:%M') AS bucket,
                event_type, count(*) AS n, round(sum(value), 2) AS total
-        FROM events GROUP BY 1, 2"""))
+        FROM events GROUP BY 1, 2""")),
+
+    Q(
+      "st02_stream_dedup_agg",
+      "At-least-once repair + windowed agg (§2.10 late-data dedup: " +
+        "deduplicate_silver.py semantics, streamed): 10% of events are " +
+        "redelivered, EventStream.dedupBatch drops them by event_id, then " +
+        "the same tumbling-window agg as st01. The streaming twin " +
+        "(dropDuplicatesWithinWatermark, watermark-bounded state) is " +
+        "parity-tested in EventStreamSpec.",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val redelivered = e.filter(col("event_id") % 10 === 0)
+        val deduped = graft.streaming.EventStream.dedupBatch(
+          e.unionAll(redelivered), Seq("event_id"))
+        graft.streaming.EventStream.windowAgg(deduped)
+      },
+      Some("""
+        WITH deduped AS (
+          SELECT DISTINCT * FROM (
+            SELECT * FROM events
+            UNION ALL
+            SELECT * FROM events WHERE event_id % 10 = 0))
+        SELECT strftime(TIMESTAMP '2024-01-01'
+                 + CAST(floor(date_diff('second', TIMESTAMP '2024-01-01', ts) / 21600.0) AS BIGINT)
+                   * INTERVAL 6 HOUR, '%Y-%m-%d %H:%M') AS bucket,
+               event_type, count(*) AS n, round(sum(value), 2) AS total
+        FROM deduped GROUP BY 1, 2"""))
   )
 }

@@ -31,6 +31,22 @@ object EventStream {
   def windowAggStreaming(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     windowAgg(events.withWatermark("ts", watermark))
 
+  /** Exactly-once repair for at-least-once delivery: drop redelivered
+    * events by key. Batch form — plain dropDuplicates (redelivered rows
+    * are bit-identical, so keep-any is deterministic); the reference
+    * does the same offline (deduplicate_silver.py). */
+  def dedupBatch(events: DataFrame, keys: Seq[String]): DataFrame =
+    events.dropDuplicates(keys)
+
+  /** Streaming form: state is bounded by the watermark — a key is only
+    * remembered until the watermark passes it, which is the correct
+    * at-scale shape (unbounded dropDuplicates state would OOM a
+    * 100 TB stream). */
+  def dedupStream(events: DataFrame, keys: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   final case class Ev(user_id: Long, event_id: Long, ms: Long, value: Double)
   final case class SessionState(
       sessionId: Long,

@@ -78,6 +78,35 @@ class EventStreamSpec extends SparkSpec {
     assert(after(("2024-01-01 06:00", "view")) == ((1L, 8.0)))
   }
 
+  test("dedupStream drops redelivered events; state bounded by watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val rows = Seq(
+      (1L, "2024-01-01 01:00:00", "click", 1.0),
+      (2L, "2024-01-01 01:05:00", "view", 2.0),
+      (1L, "2024-01-01 01:00:00", "click", 1.0), // redelivery of event 1
+      (3L, "2024-01-01 02:00:00", "click", 3.0),
+      (2L, "2024-01-01 01:05:00", "view", 2.0)) // redelivery of event 2
+    def toDf(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("_1").as("event_id"), to_timestamp(col("_2")).as("ts"),
+        col("_3").as("event_type"), col("_4").as("value"))
+
+    val batch = EventStream.dedupBatch(toDf(rows.toDF()), Seq("event_id"))
+      .collect().toSet
+
+    val mem = MemoryStream[(Long, String, String, Double)]
+    mem.addData(rows: _*)
+    val q = EventStream.dedupStream(toDf(mem.toDF()), Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val streamed = s.table("dedup").collect().toSet
+    q.stop()
+    assert(streamed == batch)
+    assert(streamed.size == 3)
+  }
+
   test("sessionizeStream emits sessions closed by a gap within the stream") {
     val s = spark
     import s.implicits._
