@@ -70,6 +70,33 @@ object Windows {
                 ORDER BY ts DESC, event_id DESC) AS rn FROM events)
         WHERE rn = 1""")),
 
+    // ----- W1 again, as the 100-TB plan: hash agg, no per-key sort ---------
+    Q(
+      "w01b_latest_max_by",
+      "Latest-row-per-key as an aggregation (same semantics as w01): " +
+        "max_by over a (ts, event_id) struct plans as a PARTIAL " +
+        "SortAggregate — map-side combine shrinks the shuffle to one row " +
+        "per key per task, vs the window form shuffling every event. " +
+        "That shuffle reduction is the 100-TB win; the struct ordering " +
+        "key keeps the tiebreak deterministic. Oracle: DuckDB arg_max " +
+        "over a fixed-width (epoch_us, id) string encoding of the same " +
+        "total order.",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val ord = struct(col("ts"), col("event_id"))
+        e.groupBy(col("user_id"))
+          .agg(
+            max_by(col("event_id"), ord).as("last_event_id"),
+            max_by(col("event_type"), ord).as("last_event_type"))
+      },
+      Some("""
+        SELECT user_id,
+               arg_max(event_id, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                 || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS last_event_id,
+               arg_max(event_type, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                 || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS last_event_type
+        FROM events GROUP BY user_id""")),
+
     // ----- W3: running cumulative totals -----------------------------------
     Q(
       "w03_running_total",
