@@ -34,7 +34,8 @@ object GoldRunner {
     "team_power_rankings" -> ((s, root, season) =>
       TeamPowerRankings.build(
         rd(s, root, "fct_ratings_adjusted"), rd(s, root, "fct_ratings_srs"),
-        rd(s, root, "fct_rankings"), rd(s, root, "fct_pbp_team_daily_rollup_adj"),
+        rd(s, root, "fct_rankings"), rd(s, root, "fct_pbp_team_daily_rollup"),
+        rd(s, root, "fct_pbp_team_daily_rollup_adj"),
         rd(s, root, "dim_teams"), season)),
     "game_predictions_features" -> ((s, root, season) =>
       GamePredictionsFeatures.build(

@@ -5,8 +5,9 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Gold: team_power_rankings — adjusted-ratings spine + SRS + latest
-  * polls + PBP rollup, with a composite percentile rank (semantics per
-  * /root/reference/gold/team_power_rankings.py:34-296).
+  * polls + PBP season rollup + PBP adjusted efficiencies, with a
+  * composite percentile rank (semantics and the full output column set
+  * per /root/reference/gold/team_power_rankings.py:34-296).
   *
   * Spark shape: chained broadcast left joins on the spine (SURVEY J1);
   * latest-poll-per-type = row_number over (pollType, teamId) ordered by
@@ -17,6 +18,12 @@ import org.apache.spark.sql.functions._
   * distinct-value set.
   */
 object TeamPowerRankings {
+
+  /** Optional pass-through input column (the reference's pydict_get
+    * returns an all-None column when absent). */
+  private def colOrNull(df: DataFrame, name: String, tpe: String) =
+    if (df.columns.contains(name)) col(name).cast(tpe)
+    else lit(null).cast(tpe)
 
   /** Percentile over distinct values of `metric`, joined back as `out`. */
   private def withDistinctPercentile(df: DataFrame, metric: String, out: String): DataFrame = {
@@ -30,13 +37,21 @@ object TeamPowerRankings {
   }
 
   def build(adj: DataFrame, srs: DataFrame, polls: DataFrame,
-      pbpAdj: DataFrame, dimTeams: DataFrame, season: Int): DataFrame = {
+      pbpRollup: DataFrame, pbpAdj: DataFrame, dimTeams: DataFrame,
+      season: Int): DataFrame = {
     val spine = adj.select(col("teamid").as("teamId"), col("team"),
-      col("conference"), col("offenserating").as("adj_off"),
-      col("defenserating").as("adj_def"), col("netrating").as("adj_net"))
+      col("conference"),
+      col("offenserating").as("adj_off_rating"),
+      col("defenserating").as("adj_def_rating"),
+      col("netrating").as("adj_net_rating"),
+      // ranking_* are pass-throughs from the ratings feed (reference
+      // :44-46); absent column -> all-null
+      colOrNull(adj, "ranking_offense", "bigint").as("ranking_offense"),
+      colOrNull(adj, "ranking_defense", "bigint").as("ranking_defense"),
+      colOrNull(adj, "ranking_net", "bigint").as("ranking_net"))
 
     val srsSel = srs.filter(col("season") === season)
-      .select(col("teamId"), col("rating").as("srs"))
+      .select(col("teamId"), col("rating").as("srs_rating"))
 
     // latest poll snapshot per (pollType, teamId); AP + Coaches pivoted
     val pw = Window.partitionBy(col("pollType"), col("teamId"))
@@ -49,8 +64,21 @@ object TeamPowerRankings {
       min(when(lower(col("pollType")).isin("coaches poll", "coaches"),
         col("ranking"))).as("coaches_rank"))
 
+    // PBP season rollup -> raw efficiencies + pace (reference :140-180):
+    // off = pts/poss*100 when poss > 0; pace = (poss/gp)*(40/avg_mins),
+    // avg_mins defaulting to a 40-minute game when minutes are missing
+    val rollSel = pbpRollup.select(col("teamid").as("teamId"),
+      col("team_points_total").cast("double").as("__tp"),
+      col("opp_points_total").cast("double").as("__op"),
+      col("team_possessions").cast("double").as("__tposs"),
+      col("opp_possessions").cast("double").as("__oposs"),
+      col("games_played").cast("double").as("__gp"),
+      col("game_minutes_total").cast("double").as("__mins"))
+
     val pbpSel = pbpAdj.select(col("teamid").as("teamId"),
-      col("adj_net_eff").as("pbp_adj_net"))
+      colOrNull(pbpAdj, "adj_off_eff", "double").as("pbp_adj_off_eff"),
+      colOrNull(pbpAdj, "adj_def_eff", "double").as("pbp_adj_def_eff"),
+      col("adj_net_eff").as("pbp_adj_net_eff"))
 
     val dimFill = dimTeams.select(col("teamId"),
       col("school").as("__school"), col("conference").as("__conf"))
@@ -58,18 +86,32 @@ object TeamPowerRankings {
     val joined = spine
       .join(broadcast(srsSel), Seq("teamId"), "left")
       .join(broadcast(pollCols), Seq("teamId"), "left")
+      .join(broadcast(rollSel), Seq("teamId"), "left")
       .join(broadcast(pbpSel), Seq("teamId"), "left")
       .join(broadcast(dimFill), Seq("teamId"), "left")
       // fill-if-null from dim (reference J1 fill behavior)
       .withColumn("team", coalesce(col("team"), col("__school")))
       .withColumn("conference", coalesce(col("conference"), col("__conf")))
       .drop("__school", "__conf")
+      .withColumn("pbp_off_eff",
+        when(col("__tposs") > 0, col("__tp") / col("__tposs") * 100))
+      .withColumn("pbp_def_eff",
+        when(col("__oposs") > 0, col("__op") / col("__oposs") * 100))
+      .withColumn("pbp_net_eff",
+        when(col("pbp_off_eff").isNotNull && col("pbp_def_eff").isNotNull,
+          col("pbp_off_eff") - col("pbp_def_eff")))
+      .withColumn("__avg_mins",
+        when(col("__mins") > 0, col("__mins") / col("__gp")).otherwise(lit(40.0)))
+      .withColumn("pbp_pace",
+        when(col("__gp") > 0 && col("__tposs").isNotNull,
+          col("__tposs") / col("__gp") * (lit(40.0) / col("__avg_mins"))))
+      .withColumn("games_played", col("__gp").cast("int"))
 
     val ranked = withDistinctPercentile(
       withDistinctPercentile(
-        withDistinctPercentile(joined, "adj_net", "__p_adj"),
-        "pbp_adj_net", "__p_pbp"),
-      "srs", "__p_srs")
+        withDistinctPercentile(joined, "adj_net_rating", "__p_adj"),
+        "pbp_adj_net_eff", "__p_pbp"),
+      "srs_rating", "__p_srs")
 
     // composite = mean of AVAILABLE percentiles (null-aware)
     val avail = Seq("__p_adj", "__p_pbp", "__p_srs")
@@ -80,8 +122,11 @@ object TeamPowerRankings {
       .withColumn("season", lit(season))
       .select(
         col("teamId"), col("season"), col("team"), col("conference"),
-        col("adj_off"), col("adj_def"), col("adj_net"), col("srs"),
-        col("ap_rank"), col("coaches_rank"), col("pbp_adj_net"),
-        col("composite_rank"))
+        col("adj_off_rating"), col("adj_def_rating"), col("adj_net_rating"),
+        col("ranking_offense"), col("ranking_defense"), col("ranking_net"),
+        col("srs_rating"), col("ap_rank"), col("coaches_rank"),
+        col("pbp_off_eff"), col("pbp_def_eff"), col("pbp_net_eff"),
+        col("pbp_adj_off_eff"), col("pbp_adj_def_eff"), col("pbp_adj_net_eff"),
+        col("pbp_pace"), col("games_played"), col("composite_rank"))
   }
 }

@@ -96,11 +96,35 @@ object GoldGate {
           col("teamId"), (col("teamId") + 2).as("ranking")))
   }
 
-  /** PBP rollup ratings with some nulls (null-aware composite). */
+  /** PBP adjusted ratings with some nulls (null-aware composite). */
   def pbpAdj(s: SparkSession, d: String): DataFrame =
     dimTeams(s, d).select(col("teamId").as("teamid"),
       when(col("teamId") % 5 =!= 4,
+        lit(100.0) + (col("teamId") * 23 % 48).cast("double") * 0.25).as("adj_off_eff"),
+      when(col("teamId") % 5 =!= 4,
+        lit(100.0) + (col("teamId") * 29 % 48).cast("double") * 0.25).as("adj_def_eff"),
+      when(col("teamId") % 5 =!= 4,
         (col("teamId") * 17 % 60).cast("double") * 0.25 - 7.5).as("adj_net_eff"))
+
+  /** PBP season rollup sums: a missing team (every 13th), null points
+    * (every 11th), zero possessions (every 9th), zero games (every 8th)
+    * and null minutes (every 6th) exercise each guard in the
+    * efficiency/pace derivations. */
+  def pbpRollup(s: SparkSession, d: String): DataFrame =
+    dimTeams(s, d)
+      .filter(col("teamId") % 13 =!= 11)
+      .select(col("teamId").as("teamid"),
+        when(col("teamId") % 11 =!= 7,
+          (lit(1500L) + col("teamId") * 37 % 500).cast("double")).as("team_points_total"),
+        (lit(1400L) + col("teamId") * 41 % 500).cast("double").as("opp_points_total"),
+        when(col("teamId") % 9 =!= 4,
+          (lit(1300L) + col("teamId") * 13 % 300).cast("double"))
+          .otherwise(lit(0.0)).as("team_possessions"),
+        (lit(1250L) + col("teamId") * 19 % 300).cast("double").as("opp_possessions"),
+        when(col("teamId") % 8 =!= 5, lit(18L) + col("teamId") % 12)
+          .otherwise(lit(0L)).as("games_played"),
+        when(col("teamId") % 6 =!= 2,
+          (lit(720L) + col("teamId") * 7 % 90).cast("double")).as("game_minutes_total"))
 
   /** Recruiting players committed to case-varied school names. */
   def recruiting(s: SparkSession, d: String): DataFrame =
@@ -215,8 +239,25 @@ object GoldGate {
     fx_pbp AS (
       SELECT teamId AS teamid,
              CASE WHEN teamId % 5 <> 4
+                  THEN 100.0 + CAST(teamId * 23 % 48 AS DOUBLE) * 0.25 END AS adj_off_eff,
+             CASE WHEN teamId % 5 <> 4
+                  THEN 100.0 + CAST(teamId * 29 % 48 AS DOUBLE) * 0.25 END AS adj_def_eff,
+             CASE WHEN teamId % 5 <> 4
                   THEN CAST(teamId * 17 % 60 AS DOUBLE) * 0.25 - 7.5 END AS adj_net_eff
       FROM dim_t),
+    fx_rollup AS (
+      SELECT teamId AS teamid,
+             CASE WHEN teamId % 11 <> 7
+                  THEN CAST(1500 + teamId * 37 % 500 AS DOUBLE) END AS team_points_total,
+             CAST(1400 + teamId * 41 % 500 AS DOUBLE) AS opp_points_total,
+             CASE WHEN teamId % 9 <> 4
+                  THEN CAST(1300 + teamId * 13 % 300 AS DOUBLE)
+                  ELSE CAST(0 AS DOUBLE) END AS team_possessions,
+             CAST(1250 + teamId * 19 % 300 AS DOUBLE) AS opp_possessions,
+             CASE WHEN teamId % 8 <> 5 THEN 18 + teamId % 12 ELSE 0 END AS games_played,
+             CASE WHEN teamId % 6 <> 2
+                  THEN CAST(720 + teamId * 7 % 90 AS DOUBLE) END AS game_minutes_total
+      FROM dim_t WHERE teamId % 13 <> 11),
     fx_rec AS (
       SELECT c_custkey AS playerId, 2025 AS season,
              3 + c_custkey % 3 AS stars, (c_custkey % 300) + 1 AS ranking,
@@ -382,11 +423,13 @@ object GoldGate {
     Q(
       "g03_gold_power_rankings",
       "Gold team_power_rankings (reference gold/team_power_rankings.py:" +
-        "34-296): latest poll per (type, team), distinct-value " +
-        "percentiles — (rank-1)/(n-1)*100, single value → 50 — and the " +
-        "null-aware composite — real builder vs SQL-CTE oracle.",
+        "34-296, full output surface): latest poll per (type, team), " +
+        "PBP rollup efficiencies + pace with every zero/null guard, " +
+        "adjusted-eff pass-throughs, distinct-value percentiles — " +
+        "(rank-1)/(n-1)*100, single value → 50 — and the null-aware " +
+        "composite — real builder vs SQL-CTE oracle.",
       (s, d) => TeamPowerRankings.build(adj(s, d), srs(s, d), polls(s, d),
-        pbpAdj(s, d), dimTeams(s, d), Season),
+        pbpRollup(s, d), pbpAdj(s, d), dimTeams(s, d), Season),
       Some(s"""
         WITH $FixtureSql,
         latest AS (
@@ -401,37 +444,66 @@ object GoldGate {
                  min(CASE WHEN lower(pollType) IN ('coaches poll', 'coaches')
                           THEN ranking END) AS coaches_rank
           FROM latest GROUP BY 1),
-        joined AS (
+        joined0 AS (
           SELECT a.teamid AS teamId,
                  coalesce(a.team, d.school) AS team,
                  coalesce(a.conference, d.conference) AS conference,
-                 a.offenserating AS adj_off, a.defenserating AS adj_def,
-                 a.netrating AS adj_net, s.srs, pc.ap_rank, pc.coaches_rank,
-                 pb.adj_net_eff AS pbp_adj_net
+                 a.offenserating AS adj_off_rating,
+                 a.defenserating AS adj_def_rating,
+                 a.netrating AS adj_net_rating,
+                 CAST(NULL AS BIGINT) AS ranking_offense,
+                 CAST(NULL AS BIGINT) AS ranking_defense,
+                 CAST(NULL AS BIGINT) AS ranking_net,
+                 s.srs_rating, pc.ap_rank, pc.coaches_rank,
+                 CASE WHEN r.team_possessions > 0
+                      THEN r.team_points_total / r.team_possessions * 100 END AS pbp_off_eff,
+                 CASE WHEN r.opp_possessions > 0
+                      THEN r.opp_points_total / r.opp_possessions * 100 END AS pbp_def_eff,
+                 pb.adj_off_eff AS pbp_adj_off_eff,
+                 pb.adj_def_eff AS pbp_adj_def_eff,
+                 pb.adj_net_eff AS pbp_adj_net_eff,
+                 CASE WHEN r.games_played > 0 AND r.team_possessions IS NOT NULL
+                      THEN r.team_possessions / r.games_played
+                           * (CAST(40.0 AS DOUBLE) /
+                              CASE WHEN r.game_minutes_total > 0
+                                   THEN r.game_minutes_total / r.games_played
+                                   ELSE CAST(40.0 AS DOUBLE) END)
+                 END AS pbp_pace,
+                 CAST(r.games_played AS INT) AS games_played
           FROM fx_adj a
-          LEFT JOIN (SELECT teamId, rating AS srs FROM fx_srs WHERE season = 2025) s
+          LEFT JOIN (SELECT teamId, rating AS srs_rating FROM fx_srs WHERE season = 2025) s
             ON a.teamid = s.teamId
           LEFT JOIN pollcols pc ON a.teamid = pc.teamId
+          LEFT JOIN fx_rollup r ON a.teamid = r.teamid
           LEFT JOIN fx_pbp pb ON a.teamid = pb.teamid
           LEFT JOIN dim_t d ON a.teamid = d.teamId),
+        joined AS (
+          SELECT j0.*,
+                 CASE WHEN pbp_off_eff IS NOT NULL AND pbp_def_eff IS NOT NULL
+                      THEN pbp_off_eff - pbp_def_eff END AS pbp_net_eff
+          FROM joined0 j0),
         p1 AS (SELECT v, CASE WHEN count(*) OVER () > 1
                               THEN CAST((row_number() OVER (ORDER BY v ASC) - 1) * 100 AS DOUBLE)
                                    / (count(*) OVER () - 1)
                               ELSE 50.0 END AS p
-               FROM (SELECT DISTINCT adj_net AS v FROM joined WHERE adj_net IS NOT NULL)),
+               FROM (SELECT DISTINCT adj_net_rating AS v FROM joined WHERE adj_net_rating IS NOT NULL)),
         p2 AS (SELECT v, CASE WHEN count(*) OVER () > 1
                               THEN CAST((row_number() OVER (ORDER BY v ASC) - 1) * 100 AS DOUBLE)
                                    / (count(*) OVER () - 1)
                               ELSE 50.0 END AS p
-               FROM (SELECT DISTINCT pbp_adj_net AS v FROM joined WHERE pbp_adj_net IS NOT NULL)),
+               FROM (SELECT DISTINCT pbp_adj_net_eff AS v FROM joined WHERE pbp_adj_net_eff IS NOT NULL)),
         p3 AS (SELECT v, CASE WHEN count(*) OVER () > 1
                               THEN CAST((row_number() OVER (ORDER BY v ASC) - 1) * 100 AS DOUBLE)
                                    / (count(*) OVER () - 1)
                               ELSE 50.0 END AS p
-               FROM (SELECT DISTINCT srs AS v FROM joined WHERE srs IS NOT NULL))
+               FROM (SELECT DISTINCT srs_rating AS v FROM joined WHERE srs_rating IS NOT NULL))
         SELECT j.teamId, 2025 AS season, j.team, j.conference,
-               j.adj_off, j.adj_def, j.adj_net, j.srs, j.ap_rank, j.coaches_rank,
-               j.pbp_adj_net,
+               j.adj_off_rating, j.adj_def_rating, j.adj_net_rating,
+               j.ranking_offense, j.ranking_defense, j.ranking_net,
+               j.srs_rating, j.ap_rank, j.coaches_rank,
+               j.pbp_off_eff, j.pbp_def_eff, j.pbp_net_eff,
+               j.pbp_adj_off_eff, j.pbp_adj_def_eff, j.pbp_adj_net_eff,
+               j.pbp_pace, j.games_played,
                CASE WHEN (CASE WHEN p1.p IS NOT NULL THEN 1 ELSE 0 END
                           + CASE WHEN p2.p IS NOT NULL THEN 1 ELSE 0 END
                           + CASE WHEN p3.p IS NOT NULL THEN 1 ELSE 0 END) > 0
@@ -441,9 +513,9 @@ object GoldGate {
                             + CASE WHEN p3.p IS NOT NULL THEN 1 ELSE 0 END)
                END AS composite_rank
         FROM joined j
-        LEFT JOIN p1 ON j.adj_net = p1.v
-        LEFT JOIN p2 ON j.pbp_adj_net = p2.v
-        LEFT JOIN p3 ON j.srs = p3.v""")),
+        LEFT JOIN p1 ON j.adj_net_rating = p1.v
+        LEFT JOIN p2 ON j.pbp_adj_net_eff = p2.v
+        LEFT JOIN p3 ON j.srs_rating = p3.v""")),
 
     Q(
       "g04_gold_predictions",

@@ -163,14 +163,44 @@ class GoldSpec extends SparkSpec {
       ("Coaches Poll", "2025-01-13", 101L, 3L))
       .toDF("pollType", "pollDate", "teamId", "ranking")
     val pbpAdj = Seq((101L, 24.0), (102L, 10.0), (103L, 18.0))
-      .toDF("teamid", "adj_net_eff")
+      .toDF("teamid", "adj_net_eff") // no off/def cols -> null pass-throughs
+    val pbpRollup = Seq(
+      // teamid, team_pts, opp_pts, team_poss, opp_poss, games, minutes
+      (101L, 1600.0, 1400.0, 1380.0, 1370.0, 20L, Some(810.0)),
+      (102L, 1500.0, 1550.0, 1400.0, 1390.0, 20L, Option.empty[Double]), // minutes missing -> 40-min default
+      (103L, 1550.0, 1500.0, 0.0, 1380.0, 0L, Some(800.0))) // zero poss + zero games
+      .toDF("teamid", "team_points_total", "opp_points_total",
+        "team_possessions", "opp_possessions", "games_played",
+        "game_minutes_total")
 
-    val out = TeamPowerRankings.build(adj, srs, polls, pbpAdj, dimTeams, 2025)
+    val out = TeamPowerRankings.build(adj, srs, polls, pbpRollup, pbpAdj,
+      dimTeams, 2025)
     val rows = out.collect().map(r => r.getAs[Long]("teamId") -> r).toMap
 
     assert(rows(101L).getAs[Long]("ap_rank") == 2L) // latest date, not 4
     assert(rows(101L).getAs[Long]("coaches_rank") == 3L)
     assert(rows(102L).isNullAt(rows(102L).fieldIndex("ap_rank")))
+
+    // PBP rollup derivations (reference team_power_rankings.py:140-180)
+    val duke = rows(101L)
+    assert(math.abs(duke.getAs[Double]("pbp_off_eff") - 1600.0 / 1380.0 * 100) < 1e-9)
+    assert(math.abs(duke.getAs[Double]("pbp_def_eff") - 1400.0 / 1370.0 * 100) < 1e-9)
+    assert(math.abs(duke.getAs[Double]("pbp_net_eff") -
+      (1600.0 / 1380.0 * 100 - 1400.0 / 1370.0 * 100)) < 1e-9)
+    // pace = avg_poss * 40/avg_mins = (1380/20) * 40/(810/20)
+    assert(math.abs(duke.getAs[Double]("pbp_pace") - 69.0 * (40.0 / 40.5)) < 1e-9)
+    assert(duke.getAs[Int]("games_played") == 20)
+    // missing minutes -> 40-minute default -> pace = avg_poss
+    assert(math.abs(rows(102L).getAs[Double]("pbp_pace") - 70.0) < 1e-9)
+    // zero possessions -> null off/net; zero games -> null pace
+    val uk = rows(103L)
+    assert(uk.isNullAt(uk.fieldIndex("pbp_off_eff")))
+    assert(uk.isNullAt(uk.fieldIndex("pbp_net_eff")))
+    assert(uk.isNullAt(uk.fieldIndex("pbp_pace")))
+    assert(uk.getAs[Double]("pbp_def_eff") > 0)
+    // absent adj off/def inputs and ranking_* -> null pass-throughs
+    assert(duke.isNullAt(duke.fieldIndex("pbp_adj_off_eff")))
+    assert(duke.isNullAt(duke.fieldIndex("ranking_offense")))
 
     // composite: Duke tops every metric -> 100; UNC bottom -> 0
     assert(math.abs(rows(101L).getAs[Double]("composite_rank") - 100.0) < 1e-9)
