@@ -30,6 +30,7 @@ object GoldRunner {
       TeamSeasonSummary.build(
         rd(s, root, "fct_games"), rd(s, root, "dim_teams"),
         rd(s, root, "fct_ratings_adjusted"), rd(s, root, "fct_ratings_srs"),
+        rd(s, root, "fct_pbp_team_daily_rollup"),
         rd(s, root, "fct_recruiting_players"), season)),
     "team_power_rankings" -> ((s, root, season) =>
       TeamPowerRankings.build(

@@ -19,11 +19,7 @@ import org.apache.spark.sql.functions._
   */
 object TeamPowerRankings {
 
-  /** Optional pass-through input column (the reference's pydict_get
-    * returns an all-None column when absent). */
-  private def colOrNull(df: DataFrame, name: String, tpe: String) =
-    if (df.columns.contains(name)) col(name).cast(tpe)
-    else lit(null).cast(tpe)
+  import IoHelpers.colOrNull
 
   /** Percentile over distinct values of `metric`, joined back as `out`. */
   private def withDistinctPercentile(df: DataFrame, metric: String, out: String): DataFrame = {

@@ -4,8 +4,9 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Gold: team_season_summary — one row per D1 team per season: W/L +
-  * conference record, adjusted ratings, SRS, recruiting class quality
-  * (semantics per /root/reference/gold/team_season_summary.py:20-360).
+  * conference record, Four Factors + pace from the PBP rollup, adjusted
+  * ratings, SRS, recruiting class quality (semantics and the full output
+  * column set per /root/reference/gold/team_season_summary.py:20-360).
   *
   * Spark shape: the W/L record is the two-sided unpivot (SURVEY J9):
   * each game contributes one row from the home perspective and one from
@@ -15,8 +16,11 @@ import org.apache.spark.sql.functions._
   */
 object TeamSeasonSummary {
 
+  import IoHelpers.colOrNull
+
   def build(games: DataFrame, dimTeams: DataFrame, adj: DataFrame,
-      srs: DataFrame, recruiting: DataFrame, season: Int): DataFrame = {
+      srs: DataFrame, pbpRollup: DataFrame, recruiting: DataFrame,
+      season: Int): DataFrame = {
     val dim = dimTeams.select(col("teamId"), col("school"), col("conference"))
     val confOf = dim.select(col("teamId"), col("conference"))
 
@@ -50,12 +54,28 @@ object TeamSeasonSummary {
     // D1 spine: every team with adjusted ratings keeps a row even with
     // no games (reference :63-79); teams without ratings are dropped
     val adjSel = adj.select(col("teamid").as("teamId"),
-      col("offenserating").as("adj_off"), col("defenserating").as("adj_def"),
-      col("netrating").as("adj_net"))
+      col("offenserating").as("adj_off_rating"),
+      col("defenserating").as("adj_def_rating"),
+      col("netrating").as("adj_net_rating"))
     val spine = adjSel.select(col("teamId")).distinct()
 
     val srsSel = srs.filter(col("season") === season)
-      .select(col("teamId"), col("rating").as("srs"))
+      .select(col("teamId"), col("rating").as("srs_rating"))
+
+    // Four Factors + pace: pass-throughs from the PBP season rollup
+    // (reference :126-175); margin derived when both ppg sides present
+    val rollSel = pbpRollup.select(col("teamid").as("teamId"),
+      colOrNull(pbpRollup, "team_points_per_game", "double").as("ppg"),
+      colOrNull(pbpRollup, "opp_points_per_game", "double").as("opp_ppg"),
+      colOrNull(pbpRollup, "team_efg_pct", "double").as("efg_pct"),
+      colOrNull(pbpRollup, "opp_efg_pct", "double").as("opp_efg_pct"),
+      colOrNull(pbpRollup, "team_tov_ratio", "double").as("tov_ratio"),
+      colOrNull(pbpRollup, "opp_tov_ratio", "double").as("opp_tov_ratio"),
+      colOrNull(pbpRollup, "team_oreb_pct", "double").as("oreb_pct"),
+      colOrNull(pbpRollup, "opp_oreb_pct", "double").as("opp_oreb_pct"),
+      colOrNull(pbpRollup, "team_ft_rate", "double").as("ft_rate"),
+      colOrNull(pbpRollup, "opp_ft_rate", "double").as("opp_ft_rate"),
+      colOrNull(pbpRollup, "pace", "double").as("pace"))
 
     // recruiting: join on lower(committedTo) == lower(school)
     val recAgg = recruiting
@@ -63,29 +83,39 @@ object TeamSeasonSummary {
         col("teamId"))), lower(col("committedTo")) === col("__school"))
       .groupBy(col("teamId"))
       .agg(
-        avg(col("rating")).as("recruit_avg_rating"),
-        count(col("rating")).as("recruit_class_size"),
-        max(col("stars")).as("recruit_top_stars"))
+        avg(col("rating")).as("recruiting_avg_rating"),
+        count(col("rating")).as("recruiting_class_size"),
+        max(col("stars")).as("recruiting_top_star"))
 
+    val w = coalesce(col("wins"), lit(0L))
+    val l = coalesce(col("losses"), lit(0L))
+    val cw = coalesce(col("conf_wins"), lit(0L))
+    val cl = coalesce(col("conf_losses"), lit(0L))
     spine
       .join(record, Seq("teamId"), "left")
       .join(broadcast(adjSel), Seq("teamId"), "left")
       .join(broadcast(srsSel), Seq("teamId"), "left")
+      .join(broadcast(rollSel), Seq("teamId"), "left")
       .join(broadcast(recAgg), Seq("teamId"), "left")
       .join(broadcast(dim), Seq("teamId"), "left")
       .withColumn("season", lit(season))
       .select(
-        col("teamId"), col("season"), col("school"), col("conference"),
-        coalesce(col("wins"), lit(0L)).as("wins"),
-        coalesce(col("losses"), lit(0L)).as("losses"),
-        coalesce(col("conf_wins"), lit(0L)).as("conf_wins"),
-        coalesce(col("conf_losses"), lit(0L)).as("conf_losses"),
-        when(coalesce(col("wins"), lit(0L)) + coalesce(col("losses"), lit(0L)) > 0,
-          coalesce(col("wins"), lit(0L)) /
-            (coalesce(col("wins"), lit(0L)) + coalesce(col("losses"), lit(0L))).cast("double"))
-          .as("win_pct"),
-        col("adj_off"), col("adj_def"), col("adj_net"), col("srs"),
-        col("recruit_avg_rating"), col("recruit_class_size"),
-        col("recruit_top_stars"))
+        col("teamId"), col("season"), col("school").as("team"),
+        col("conference"),
+        w.as("wins"), l.as("losses"),
+        when(w + l > 0, w / (w + l).cast("double")).as("win_pct"),
+        cw.as("conf_wins"), cl.as("conf_losses"),
+        when(cw + cl > 0, cw / (cw + cl).cast("double")).as("conf_win_pct"),
+        col("ppg"), col("opp_ppg"),
+        when(col("ppg").isNotNull && col("opp_ppg").isNotNull,
+          col("ppg") - col("opp_ppg")).as("margin"),
+        col("adj_off_rating"), col("adj_def_rating"), col("adj_net_rating"),
+        col("srs_rating"),
+        col("efg_pct"), col("opp_efg_pct"),
+        col("tov_ratio"), col("opp_tov_ratio"),
+        col("oreb_pct"), col("opp_oreb_pct"),
+        col("ft_rate"), col("opp_ft_rate"), col("pace"),
+        col("recruiting_avg_rating"), col("recruiting_top_star"),
+        col("recruiting_class_size"))
   }
 }

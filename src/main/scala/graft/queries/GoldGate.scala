@@ -124,7 +124,20 @@ object GoldGate {
         when(col("teamId") % 8 =!= 5, lit(18L) + col("teamId") % 12)
           .otherwise(lit(0L)).as("games_played"),
         when(col("teamId") % 6 =!= 2,
-          (lit(720L) + col("teamId") * 7 % 90).cast("double")).as("game_minutes_total"))
+          (lit(720L) + col("teamId") * 7 % 90).cast("double")).as("game_minutes_total"),
+        // ratio pass-throughs read by team_season_summary (dyadic)
+        (lit(60.0) + (col("teamId") * 3 % 80).cast("double") * 0.25).as("team_points_per_game"),
+        (lit(58.0) + (col("teamId") * 5 % 80).cast("double") * 0.25).as("opp_points_per_game"),
+        when(col("teamId") % 7 =!= 2,
+          lit(0.375) + (col("teamId") % 8).cast("double") / 32.0).as("team_efg_pct"),
+        (lit(0.4375) + (col("teamId") % 8).cast("double") / 64.0).as("opp_efg_pct"),
+        (lit(0.125) + (col("teamId") % 4).cast("double") / 32.0).as("team_tov_ratio"),
+        (lit(0.15625) + (col("teamId") % 4).cast("double") / 32.0).as("opp_tov_ratio"),
+        (lit(0.25) + (col("teamId") % 8).cast("double") / 32.0).as("team_oreb_pct"),
+        (lit(0.28125) + (col("teamId") % 8).cast("double") / 64.0).as("opp_oreb_pct"),
+        (lit(0.3125) + (col("teamId") % 6).cast("double") / 32.0).as("team_ft_rate"),
+        (lit(0.34375) + (col("teamId") % 6).cast("double") / 64.0).as("opp_ft_rate"),
+        (lit(65.0) + (col("teamId") % 20).cast("double") * 0.25).as("pace"))
 
   /** Recruiting players committed to case-varied school names. */
   def recruiting(s: SparkSession, d: String): DataFrame =
@@ -256,7 +269,19 @@ object GoldGate {
              CAST(1250 + teamId * 19 % 300 AS DOUBLE) AS opp_possessions,
              CASE WHEN teamId % 8 <> 5 THEN 18 + teamId % 12 ELSE 0 END AS games_played,
              CASE WHEN teamId % 6 <> 2
-                  THEN CAST(720 + teamId * 7 % 90 AS DOUBLE) END AS game_minutes_total
+                  THEN CAST(720 + teamId * 7 % 90 AS DOUBLE) END AS game_minutes_total,
+             60.0 + CAST(teamId * 3 % 80 AS DOUBLE) * 0.25 AS team_points_per_game,
+             58.0 + CAST(teamId * 5 % 80 AS DOUBLE) * 0.25 AS opp_points_per_game,
+             CASE WHEN teamId % 7 <> 2
+                  THEN 0.375 + CAST(teamId % 8 AS DOUBLE) / 32.0 END AS team_efg_pct,
+             0.4375 + CAST(teamId % 8 AS DOUBLE) / 64.0 AS opp_efg_pct,
+             0.125 + CAST(teamId % 4 AS DOUBLE) / 32.0 AS team_tov_ratio,
+             0.15625 + CAST(teamId % 4 AS DOUBLE) / 32.0 AS opp_tov_ratio,
+             0.25 + CAST(teamId % 8 AS DOUBLE) / 32.0 AS team_oreb_pct,
+             0.28125 + CAST(teamId % 8 AS DOUBLE) / 64.0 AS opp_oreb_pct,
+             0.3125 + CAST(teamId % 6 AS DOUBLE) / 32.0 AS team_ft_rate,
+             0.34375 + CAST(teamId % 6 AS DOUBLE) / 64.0 AS opp_ft_rate,
+             65.0 + CAST(teamId % 20 AS DOUBLE) * 0.25 AS pace
       FROM dim_t WHERE teamId % 13 <> 11),
     fx_rec AS (
       SELECT c_custkey AS playerId, 2025 AS season,
@@ -363,11 +388,12 @@ object GoldGate {
     Q(
       "g02_gold_season_summary",
       "Gold team_season_summary (reference gold/team_season_summary.py:" +
-        "20-360): W/L + conference record via two-sided unpivot, D1 " +
+        "20-360, full output surface): W/L + conference record via " +
+        "two-sided unpivot, Four Factors + pace pass-throughs, D1 " +
         "spine from adjusted ratings, SRS season filter, case-" +
         "insensitive recruiting join — real builder vs SQL-CTE oracle.",
       (s, d) => TeamSeasonSummary.build(games(s, d), dimTeams(s, d), adj(s, d),
-        srs(s, d), recruiting(s, d), Season),
+        srs(s, d), pbpRollup(s, d), recruiting(s, d), Season),
       Some(s"""
         WITH $FixtureSql,
         gg AS (
@@ -393,30 +419,50 @@ object GoldGate {
                  CAST(sum(CASE WHEN won AND is_conf THEN 1 ELSE 0 END) AS BIGINT) AS conf_wins,
                  CAST(sum(CASE WHEN lost AND is_conf THEN 1 ELSE 0 END) AS BIGINT) AS conf_losses
           FROM sides GROUP BY 1),
-        adjsel AS (SELECT teamid AS teamId, offenserating AS adj_off,
-                          defenserating AS adj_def, netrating AS adj_net FROM fx_adj),
+        adjsel AS (SELECT teamid AS teamId, offenserating AS adj_off_rating,
+                          defenserating AS adj_def_rating,
+                          netrating AS adj_net_rating FROM fx_adj),
         spine AS (SELECT DISTINCT teamId FROM adjsel),
-        srssel AS (SELECT teamId, rating AS srs FROM fx_srs WHERE season = 2025),
+        srssel AS (SELECT teamId, rating AS srs_rating FROM fx_srs WHERE season = 2025),
+        rollsel AS (
+          SELECT teamid AS teamId,
+                 team_points_per_game AS ppg, opp_points_per_game AS opp_ppg,
+                 team_efg_pct AS efg_pct, opp_efg_pct,
+                 team_tov_ratio AS tov_ratio, opp_tov_ratio,
+                 team_oreb_pct AS oreb_pct, opp_oreb_pct,
+                 team_ft_rate AS ft_rate, opp_ft_rate, pace
+          FROM fx_rollup),
         recagg AS (
-          SELECT d.teamId, avg(r.rating) AS recruit_avg_rating,
-                 count(r.rating) AS recruit_class_size,
-                 max(r.stars) AS recruit_top_stars
+          SELECT d.teamId, avg(r.rating) AS recruiting_avg_rating,
+                 count(r.rating) AS recruiting_class_size,
+                 max(r.stars) AS recruiting_top_star
           FROM fx_rec r JOIN dim_t d ON lower(r.committedTo) = lower(d.school)
           GROUP BY 1)
-        SELECT s.teamId, 2025 AS season, d.school, d.conference,
+        SELECT s.teamId, 2025 AS season, d.school AS team, d.conference,
                coalesce(wins, 0) AS wins, coalesce(losses, 0) AS losses,
-               coalesce(conf_wins, 0) AS conf_wins,
-               coalesce(conf_losses, 0) AS conf_losses,
                CASE WHEN coalesce(wins, 0) + coalesce(losses, 0) > 0
                     THEN coalesce(wins, 0)
                          / CAST(coalesce(wins, 0) + coalesce(losses, 0) AS DOUBLE)
                END AS win_pct,
-               adj_off, adj_def, adj_net, srs,
-               recruit_avg_rating, recruit_class_size, recruit_top_stars
+               coalesce(conf_wins, 0) AS conf_wins,
+               coalesce(conf_losses, 0) AS conf_losses,
+               CASE WHEN coalesce(conf_wins, 0) + coalesce(conf_losses, 0) > 0
+                    THEN coalesce(conf_wins, 0)
+                         / CAST(coalesce(conf_wins, 0) + coalesce(conf_losses, 0) AS DOUBLE)
+               END AS conf_win_pct,
+               ppg, opp_ppg,
+               CASE WHEN ppg IS NOT NULL AND opp_ppg IS NOT NULL
+                    THEN ppg - opp_ppg END AS margin,
+               adj_off_rating, adj_def_rating, adj_net_rating, srs_rating,
+               efg_pct, opp_efg_pct, tov_ratio, opp_tov_ratio,
+               oreb_pct, opp_oreb_pct, ft_rate, opp_ft_rate, pace,
+               recruiting_avg_rating, recruiting_top_star,
+               recruiting_class_size
         FROM spine s
         LEFT JOIN record USING (teamId)
         LEFT JOIN adjsel USING (teamId)
         LEFT JOIN srssel USING (teamId)
+        LEFT JOIN rollsel USING (teamId)
         LEFT JOIN recagg USING (teamId)
         LEFT JOIN dim_t d USING (teamId)""")),
 

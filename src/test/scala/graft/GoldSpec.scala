@@ -111,8 +111,23 @@ class GoldSpec extends SparkSpec {
 
   // --- team_season_summary -------------------------------------------------
 
+  private lazy val seasonRollup = {
+    val s = spark
+    import s.implicits._
+    // teamid, ppg, opp_ppg, efg, opp_efg, tov, opp_tov, oreb, opp_oreb,
+    // ftr, opp_ftr, pace — team 103 absent (null pass-throughs)
+    Seq(
+      (101L, 78.5, 66.25, 0.5625, 0.46875, 0.15625, 0.1875, 0.34375, 0.28125, 0.3125, 0.25, 68.75),
+      (102L, 70.25, 74.5, 0.46875, 0.53125, 0.21875, 0.15625, 0.28125, 0.34375, 0.25, 0.3125, 71.5))
+      .toDF("teamid", "team_points_per_game", "opp_points_per_game",
+        "team_efg_pct", "opp_efg_pct", "team_tov_ratio", "opp_tov_ratio",
+        "team_oreb_pct", "opp_oreb_pct", "team_ft_rate", "opp_ft_rate",
+        "pace")
+  }
+
   test("season summary: W/L + conference record + D1 restriction + recruiting") {
-    val out = TeamSeasonSummary.build(games, dimTeams, adj, srs, recruiting, 2025)
+    val out = TeamSeasonSummary.build(games, dimTeams, adj, srs,
+      seasonRollup, recruiting, 2025)
     val rows = out.collect().map(r => r.getAs[Long]("teamId") -> r).toMap
     assert(rows.keySet == Set(101L, 102L, 103L)) // D1 only (spine = adj)
 
@@ -121,21 +136,32 @@ class GoldSpec extends SparkSpec {
     // only game 1 (Duke/UNC, both ACC) is a conference game
     assert(duke.getAs[Long]("conf_wins") == 1 && duke.getAs[Long]("conf_losses") == 0)
     assert(math.abs(duke.getAs[Double]("win_pct") - 1.0) < 1e-9)
-    assert(duke.getAs[Double]("srs") == 20.0) // 2025 row, not 2024's 15.0
+    assert(math.abs(duke.getAs[Double]("conf_win_pct") - 1.0) < 1e-9)
+    assert(duke.getAs[Double]("srs_rating") == 20.0) // 2025 row, not 2024's 15.0
+    // Four Factors pass-throughs + derived margin
+    assert(math.abs(duke.getAs[Double]("ppg") - 78.5) < 1e-9)
+    assert(math.abs(duke.getAs[Double]("margin") - (78.5 - 66.25)) < 1e-9)
+    assert(math.abs(duke.getAs[Double]("efg_pct") - 0.5625) < 1e-9)
+    assert(math.abs(duke.getAs[Double]("pace") - 68.75) < 1e-9)
     // recruiting: DUKE + duke match case-insensitively
-    assert(duke.getAs[Long]("recruit_class_size") == 2)
-    assert(duke.getAs[Long]("recruit_top_stars") == 5)
-    assert(math.abs(duke.getAs[Double]("recruit_avg_rating") - 0.955) < 1e-9)
+    assert(duke.getAs[Long]("recruiting_class_size") == 2)
+    assert(duke.getAs[Long]("recruiting_top_star") == 5)
+    assert(math.abs(duke.getAs[Double]("recruiting_avg_rating") - 0.955) < 1e-9)
 
     val unc = rows(102L)
     assert(unc.getAs[Long]("wins") == 0 && unc.getAs[Long]("losses") == 2)
     assert(unc.getAs[Long]("conf_losses") == 1) // game 2 vs SEC is non-conf
-    assert(unc.isNullAt(unc.fieldIndex("recruit_class_size")) ||
-      unc.getAs[Long]("recruit_class_size") == 0)
+    assert(unc.isNullAt(unc.fieldIndex("conf_win_pct")) ||
+      unc.getAs[Double]("conf_win_pct") == 0.0)
+    assert(unc.isNullAt(unc.fieldIndex("recruiting_class_size")) ||
+      unc.getAs[Long]("recruiting_class_size") == 0)
 
     val uk = rows(103L)
     assert(uk.getAs[Long]("wins") == 1 && uk.getAs[Long]("losses") == 1)
     assert(uk.getAs[Long]("conf_wins") == 0 && uk.getAs[Long]("conf_losses") == 0)
+    // absent from the rollup -> null pass-throughs and margin
+    assert(uk.isNullAt(uk.fieldIndex("ppg")))
+    assert(uk.isNullAt(uk.fieldIndex("margin")))
   }
 
   test("season summary: zero games -> win_pct null, zero counts (guard)") {
@@ -144,7 +170,8 @@ class GoldSpec extends SparkSpec {
     val noGames = Seq.empty[(Long, String, Long, Long, Long, Long, Boolean)]
       .toDF("gameId", "startDate", "homeTeamId", "awayTeamId",
         "homeScore", "awayScore", "neutralSite")
-    val out = TeamSeasonSummary.build(noGames, dimTeams, adj, srs, recruiting, 2025)
+    val out = TeamSeasonSummary.build(noGames, dimTeams, adj, srs,
+      seasonRollup, recruiting, 2025)
     val duke = out.filter(col("teamId") === 101L).head()
     assert(duke.getAs[Long]("wins") == 0)
     assert(duke.isNullAt(duke.fieldIndex("win_pct")))
@@ -316,6 +343,7 @@ class GoldSpec extends SparkSpec {
     write(dimTeams, "dim_teams"); write(games, "fct_games")
     write(lines, "fct_lines"); write(adj, "fct_ratings_adjusted")
     write(srs, "fct_ratings_srs"); write(recruiting, "fct_recruiting_players")
+    write(seasonRollup, "fct_pbp_team_daily_rollup")
 
     val res = GoldRunner.run(s, root, 2025, only = Some("market_lines_analysis"))
     assert(res("market_lines_analysis") == Right(4L))
