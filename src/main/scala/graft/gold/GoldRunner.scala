@@ -41,7 +41,8 @@ object GoldRunner {
     "game_predictions_features" -> ((s, root, season) =>
       GamePredictionsFeatures.build(
         rd(s, root, "fct_games"), rd(s, root, "fct_ratings_adjusted"),
-        rd(s, root, "fct_ratings_srs"), rd(s, root, "fct_lines"), season)),
+        rd(s, root, "fct_ratings_srs"), rd(s, root, "fct_pbp_team_daily_rollup"),
+        rd(s, root, "fct_lines"), rd(s, root, "dim_teams"), season)),
     "player_season_impact" -> ((s, root, season) =>
       PlayerSeasonImpact.build(
         rd(s, root, "fct_player_season_stats"),

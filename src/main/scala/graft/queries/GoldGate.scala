@@ -566,50 +566,69 @@ object GoldGate {
     Q(
       "g04_gold_predictions",
       "Gold game_predictions_features (reference gold/game_predictions_" +
-        "features.py:35-290): two rows per game via the home/away " +
-        "unpivot, same ratings lookup joined twice, first-provider " +
-        "lines, away side flips the spread — real builder vs SQL-CTE " +
-        "oracle.",
+        "features.py:35-290, full output surface): two rows per game via " +
+        "the home/away unpivot, name/rating/SRS/rollup lookups joined " +
+        "twice, first-provider lines, away side flips spread and " +
+        "moneylines — real builder vs SQL-CTE oracle.",
       (s, d) => GamePredictionsFeatures.build(games(s, d), adj(s, d), srs(s, d),
-        lines(s, d), Season),
+        pbpRollup(s, d), lines(s, d), dimTeams(s, d), Season),
       Some(s"""
         WITH $FixtureSql,
         g AS (SELECT * FROM fx_games
               WHERE homeTeamId IS NOT NULL AND awayTeamId IS NOT NULL),
         sides AS (
-          SELECT gameId, substr(startDate, 1, 10) AS game_date, neutralSite,
-                 true AS is_home, homeTeamId AS teamId, awayTeamId AS oppId,
-                 homeScore - awayScore AS margin,
+          SELECT gameId, substr(startDate, 1, 10) AS game_date,
+                 true AS is_home, homeTeamId AS teamId, awayTeamId AS opponentId,
                  homeScore AS team_score, awayScore AS opp_score
           FROM g
           UNION ALL
-          SELECT gameId, substr(startDate, 1, 10), neutralSite,
-                 false, awayTeamId, homeTeamId, awayScore - homeScore,
-                 awayScore, homeScore
+          SELECT gameId, substr(startDate, 1, 10),
+                 false, awayTeamId, homeTeamId, awayScore, homeScore
           FROM g),
         ratings AS (SELECT teamid AS tid, offenserating AS off,
                            defenserating AS def, netrating AS net FROM fx_adj),
         srssel AS (SELECT teamId AS tid, rating AS srs FROM fx_srs WHERE season = 2025),
+        rusel AS (
+          SELECT teamid AS tid, team_points_per_game AS ppg,
+                 opp_points_per_game AS opp_ppg, pace,
+                 team_efg_pct AS efg, team_tov_ratio AS tov,
+                 team_oreb_pct AS oreb, team_ft_rate AS ftr
+          FROM fx_rollup),
         firstlines AS (
-          SELECT gameId, spread, overUnder FROM (
-            SELECT gameId, spread, overUnder,
+          SELECT gameId, spread, overUnder, homeMoneyline, awayMoneyline FROM (
+            SELECT l.*,
                    row_number() OVER (PARTITION BY gameId ORDER BY provider ASC) AS rn
-            FROM fx_lines) WHERE rn = 1)
-        SELECT s.gameId, 2025 AS season, s.game_date, s.teamId, s.oppId,
-               s.is_home, s.neutralSite,
-               t.off AS team_off, t.def AS team_def, t.net AS team_net,
-               ts.srs AS team_srs,
-               o.off AS opp_off, o.def AS opp_def, o.net AS opp_net,
-               os.srs AS opp_srs,
-               t.net - o.net AS rating_diff, ts.srs - os.srs AS srs_diff,
-               CASE WHEN s.is_home THEN fl.spread ELSE -fl.spread END AS team_spread,
-               fl.overUnder AS over_under, s.margin,
-               s.team_score > s.opp_score AS won
+            FROM fx_lines l) WHERE rn = 1)
+        SELECT s.gameId, 2025 AS season, s.game_date, s.teamId, s.opponentId,
+               s.is_home,
+               td.school AS team_name, td.conference AS team_conference,
+               od.school AS opp_name, od.conference AS opp_conference,
+               (td.conference IS NOT NULL AND od.conference IS NOT NULL
+                AND td.conference = od.conference) AS is_conference_game,
+               CASE WHEN s.is_home THEN fl.spread ELSE -fl.spread END AS spread,
+               fl.overUnder AS over_under,
+               CASE WHEN s.is_home THEN fl.homeMoneyline ELSE fl.awayMoneyline END AS team_moneyline,
+               CASE WHEN s.is_home THEN fl.awayMoneyline ELSE fl.homeMoneyline END AS opp_moneyline,
+               t.off AS team_adj_off, t.def AS team_adj_def, t.net AS team_adj_net,
+               o.off AS opp_adj_off, o.def AS opp_adj_def, o.net AS opp_adj_net,
+               ts.srs AS team_srs, os.srs AS opp_srs,
+               tr.ppg AS team_ppg, tr.opp_ppg AS team_opp_ppg, tr.pace AS team_pace,
+               orr.ppg AS opp_ppg, orr.opp_ppg AS opp_opp_ppg, orr.pace AS opp_pace,
+               tr.efg AS team_efg_pct, tr.tov AS team_tov_ratio,
+               tr.oreb AS team_oreb_pct, tr.ftr AS team_ft_rate,
+               orr.efg AS opp_efg_pct, orr.tov AS opp_tov_ratio,
+               orr.oreb AS opp_oreb_pct, orr.ftr AS opp_ft_rate,
+               s.team_score, s.opp_score,
+               s.team_score > s.opp_score AS team_win
         FROM sides s
+        LEFT JOIN dim_t td ON s.teamId = td.teamId
+        LEFT JOIN dim_t od ON s.opponentId = od.teamId
         LEFT JOIN ratings t ON s.teamId = t.tid
-        LEFT JOIN ratings o ON s.oppId = o.tid
+        LEFT JOIN ratings o ON s.opponentId = o.tid
         LEFT JOIN srssel ts ON s.teamId = ts.tid
-        LEFT JOIN srssel os ON s.oppId = os.tid
+        LEFT JOIN srssel os ON s.opponentId = os.tid
+        LEFT JOIN rusel tr ON s.teamId = tr.tid
+        LEFT JOIN rusel orr ON s.opponentId = orr.tid
         LEFT JOIN firstlines fl ON s.gameId = fl.gameId""")),
 
     Q(

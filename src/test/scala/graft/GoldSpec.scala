@@ -238,8 +238,9 @@ class GoldSpec extends SparkSpec {
 
   // --- game_predictions_features -------------------------------------------
 
-  test("features: two rows per game, away side flips the spread") {
-    val out = GamePredictionsFeatures.build(games, adj, srs, lines, 2025)
+  test("features: two rows per game, away side flips spread + moneylines") {
+    val out = GamePredictionsFeatures.build(games, adj, srs, seasonRollup,
+      lines, dimTeams, 2025)
     assert(out.count() == 6) // 3 games x 2 sides
     val rows = out.collect()
       .map(r => (r.getAs[Long]("gameId"), r.getAs[Boolean]("is_home")) -> r).toMap
@@ -247,17 +248,31 @@ class GoldSpec extends SparkSpec {
     val homeSide = rows((1L, true))
     val awaySide = rows((1L, false))
     // first provider (provider asc: 'consensus' < 'zother') wins -> -5.5
-    assert(math.abs(homeSide.getAs[Double]("team_spread") - (-5.5)) < 1e-9)
-    assert(math.abs(awaySide.getAs[Double]("team_spread") - 5.5) < 1e-9)
-    assert(homeSide.getAs[Long]("margin") == 10L)
-    assert(awaySide.getAs[Long]("margin") == -10L)
-    assert(homeSide.getAs[Boolean]("won") && !awaySide.getAs[Boolean]("won"))
+    assert(math.abs(homeSide.getAs[Double]("spread") - (-5.5)) < 1e-9)
+    assert(math.abs(awaySide.getAs[Double]("spread") - 5.5) < 1e-9)
+    // moneylines follow the side
+    assert(homeSide.getAs[Double]("team_moneyline") == -200.0)
+    assert(awaySide.getAs[Double]("team_moneyline") == 170.0)
+    assert(awaySide.getAs[Double]("opp_moneyline") == -200.0)
+    // labels
+    assert(homeSide.getAs[Long]("team_score") == 80L)
+    assert(awaySide.getAs[Long]("team_score") == 70L)
+    assert(homeSide.getAs[Boolean]("team_win") && !awaySide.getAs[Boolean]("team_win"))
+    // names + conference-game flag (Duke/UNC both ACC)
+    assert(homeSide.getAs[String]("team_name") == "Duke")
+    assert(homeSide.getAs[String]("opp_name") == "UNC")
+    assert(homeSide.getAs[Boolean]("is_conference_game"))
+    assert(!rows((2L, true)).getAs[Boolean]("is_conference_game")) // UNC vs UK
     // team/opp ratings swap across sides
-    assert(homeSide.getAs[Double]("team_net") == 26.0)
-    assert(homeSide.getAs[Double]("opp_net") == 12.0)
-    assert(awaySide.getAs[Double]("team_net") == 12.0)
-    assert(math.abs(homeSide.getAs[Double]("rating_diff")
-      + awaySide.getAs[Double]("rating_diff")) < 1e-9)
+    assert(homeSide.getAs[Double]("team_adj_net") == 26.0)
+    assert(homeSide.getAs[Double]("opp_adj_net") == 12.0)
+    assert(awaySide.getAs[Double]("team_adj_net") == 12.0)
+    // rollup features follow the side (team 101 ppg = 78.5)
+    assert(math.abs(homeSide.getAs[Double]("team_ppg") - 78.5) < 1e-9)
+    assert(math.abs(awaySide.getAs[Double]("opp_ppg") - 78.5) < 1e-9)
+    // team 103 absent from rollup -> null features on its side
+    val ukSide = rows((2L, false))
+    assert(ukSide.isNullAt(ukSide.fieldIndex("team_ppg")))
   }
 
   // --- player_season_impact ------------------------------------------------
