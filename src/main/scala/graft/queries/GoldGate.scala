@@ -634,9 +634,10 @@ object GoldGate {
     Q(
       "g05_gold_player_impact",
       "Gold player_season_impact (reference gold/player_season_impact" +
-        ".py:79-308): zero-safe ratio derivations (eFG%, TS%, usage, " +
-        "per-40) + recruiting pedigree join, with zero-game / zero-FGA " +
-        "/ null-turnover players exercising every guard — real builder " +
+        ".py:79-308, full output surface incl. raw stat pass-throughs): " +
+        "zero-safe ratio derivations (eFG%, TS%, usage, per-40) + " +
+        "recruiting pedigree join, with zero-game / zero-FGA / " +
+        "null-turnover players exercising every guard — real builder " +
         "vs SQL-CTE oracle.",
       (s, d) => PlayerSeasonImpact.build(playerStats(s, d), recruiting(s, d), Season),
       Some(s"""
@@ -644,25 +645,34 @@ object GoldGate {
         SELECT p.playerId, 2025 AS season, p.team, p.conference,
                p.games, p.minutes,
                CASE WHEN games > 0 THEN minutes * 1.0 / games END AS mpg,
+               p.points,
                CASE WHEN games > 0 THEN points * 1.0 / games END AS ppg,
+               p.rebounds,
                CASE WHEN games > 0 THEN rebounds * 1.0 / games END AS rpg,
+               p.assists,
                CASE WHEN games > 0 THEN assists * 1.0 / games END AS apg,
+               CAST(NULL AS DOUBLE) AS steals,
+               CAST(NULL AS DOUBLE) AS blocks,
+               p.turnovers,
+               p.fgm, p.fga,
                CASE WHEN fga > 0 THEN fgm * 1.0 / fga END AS fg_pct,
+               p.fg3m, p.fg3a,
                CASE WHEN fg3a > 0 THEN fg3m * 1.0 / fg3a END AS fg3_pct,
+               p.ftm, p.fta,
                CASE WHEN fta > 0 THEN ftm * 1.0 / fta END AS ft_pct,
                CASE WHEN fga > 0 THEN (fgm + 0.5 * fg3m) * 1.0 / fga END AS efg_pct,
                CASE WHEN 2.0 * (fga + 0.44 * fta) > 0
                     THEN points * 1.0 / (2.0 * (fga + 0.44 * fta)) END AS true_shooting,
-               CASE WHEN minutes > 0
-                    THEN (fga + 0.44 * fta + coalesce(turnovers, 0.0)) * 1.0 / minutes
+               CASE WHEN turnovers IS NOT NULL AND minutes > 0
+                    THEN (fga + 0.44 * fta + turnovers) * 1.0 / minutes
                END AS usage_rate,
                CASE WHEN minutes > 0 THEN points * 40.0 / minutes END AS per_40_pts,
                CASE WHEN minutes > 0 THEN rebounds * 40.0 / minutes END AS per_40_reb,
                CASE WHEN minutes > 0 THEN assists * 40.0 / minutes END AS per_40_ast,
                CASE WHEN turnovers IS NOT NULL AND turnovers > 0
                     THEN assists * 1.0 / turnovers END AS ast_to_ratio,
-               r.stars AS recruit_stars, r.rating AS recruit_rating,
-               r.ranking AS recruit_ranking
+               r.ranking AS recruiting_rank, r.stars AS recruiting_stars,
+               r.rating AS recruiting_rating
         FROM fx_pstats p
         LEFT JOIN fx_rec r ON p.playerId = r.playerId""")),
 

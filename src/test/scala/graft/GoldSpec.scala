@@ -300,7 +300,10 @@ class GoldSpec extends SparkSpec {
     assert(math.abs(p.getAs[Double]("true_shooting")
       - 450.0 / (2 * (367.0 + 0.44 * 110.0))) < 1e-9)
     assert(math.abs(p.getAs[Double]("per_40_pts") - 450.0 / 900.0 * 40.0) < 1e-9)
-    assert(p.getAs[Long]("recruit_stars") == 5L) // joined by playerId
+    assert(p.getAs[Long]("recruiting_stars") == 5L) // joined by playerId
+    // raw stat pass-throughs keep reference names
+    assert(p.getAs[Double]("fgm") == 175.0 && p.getAs[Double]("fta") == 110.0)
+    assert(p.getAs[Double]("steals") == 30.0)
 
     val z = rows(9999L)
     Seq("mpg", "ppg", "efg_pct", "true_shooting", "usage_rate", "per_40_pts")
