@@ -70,6 +70,7 @@ object AdjustedEfficiencies {
 
   final case class Snapshot(
       teamId: Long, season: Int, rating_date: String,
+      team: Option[String], conference: Option[String],
       adj_oe: Double, adj_de: Double, adj_tempo: Double, barthag: Double,
       adj_margin: Double, raw_oe: Double, raw_de: Double,
       sos_oe: Double, sos_de: Double, games_played: Int, iterations: Int)
@@ -121,10 +122,21 @@ object AdjustedEfficiencies {
       d -> ratings
     }
 
+    // name/conference enrichment (reference adjusted_efficiencies.py:
+    // 609-628: records carry school + conference from team_info)
+    val teamInfo: Map[Long, (Option[String], Option[String])] =
+      dimTeams.select(col("teamId").cast("long"), col("school"), col("conference"))
+        .collect()
+        .map(r => r.getLong(0) -> ((Option(r.getString(1)), Option(r.getString(2)))))
+        .toMap
+
     out.flatMap { case (d, ratings) =>
-      ratings.map(r => Snapshot(r.team, season, d, r.adjOe, r.adjDe,
-        r.adjTempo, r.barthag, r.adjOe - r.adjDe, r.rawOe, r.rawDe,
-        r.sosOe, r.sosDe, r.games, r.iterations))
+      ratings.map { r =>
+        val (school, conf) = teamInfo.getOrElse(r.team, (None, None))
+        Snapshot(r.team, season, d, school, conf, r.adjOe, r.adjDe,
+          r.adjTempo, r.barthag, r.adjOe - r.adjDe, r.rawOe, r.rawDe,
+          r.sosOe, r.sosDe, r.games, r.iterations)
+      }
     }.toDF()
   }
 }
