@@ -48,7 +48,9 @@ object AdjustedEfficiencies {
     val d1 = dimTeams.filter(col("conference").isNotNull && col("conference") =!= "")
       .select(col("teamId"))
     val meta = games.select(col("gameId"), col("homeTeamId"),
-      substring(col("startDate"), 1, 10).as("game_date"),
+      substring(IoHelpers.colFirst(games,
+        Seq("startDate", "start_date", "date"), "string"), 1, 10)
+        .as("game_date"), // reference :324 candidate reads
       coalesce(col("neutralSite"), lit(false)).as("neutral"))
 
     gameTeams

@@ -19,12 +19,16 @@ import org.apache.spark.sql.functions._
   */
 object GamePredictionsFeatures {
 
-  import IoHelpers.colOrNull
+  import IoHelpers.{colFirst, colOrNull}
 
   def build(games: DataFrame, adj: DataFrame, srs: DataFrame,
       pbpRollup: DataFrame, lines: DataFrame, dimTeams: DataFrame,
       season: Int): DataFrame = {
-    val g = games.filter(col("homeTeamId").isNotNull && col("awayTeamId").isNotNull)
+    // candidate-name reads (reference :42-43 pydict_get_first)
+    val g = games
+      .withColumn("homeScore", colFirst(games, Seq("homeScore", "homePoints"), "long"))
+      .withColumn("awayScore", colFirst(games, Seq("awayScore", "awayPoints"), "long"))
+      .filter(col("homeTeamId").isNotNull && col("awayTeamId").isNotNull)
 
     // one row per game-side: is_home, teamId, opponentId, labels
     val sides = g.select(
@@ -40,7 +44,8 @@ object GamePredictionsFeatures {
       .select(col("gameId"), col("game_date"), col("s.*"))
 
     val ratings = adj.select(col("teamid").as("tid"),
-      col("offenserating").as("off"), col("defenserating").as("def"),
+      colFirst(adj, Seq("offenserating", "offensiveRating"), "double").as("off"),
+      colFirst(adj, Seq("defenserating", "defensiveRating"), "double").as("def"),
       col("netrating").as("net"))
     val srsSel = srs.filter(col("season") === season)
       .select(col("teamId").as("tid"), col("rating").as("srs"))

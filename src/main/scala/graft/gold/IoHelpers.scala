@@ -10,4 +10,10 @@ private[gold] object IoHelpers {
   def colOrNull(df: DataFrame, name: String, tpe: String): Column =
     if (df.columns.contains(name)) col(name).cast(tpe)
     else lit(null).cast(tpe)
+
+  /** First present candidate column (the reference's pydict_get_first:
+    * e.g. homeScore|homePoints, offenserating|offensiveRating). */
+  def colFirst(df: DataFrame, names: Seq[String], tpe: String): Column =
+    names.find(df.columns.contains).map(col(_).cast(tpe))
+      .getOrElse(lit(null).cast(tpe))
 }

@@ -26,7 +26,13 @@ object MarketLinesAnalysis {
   def build(lines: DataFrame, games: DataFrame, dimTeams: DataFrame,
       season: Int): DataFrame = {
     val l = dedupFirst(lines, Seq("gameId", "provider"), "gameId")
-    val g = dedupFirst(games, Seq("gameId"), "startDate")
+    // candidate-name score reads (reference :58-59 pydict_get_first)
+    val g0 = games
+      .withColumn("homeScore",
+        IoHelpers.colFirst(games, Seq("homeScore", "homePoints"), "long"))
+      .withColumn("awayScore",
+        IoHelpers.colFirst(games, Seq("awayScore", "awayPoints"), "long"))
+    val g = dedupFirst(g0, Seq("gameId"), "startDate")
       .select(col("gameId"), col("homeTeamId"), col("awayTeamId"),
         col("homeScore"), col("awayScore"),
         substring(col("startDate"), 1, 10).as("game_date"))

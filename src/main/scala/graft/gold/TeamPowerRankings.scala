@@ -37,8 +37,10 @@ object TeamPowerRankings {
       season: Int): DataFrame = {
     val spine = adj.select(col("teamid").as("teamId"), col("team"),
       col("conference"),
-      col("offenserating").as("adj_off_rating"),
-      col("defenserating").as("adj_def_rating"),
+      IoHelpers.colFirst(adj, Seq("offenserating", "offensiveRating"), "double")
+        .as("adj_off_rating"),
+      IoHelpers.colFirst(adj, Seq("defenserating", "defensiveRating"), "double")
+        .as("adj_def_rating"),
       col("netrating").as("adj_net_rating"),
       // ranking_* are pass-throughs from the ratings feed (reference
       // :44-46); absent column -> all-null

@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   */
 object TeamSeasonSummary {
 
-  import IoHelpers.colOrNull
+  import IoHelpers.{colFirst, colOrNull}
 
   def build(games: DataFrame, dimTeams: DataFrame, adj: DataFrame,
       srs: DataFrame, pbpRollup: DataFrame, recruiting: DataFrame,
@@ -26,6 +26,8 @@ object TeamSeasonSummary {
 
     // conference-game flag needs both sides' conferences (non-null, equal)
     val g = games
+      .withColumn("homeScore", colFirst(games, Seq("homeScore", "homePoints"), "long"))
+      .withColumn("awayScore", colFirst(games, Seq("awayScore", "awayPoints"), "long"))
       .filter(col("homeTeamId").isNotNull && col("awayTeamId").isNotNull &&
         col("homeScore").isNotNull && col("awayScore").isNotNull)
       .join(broadcast(confOf.toDF("homeTeamId", "h_conf")), Seq("homeTeamId"), "left")
@@ -54,8 +56,8 @@ object TeamSeasonSummary {
     // D1 spine: every team with adjusted ratings keeps a row even with
     // no games (reference :63-79); teams without ratings are dropped
     val adjSel = adj.select(col("teamid").as("teamId"),
-      col("offenserating").as("adj_off_rating"),
-      col("defenserating").as("adj_def_rating"),
+      colFirst(adj, Seq("offenserating", "offensiveRating"), "double").as("adj_off_rating"),
+      colFirst(adj, Seq("defenserating", "defensiveRating"), "double").as("adj_def_rating"),
       col("netrating").as("adj_net_rating"))
     val spine = adjSel.select(col("teamId")).distinct()
 

@@ -310,6 +310,83 @@ class GoldSpec extends SparkSpec {
       .foreach(c => assert(z.isNullAt(z.fieldIndex(c)), s"$c must be null"))
   }
 
+  test("player impact: raw silver shape — dict-string shooting fields, athleteId") {
+    // mirrors reference tests/test_gold.py::test_player_stats_string_dict_fields
+    val s = spark
+    import s.implicits._
+    val raw = Seq(
+      (747L, "Abilene Christian", "WAC", 31L, 985L, 482L,
+        "{'offensive': 31, 'defensive': 110, 'total': 141}", 36L, 43L, 7L, 72L,
+        "{'made': 175, 'attempted': 367, 'pct': 47.7}",
+        "{'made': 115, 'attempted': 158, 'pct': 72.8}",
+        "{'made': 17, 'attempted': 49, 'pct': 34.7}"))
+      .toDF("athleteId", "team", "conference", "games", "minutes", "points",
+        "rebounds", "assists", "steals", "blocks", "turnovers",
+        "fieldGoals", "freeThrows", "threePointFieldGoals")
+    val emptyRec = Seq.empty[(Long, Long, Double, Long)]
+      .toDF("playerId", "stars", "rating", "ranking")
+    val out = PlayerSeasonImpact.build(raw, emptyRec, 2024)
+    val p = out.head()
+    assert(p.getAs[Long]("playerId") == 747L) // athleteId candidate
+    assert(p.getAs[Double]("fgm") == 175.0 && p.getAs[Double]("fga") == 367.0)
+    assert(p.getAs[Double]("ftm") == 115.0 && p.getAs[Double]("fta") == 158.0)
+    assert(p.getAs[Double]("fg3m") == 17.0 && p.getAs[Double]("fg3a") == 49.0)
+    assert(p.getAs[Double]("rebounds") == 141.0) // dict total
+    assert(math.abs(p.getAs[Double]("rpg") - 141.0 / 31.0) < 1e-9)
+    assert(math.abs(p.getAs[Double]("efg_pct") - (175.0 + 0.5 * 17.0) / 367.0) < 1e-9)
+  }
+
+  test("gold builders: candidate columns (homePoints, offensiveRating)") {
+    // mirrors reference test_games_homepoints_columns /
+    // test_ratings_adjusted_real_columns (pydict_get_first)
+    val s = spark
+    import s.implicits._
+    val gamesAlt = games
+      .withColumnRenamed("homeScore", "homePoints")
+      .withColumnRenamed("awayScore", "awayPoints")
+    val adjAlt = adj
+      .withColumnRenamed("offenserating", "offensiveRating")
+      .withColumnRenamed("defenserating", "defensiveRating")
+
+    val ml = MarketLinesAnalysis.build(lines, gamesAlt, dimTeams, 2025)
+    val g1 = ml.filter(col("gameId") === 1L && col("provider") === "consensus").head()
+    assert(g1.getAs[Long]("home_score") == 80L && g1.getAs[Long]("home_margin") == 10L)
+
+    val feats = GamePredictionsFeatures.build(gamesAlt, adjAlt, srs,
+      seasonRollup, lines, dimTeams, 2025)
+    val home1 = feats.filter(col("gameId") === 1L && col("is_home")).head()
+    assert(home1.getAs[Long]("team_score") == 80L)
+    assert(home1.getAs[Double]("team_adj_off") == 118.0)
+
+    val summary = TeamSeasonSummary.build(gamesAlt, dimTeams, adjAlt, srs,
+      seasonRollup, recruiting, 2025)
+    val duke = summary.filter(col("teamId") === 101L).head()
+    assert(duke.getAs[Long]("wins") == 2)
+    assert(duke.getAs[Double]("adj_off_rating") == 118.0)
+  }
+
+  test("power rankings: missing SRS -> null rating, composite from the rest") {
+    // mirrors reference test_missing_srs
+    val s = spark
+    import s.implicits._
+    val emptySrs = Seq.empty[(Long, Int, Double)].toDF("teamId", "season", "rating")
+    val pbpAdj = Seq((101L, 24.0), (102L, 10.0), (103L, 18.0))
+      .toDF("teamid", "adj_net_eff")
+    val emptyRollup = Seq.empty[(Long, Double, Double, Double, Double, Long, Double)]
+      .toDF("teamid", "team_points_total", "opp_points_total",
+        "team_possessions", "opp_possessions", "games_played",
+        "game_minutes_total")
+    val polls = Seq.empty[(String, String, Long, Long)]
+      .toDF("pollType", "pollDate", "teamId", "ranking")
+    val out = TeamPowerRankings.build(adj, emptySrs, polls, emptyRollup,
+      pbpAdj, dimTeams, 2025)
+    val rows = out.collect().map(r => r.getAs[Long]("teamId") -> r).toMap
+    assert(rows(101L).isNullAt(rows(101L).fieldIndex("srs_rating")))
+    // composite still computed from adj_net + pbp_adj_net percentiles
+    assert(math.abs(rows(101L).getAs[Double]("composite_rank") - 100.0) < 1e-9)
+    assert(math.abs(rows(102L).getAs[Double]("composite_rank") - 0.0) < 1e-9)
+  }
+
   // --- team_adjusted_efficiencies ------------------------------------------
 
   test("adjusted efficiencies: JSON parse (incl. python-repr), per-date warm-start snapshots") {
