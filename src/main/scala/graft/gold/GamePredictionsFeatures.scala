@@ -87,7 +87,10 @@ object GamePredictionsFeatures {
       .join(broadcast(os), Seq("opponentId"), "left")
       .join(broadcast(tr), Seq("teamId"), "left")
       .join(broadcast(or_), Seq("opponentId"), "left")
-      .join(broadcast(firstLines), Seq("gameId"), "left")
+      // lines are fact-sized (one row per game) — no broadcast hint; at
+      // bench scale AQE converts to broadcast, at 100 TB it stays a
+      // shuffle join co-partitioned on gameId
+      .join(firstLines, Seq("gameId"), "left")
       // away side sees the negated home spread and the away moneyline
       // (reference :98-105)
       .withColumn("spread",

@@ -94,7 +94,9 @@ object TeamSeasonSummary {
     val cw = coalesce(col("conf_wins"), lit(0L))
     val cl = coalesce(col("conf_losses"), lit(0L))
     spine
-      .join(record, Seq("teamId"), "left")
+      // record is one row per team post-agg — always dim-sized, but the
+      // static planner only sees the pre-agg fact cardinality, so hint it
+      .join(broadcast(record), Seq("teamId"), "left")
       .join(broadcast(adjSel), Seq("teamId"), "left")
       .join(broadcast(srsSel), Seq("teamId"), "left")
       .join(broadcast(rollSel), Seq("teamId"), "left")
