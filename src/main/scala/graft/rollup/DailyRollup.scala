@@ -61,10 +61,13 @@ object DailyRollup {
       .withColumn("def_eff",
         when(col("opp_possessions") > 0,
           col("opp_points_total") / col("opp_possessions") * 100.0))
+      // per-game possessions normalized to a 40-minute game; the games
+      // factor cancels: ((tposs+oposs)/2g)·(40g/mins) = ((tposs+oposs)/2)
+      // ·(40/mins) (reference build_pbp_team_daily_rollup.py:281)
       .withColumn("pace",
         when(col("game_minutes_total") > 0,
           (col("team_possessions") + col("opp_possessions")) / 2.0
-            * (lit(40.0) / (col("game_minutes_total") / col("games_played")))))
+            * (lit(40.0) / col("game_minutes_total"))))
       .drop("g", "tp", "op", "tposs", "oposs", "mins")
   }
 }

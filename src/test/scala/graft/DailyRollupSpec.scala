@@ -31,6 +31,11 @@ class DailyRollupSpec extends SparkSpec {
     assert(math.abs(t1("2025-01-04").getAs[Double]("team_points_per_game") - 85.0) < 1e-9)
     assert(math.abs(t1("2025-01-04").getAs[Double]("off_eff")
       - 170.0 / 142.0 * 100.0) < 1e-9)
+    // pace = per-game possession average on a 40-min basis: the games
+    // factor cancels to ((tposs+oposs)/2)·(40/total_mins) — after two
+    // 40-min games averaging 71 possessions, pace must be ~71, NOT ~142
+    assert(math.abs(t1("2025-01-04").getAs[Double]("pace")
+      - (142.0 + 142.0) / 2.0 * 40.0 / 80.0) < 1e-9)
 
     // team 2 before its first game: zero rows still emitted with 0 games
     val t2d1 = out.filter(col("teamid") === 2L && col("date") === "2025-01-01").head()
