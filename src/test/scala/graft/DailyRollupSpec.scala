@@ -43,6 +43,51 @@ class DailyRollupSpec extends SparkSpec {
     assert(t2d1.isNullAt(t2d1.fieldIndex("team_points_per_game")))
   }
 
+  test("four factors + TS% derived from running shooting sums when present") {
+    val s = spark
+    import s.implicits._
+    val names = Seq("team_points", "opp_points", "team_poss", "opp_poss",
+      "game_minutes",
+      "team_fga", "team_fgm", "team_fg3m", "team_fta", "team_ftm",
+      "team_tov", "team_oreb", "team_dreb",
+      "opp_fga", "opp_fgm", "opp_fg3m", "opp_fta", "opp_ftm",
+      "opp_tov", "opp_oreb", "opp_dreb")
+    // day 1: 60 fga (24 made, 6 threes), 20 fta (15 made), 12 tov,
+    //        10 oreb, 22 dreb; opp: 55/20/4, 18/12, 14 tov, 8 oreb, 24 dreb
+    val rows = Seq(
+      (1L, "2025-01-01T19:00:00", Seq(69.0, 62.0, 70.0, 70.0, 40.0,
+        60.0, 24.0, 6.0, 20.0, 15.0, 12.0, 10.0, 22.0,
+        55.0, 20.0, 4.0, 18.0, 12.0, 14.0, 8.0, 24.0)),
+      (1L, "2025-01-03T19:00:00", Seq(80.0, 70.0, 72.0, 72.0, 40.0,
+        62.0, 30.0, 8.0, 16.0, 12.0, 10.0, 12.0, 20.0,
+        58.0, 26.0, 6.0, 14.0, 10.0, 11.0, 9.0, 21.0)))
+    val gameTeams = names.zipWithIndex.foldLeft(
+      rows.toDF("teamid", "startdate", "vals")) { case (df, (n, i)) =>
+        df.withColumn(n, col("vals").getItem(i))
+      }.drop("vals")
+    val out = DailyRollup.build(gameTeams)
+    val last = out.filter(col("teamid") === 1L && col("date") === "2025-01-03").head()
+    // cumulative sums: fga 122, fgm 54, fg3m 14, fta 36, tov 22,
+    // oreb 22, opp_dreb 45
+    assert(math.abs(last.getAs[Double]("team_efg_pct")
+      - (54.0 + 0.5 * 14.0) / 122.0) < 1e-9)
+    assert(math.abs(last.getAs[Double]("team_ts_pct")
+      - 149.0 / (2.0 * (122.0 + 0.44 * 36.0))) < 1e-9)
+    assert(math.abs(last.getAs[Double]("team_ft_rate") - 36.0 / 122.0) < 1e-9)
+    assert(math.abs(last.getAs[Double]("team_tov_ratio") - 22.0 / 142.0) < 1e-9)
+    assert(math.abs(last.getAs[Double]("team_oreb_pct")
+      - 22.0 / (22.0 + 45.0)) < 1e-9)
+    assert(math.abs(last.getAs[Double]("opp_tov_ratio") - 25.0 / 142.0) < 1e-9)
+    assert(math.abs(last.getAs[Double]("team_points_per_poss") - 149.0 / 142.0) < 1e-9)
+
+    // without shooting inputs the ratios are null, not zero
+    val bare = DailyRollup.build(gameTeams.select("teamid", "startdate",
+      "team_points", "opp_points", "team_poss", "opp_poss", "game_minutes"))
+      .filter(col("teamid") === 1L && col("date") === "2025-01-03").head()
+    assert(bare.isNullAt(bare.fieldIndex("team_efg_pct")))
+    assert(bare.isNullAt(bare.fieldIndex("team_oreb_pct")))
+  }
+
   test("sweep orders configs by MAE") {
     val ranked = graft.ratings.Backtest.sweep(Seq(10.0, 5.0, 20.0))(hl => hl)
     assert(ranked.map(_._1) == Seq(5.0, 10.0, 20.0))
