@@ -32,6 +32,32 @@ object DailyRollup {
   private def safeDiv(n: org.apache.spark.sql.Column, d: org.apache.spark.sql.Column) =
     when(d > 0, n / d)
 
+  /** Adapter: graft.pbp.GameTeamStats.build output + a (gameId,
+    * startDate) frame → the flat per-game shape `build` consumes, with
+    * the opponent's full shooting line mirrored in via the same-game
+    * self-join (the reference's flat table carries the opp_* mirror,
+    * build_pbp_game_teams_flat.py:172-314). Chains the whole reference
+    * pipeline: plays → box stats → dense rollup → gold. */
+  def fromGameTeamStats(stats: DataFrame, gameDates: DataFrame): DataFrame = {
+    val own = stats.select(col("gameId"), col("teamId"),
+      col("pts").as("team_points"),
+      col("possessions_formula").as("team_poss"),
+      col("game_minutes"),
+      col("fga").as("team_fga"), col("fgm").as("team_fgm"),
+      col("fg3m").as("team_fg3m"), col("fta").as("team_fta"),
+      col("ftm").as("team_ftm"), col("tov").as("team_tov"),
+      col("oreb").as("team_oreb"), col("dreb").as("team_dreb"))
+    val opp = own.toDF("gameId", "__opp", "opp_points", "opp_poss", "__gm2",
+      "opp_fga", "opp_fgm", "opp_fg3m", "opp_fta", "opp_ftm", "opp_tov",
+      "opp_oreb", "opp_dreb")
+    own.join(opp,
+        own("gameId") === opp("gameId") && own("teamId") =!= opp("__opp"))
+      .drop(opp("gameId")).drop("__opp", "__gm2")
+      .join(gameDates.select(col("gameId"),
+        col("startDate").cast("string").as("startdate")), Seq("gameId"))
+      .withColumnRenamed("teamId", "teamid")
+  }
+
   /** Per-game team stats in → dense-calendar cumulative rollup out.
     * Expects columns: teamid, startdate (ISO string or date),
     * team_points, opp_points, team_poss, opp_poss, game_minutes;

@@ -88,6 +88,38 @@ class DailyRollupSpec extends SparkSpec {
     assert(bare.isNullAt(bare.fieldIndex("team_oreb_pct")))
   }
 
+  test("fromGameTeamStats chains box stats into the rollup with the opp mirror") {
+    val s = spark
+    import s.implicits._
+    // GameTeamStats.build output shape (one row per game-team)
+    val stats = Seq(
+      (10L, 1L, 75.0, 70.0, 40.0, 60L, 28L, 7L, 18L, 12L, 11L, 9L, 23L),
+      (10L, 2L, 68.0, 69.0, 40.0, 58L, 25L, 5L, 20L, 13L, 13L, 8L, 25L),
+      (11L, 1L, 81.0, 71.0, 45.0, 63L, 30L, 9L, 15L, 11L, 10L, 11L, 22L),
+      (11L, 3L, 77.0, 70.0, 45.0, 61L, 29L, 6L, 17L, 12L, 12L, 10L, 20L))
+      .toDF("gameId", "teamId", "pts", "possessions_formula", "game_minutes",
+        "fga", "fgm", "fg3m", "fta", "ftm", "tov", "oreb", "dreb")
+    val dates = Seq((10L, "2025-01-01T19:00:00"), (11L, "2025-01-03T19:00:00"))
+      .toDF("gameId", "startDate")
+
+    val flat = DailyRollup.fromGameTeamStats(stats, dates)
+    // team 1's game-10 row mirrors team 2's line as opp_*
+    val r = flat.filter(col("teamid") === 1L && col("gameId") === 10L).head()
+    assert(r.getAs[Double]("opp_points") == 68.0)
+    assert(r.getAs[Long]("opp_fga") == 58L && r.getAs[Long]("opp_dreb") == 25L)
+
+    val rollup = DailyRollup.build(flat)
+    val last = rollup.filter(col("teamid") === 1L && col("date") === "2025-01-03").head()
+    assert(last.getAs[Long]("games_played") == 2L)
+    assert(last.getAs[Double]("team_points_total") == 156.0)
+    // oreb_pct over both games: (9+11)/((9+11)+(25+20))
+    assert(math.abs(last.getAs[Double]("team_oreb_pct") - 20.0 / 65.0) < 1e-9)
+    // and the rollup row feeds the gold season summary reader names
+    Seq("team_points_per_game", "team_efg_pct", "team_tov_ratio",
+      "team_oreb_pct", "team_ft_rate", "pace")
+      .foreach(c => assert(!last.isNullAt(last.fieldIndex(c)), s"$c present"))
+  }
+
   test("sweep orders configs by MAE") {
     val ranked = graft.ratings.Backtest.sweep(Seq(10.0, 5.0, 20.0))(hl => hl)
     assert(ranked.map(_._1) == Seq(5.0, 10.0, 20.0))
