@@ -66,12 +66,12 @@ object TeamPowerRankings {
     // off = pts/poss*100 when poss > 0; pace = (poss/gp)*(40/avg_mins),
     // avg_mins defaulting to a 40-minute game when minutes are missing
     val rollSel = pbpRollup.select(col("teamid").as("teamId"),
-      col("team_points_total").cast("double").as("__tp"),
-      col("opp_points_total").cast("double").as("__op"),
-      col("team_possessions").cast("double").as("__tposs"),
-      col("opp_possessions").cast("double").as("__oposs"),
-      col("games_played").cast("double").as("__gp"),
-      col("game_minutes_total").cast("double").as("__mins"))
+      colOrNull(pbpRollup, "team_points_total", "double").as("__tp"),
+      colOrNull(pbpRollup, "opp_points_total", "double").as("__op"),
+      colOrNull(pbpRollup, "team_possessions", "double").as("__tposs"),
+      colOrNull(pbpRollup, "opp_possessions", "double").as("__oposs"),
+      colOrNull(pbpRollup, "games_played", "double").as("__gp"),
+      colOrNull(pbpRollup, "game_minutes_total", "double").as("__mins"))
 
     val pbpSel = pbpAdj.select(col("teamid").as("teamId"),
       colOrNull(pbpAdj, "adj_off_eff", "double").as("pbp_adj_off_eff"),

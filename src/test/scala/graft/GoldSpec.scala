@@ -387,6 +387,41 @@ class GoldSpec extends SparkSpec {
     assert(math.abs(rows(102L).getAs[Double]("composite_rank") - 0.0) < 1e-9)
   }
 
+  test("gold builders: empty inputs produce empty outputs, not errors") {
+    // mirrors reference test_empty_season / test_empty_games /
+    // test_empty_lines / test_empty_stats
+    val s = spark
+    import s.implicits._
+    val noGames = Seq.empty[(Long, String, Long, Long, Long, Long, Boolean)]
+      .toDF("gameId", "startDate", "homeTeamId", "awayTeamId",
+        "homeScore", "awayScore", "neutralSite")
+    val noLines = Seq.empty[(Long, String, Double, Double, Double, Double)]
+      .toDF("gameId", "provider", "spread", "overUnder",
+        "homeMoneyline", "awayMoneyline")
+    val noAdj = Seq.empty[(Long, String, String, Double, Double, Double)]
+      .toDF("teamid", "team", "conference", "offenserating",
+        "defenserating", "netrating")
+    val noStats = Seq.empty[(Long, String, String, Long, Double, Double,
+        Double, Double, Double, Double, Double)]
+      .toDF("playerId", "team", "conference", "games", "minutes", "points",
+        "rebounds", "assists", "turnovers", "fieldGoalsMade",
+        "fieldGoalsAttempted")
+
+    assert(MarketLinesAnalysis.build(noLines, games, dimTeams, 2025).count() == 0)
+    assert(MarketLinesAnalysis.build(lines, noGames, dimTeams, 2025).count() == 0)
+    assert(GamePredictionsFeatures.build(noGames, adj, srs, seasonRollup,
+      lines, dimTeams, 2025).count() == 0)
+    assert(TeamSeasonSummary.build(games, dimTeams, noAdj, srs, seasonRollup,
+      recruiting, 2025).count() == 0) // empty D1 spine
+    assert(PlayerSeasonImpact.build(noStats, recruiting, 2025).count() == 0)
+    val emptyPolls = Seq.empty[(String, String, Long, Long)]
+      .toDF("pollType", "pollDate", "teamId", "ranking")
+    val emptyRoll = seasonRollup.limit(0)
+    val emptyPbp = Seq.empty[(Long, Double)].toDF("teamid", "adj_net_eff")
+    assert(TeamPowerRankings.build(noAdj, srs, emptyPolls, emptyRoll,
+      emptyPbp, dimTeams, 2025).count() == 0)
+  }
+
   // --- team_adjusted_efficiencies ------------------------------------------
 
   test("adjusted efficiencies: JSON parse (incl. python-repr), per-date warm-start snapshots") {
