@@ -280,6 +280,54 @@ object TextOps {
                substr(min(md5(kg)), 1, 8) AS fp8
         FROM kg GROUP BY 1""")),
 
+    // ----- deterministic splits / sampling -------------------------------------
+    Q(
+      "t05_split_assign",
+      "Deterministic hash train/val/test split: bucket by the first two " +
+        "hex chars of md5(doc_id) — 'e6'/'f6' thresholds ≈ 90/6/4 — so " +
+        "the assignment is stable across runs, engines, and cluster " +
+        "sizes (no RNG, no shuffle: a pure per-row map over the scan). " +
+        "The lexicographic hex compare is engine-neutral.",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val b = substring(md5(col("doc_id").cast("string")), 1, 2)
+        docs.select(col("doc_id"),
+            when(b < "e6", "train").when(b < "f6", "val")
+              .otherwise("test").as("split"))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      },
+      Some("""
+        SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f6' THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*) AS n_docs, min(doc_id) AS first_doc
+        FROM documents GROUP BY 1""")),
+
+    Q(
+      "t06_stratified_sample",
+      "Reproducible stratified sampling: keep ~1/8 of each language " +
+        "stratum via an md5 threshold on (lang, doc_id) — per-stratum " +
+        "rates hold at any scale, reruns select the SAME rows " +
+        "(sampleBy() cannot promise that), and the filter runs before " +
+        "any shuffle so the downstream pipeline only sees kept rows.",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val keep = substring(
+          md5(concat(col("lang"), lit("|"), col("doc_id").cast("string"))), 1, 1) < "2"
+        docs.groupBy(col("lang")).agg(
+          count(lit(1)).as("n_total"),
+          sum(when(keep, 1L).otherwise(0L)).as("n_sampled"),
+          min(when(keep, col("doc_id"))).as("first_sampled"))
+      },
+      Some("""
+        SELECT lang, count(*) AS n_total,
+               CAST(sum(CASE WHEN substr(md5(lang || '|' || CAST(doc_id AS VARCHAR)), 1, 1) < '2'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+               min(CASE WHEN substr(md5(lang || '|' || CAST(doc_id AS VARCHAR)), 1, 1) < '2'
+                        THEN doc_id END) AS first_sampled
+        FROM documents GROUP BY 1""")),
+
     // ----- exact dedup ---------------------------------------------------------
     Q(
       "d01_exact_dedup",
