@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -327,6 +328,37 @@ object TextOps {
                min(CASE WHEN substr(md5(lang || '|' || CAST(doc_id AS VARCHAR)), 1, 1) < '2'
                         THEN doc_id END) AS first_sampled
         FROM documents GROUP BY 1""")),
+
+    Q(
+      "t07_sequence_pack",
+      "Deterministic sequence packing for pretraining batches: docs " +
+        "ordered by doc_id within each language, running whitespace-" +
+        "token sum, bin = floor(tokens_before / 4096) — each bin is one " +
+        "~4k-token context window. The window is keyed by lang (never " +
+        "global), so packing parallelizes across strata at any scale.",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id").asc)
+        docs.select(col("lang"), col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("toks"))
+          .withColumn("cum", sum(col("toks")).over(w))
+          .withColumn("bin", floor((col("cum") - col("toks")) / lit(4096)))
+          .groupBy(col("lang"), col("bin"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("bin_tokens"),
+            min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT lang, doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+                 sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+                   OVER (PARTITION BY lang ORDER BY doc_id ASC
+                         ROWS UNBOUNDED PRECEDING) AS cum
+          FROM documents)
+        SELECT lang, CAST(floor((cum - toks) / 4096.0) AS BIGINT) AS bin,
+               count(*) AS n_docs, sum(toks) AS bin_tokens,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM toks GROUP BY 1, 2""")),
 
     // ----- exact dedup ---------------------------------------------------------
     Q(
