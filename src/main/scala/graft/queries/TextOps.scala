@@ -360,6 +360,34 @@ object TextOps {
                min(doc_id) AS first_doc, max(doc_id) AS last_doc
         FROM toks GROUP BY 1, 2""")),
 
+    Q(
+      "t08_weighted_mix",
+      "Data-mixture recipe: per-language target sampling rates (a " +
+        "broadcast recipe dim: en 20%, de 12.5%, fr 6.25%, es 3%, ja " +
+        "25%) applied via the same deterministic md5 threshold — the " +
+        "corpus-mixing pass that sets a pretraining data distribution; " +
+        "languages outside the recipe drop out via the inner join.",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val recipe = Seq(("en", "33"), ("de", "20"), ("fr", "10"),
+          ("es", "08"), ("ja", "40")).toDF("lang", "thr")
+        docs.join(broadcast(recipe), Seq("lang"))
+          .filter(substring(md5(concat(col("lang"), lit("|"),
+            col("doc_id").cast("string"))), 1, 2) < col("thr"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+      },
+      Some("""
+        WITH recipe(lang, thr) AS (VALUES
+          ('en', '33'), ('de', '20'), ('fr', '10'), ('es', '08'), ('ja', '40'))
+        SELECT d.lang, count(*) AS n_kept,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM documents d JOIN recipe r ON d.lang = r.lang
+        WHERE substr(md5(d.lang || '|' || CAST(doc_id AS VARCHAR)), 1, 2) < r.thr
+        GROUP BY 1""")),
+
     // ----- exact dedup ---------------------------------------------------------
     Q(
       "d01_exact_dedup",
