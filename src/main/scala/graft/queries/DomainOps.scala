@@ -314,6 +314,56 @@ object DomainOps {
         JOIN bs USING (p_brand), lg
         GROUP BY 1 HAVING count(*) >= 200""")),
 
+    // ----- I6: external-reference correlation -----------------------------------------
+    Q(
+      "dm07_external_corr",
+      "External-reference rating validation (I6: tune_ratings.py:49-61 " +
+        "pearson_r, verify_kenpom.py intent): per-group Pearson r " +
+        "between an internal metric and an external one via the " +
+        "explicit-sums formula — a single partial-aggregable pass, no " +
+        "collect. Dyadic inputs keep every sum exact cross-engine.",
+      (s, d) => {
+        val sup = Tables.supplier(s, d)
+        val base = sup.select(col("s_nationkey"),
+          ((col("s_suppkey") * 7 % 160).cast("double") * 0.25).as("x"),
+          ((col("s_suppkey") * 7 % 160).cast("double") * 0.125 +
+            (col("s_suppkey") * 13 % 80).cast("double") * 0.25).as("y"))
+        val agg = base.groupBy(col("s_nationkey")).agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        agg.select(col("s_nationkey"),
+          col("n").cast("long").as("n"),
+          round(
+            when(
+              (col("n") * col("sxx") - col("sx") * col("sx")) > 0 &&
+                (col("n") * col("syy") - col("sy") * col("sy")) > 0,
+              (col("n") * col("sxy") - col("sx") * col("sy")) /
+                (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+                  sqrt(col("n") * col("syy") - col("sy") * col("sy")))),
+            6).as("pearson_r"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT s_nationkey,
+                 CAST(s_suppkey * 7 % 160 AS DOUBLE) * 0.25 AS x,
+                 CAST(s_suppkey * 7 % 160 AS DOUBLE) * 0.125
+                   + CAST(s_suppkey * 13 % 80 AS DOUBLE) * 0.25 AS y
+          FROM supplier),
+        a AS (
+          SELECT s_nationkey, CAST(count(*) AS DOUBLE) AS n,
+                 sum(x) AS sx, sum(y) AS sy,
+                 sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+          FROM base GROUP BY 1)
+        SELECT s_nationkey, CAST(n AS BIGINT) AS n,
+               round(CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                          THEN (n * sxy - sx * sy)
+                               / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+                     END, 6) AS pearson_r
+        FROM a""")),
+
     // ----- A14: anomaly detection vs median ------------------------------------------
     Q(
       "a15_median_anomaly",
