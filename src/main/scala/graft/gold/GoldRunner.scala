@@ -60,8 +60,11 @@ object GoldRunner {
     val selected = only.fold(transforms)(t => transforms.filter(_._1 == t))
     selected.map { case (name, build) =>
       name -> (try {
-        val df = build(spark, root, season).withColumn("season",
-          org.apache.spark.sql.functions.lit(season))
+        // schema contract before the sink (reference runner applies
+        // normalize_records inside each builder's return)
+        val df = GoldSchemas.conform(
+          build(spark, root, season).withColumn("season",
+            org.apache.spark.sql.functions.lit(season)), name)
         if (dryRun) Right(df.count())
         else {
           LakeIO.writePartitioned(df, s"$root/gold/$name", Seq("season"))

@@ -463,6 +463,32 @@ class GoldSpec extends SparkSpec {
     assert(first.map(_.getAs[Long]("teamId")).toSet == Set(101L, 102L))
   }
 
+  test("schema contracts: sorted columns, hinted types, PK dedup") {
+    val s = spark
+    import s.implicits._
+    val ml = GoldSchemas.conform(
+      MarketLinesAnalysis.build(lines, games, dimTeams, 2025),
+      "market_lines_analysis")
+    // alphabetical column order (reference normalize_records sorts)
+    assert(ml.columns.toSeq == ml.columns.toSeq.sorted)
+    // hinted types applied
+    val byName = ml.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(byName("gameId") == org.apache.spark.sql.types.LongType)
+    assert(byName("season") == org.apache.spark.sql.types.IntegerType)
+    assert(byName("home_win") == org.apache.spark.sql.types.BooleanType)
+    assert(byName("spread") == org.apache.spark.sql.types.DoubleType)
+    // values survive the conform pass
+    assert(ml.count() == 4)
+
+    // PK dedup keeps the first row per (gameId, provider) by the order col
+    val dup = Seq((1L, "consensus", -5.5), (1L, "consensus", -6.0),
+      (2L, "consensus", 3.5)).toDF("gameId", "provider", "spread")
+    val deduped = GoldSchemas.dedupeByPk(dup, "market_lines_analysis",
+      col("spread").desc)
+    assert(deduped.count() == 2)
+    assert(deduped.filter(col("gameId") === 1L).head().getAs[Double]("spread") == -5.5)
+  }
+
   // --- runner ---------------------------------------------------------------
 
   test("gold runner: end-to-end over a silver lake root, partitioned output") {
