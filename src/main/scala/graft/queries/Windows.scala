@@ -450,6 +450,33 @@ object Windows {
                  + CAST(floor(date_diff('second', TIMESTAMP '2024-01-01', ts) / 21600.0) AS BIGINT)
                    * INTERVAL 6 HOUR, '%Y-%m-%d %H:%M') AS bucket,
                event_type, count(*) AS n, round(sum(value), 2) AS total
-        FROM deduped GROUP BY 1, 2"""))
+        FROM deduped GROUP BY 1, 2""")),
+
+    Q(
+      "st03_interval_join",
+      "Event-time interval join (§2.10 stream-stream join: attribution " +
+        "of clicks to views within 1h, per user). The same " +
+        "EventStream.intervalJoin runs on watermarked streams — the " +
+        "range condition is what lets Spark bound both sides' state; " +
+        "the streaming twin is parity-tested in EventStreamSpec.",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val v = e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id"), col("ts"))
+        val c = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id"), col("ts"))
+        graft.streaming.EventStream.intervalJoin(v, c, "1 hour")
+          .select(col("l.user_id").as("user_id"),
+            col("l.event_id").as("view_id"),
+            col("r.event_id").as("click_id"),
+            (unix_micros(col("r.ts")) - unix_micros(col("l.ts"))).as("lag_us"))
+      },
+      Some("""
+        SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+               epoch_us(c.ts) - epoch_us(v.ts) AS lag_us
+        FROM events v JOIN events c
+          ON v.user_id = c.user_id
+         AND v.event_type = 'view' AND c.event_type = 'click'
+         AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR"""))
   )
 }

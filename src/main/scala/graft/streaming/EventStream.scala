@@ -47,6 +47,18 @@ object EventStream {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Event-time interval join ("clicks within `window` after a view"):
+    * same-key right rows inside [l.ts, l.ts + window]. The SAME call
+    * works on batch frames and on watermarked streaming frames — for
+    * streams the time-range condition lets Spark bound both sides'
+    * state to the watermark + window (an unconstrained stream-stream
+    * join would buffer forever). Caller applies watermarks and selects
+    * from the `l`/`r` aliases. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      window: String = "1 hour"): DataFrame =
+    left.alias("l").join(right.alias("r"), expr(
+      s"l.user_id = r.user_id AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL $window"))
+
   final case class Ev(user_id: Long, event_id: Long, ms: Long, value: Double)
   final case class SessionState(
       sessionId: Long,

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import graft.streaming.EventStream
@@ -105,6 +106,44 @@ class EventStreamSpec extends SparkSpec {
     q.stop()
     assert(streamed == batch)
     assert(streamed.size == 3)
+  }
+
+  test("intervalJoin over two watermarked streams equals the batch join") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val views = Seq(
+      (1L, 100L, "2024-01-01 01:00:00"),
+      (1L, 101L, "2024-01-01 03:00:00"),
+      (2L, 102L, "2024-01-01 01:00:00"))
+    val clicks = Seq(
+      (1L, 200L, "2024-01-01 01:30:00"), // within 1h of view 100
+      (1L, 201L, "2024-01-01 02:30:00"), // matches neither (>1h after 100, before 101)
+      (1L, 202L, "2024-01-01 03:59:00"), // within 1h of view 101
+      (2L, 203L, "2024-01-01 00:30:00")) // before the view -> no match
+    def toDf(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("_1").as("user_id"), col("_2").as("event_id"),
+        to_timestamp(col("_3")).as("ts"))
+    def out(j: org.apache.spark.sql.DataFrame) =
+      j.select(col("l.event_id").as("view_id"), col("r.event_id").as("click_id"))
+
+    val batch = out(EventStream.intervalJoin(
+      toDf(views.toDF()), toDf(clicks.toDF()))).collect().toSet
+
+    val vMem = MemoryStream[(Long, Long, String)]
+    val cMem = MemoryStream[(Long, Long, String)]
+    vMem.addData(views: _*)
+    cMem.addData(clicks: _*)
+    val joined = EventStream.intervalJoin(
+      toDf(vMem.toDF()).withWatermark("ts", "2 hours"),
+      toDf(cMem.toDF()).withWatermark("ts", "2 hours"))
+    val q = out(joined).writeStream.format("memory").queryName("ij")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val streamed = s.table("ij").collect().toSet
+    q.stop()
+    assert(streamed == batch)
+    assert(batch == Set(Row(100L, 200L), Row(101L, 202L)))
   }
 
   test("sessionizeStream emits sessions closed by a gap within the stream") {
