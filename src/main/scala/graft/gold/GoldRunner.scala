@@ -73,4 +73,37 @@ object GoldRunner {
       } catch { case e: Throwable => Left(e.getMessage) })
     }
   }
+
+  /** CLI entry mirroring the reference runner (runner.py:31-79):
+    * --root <lake> --season <year> [--table <name>] [--dry-run].
+    * Exit 1 when any transform failed (reference: per-table errors are
+    * reported and the run continues). */
+  def main(args: Array[String]): Unit = {
+    def opt(flag: String): Option[String] =
+      args.sliding(2).collectFirst { case Array(`flag`, v) => v }
+    val root = opt("--root").getOrElse(
+      sys.error("--root <silver lake dir> is required"))
+    val season = opt("--season").map(_.toInt).getOrElse(
+      sys.error("--season <year> is required"))
+    val only = opt("--table")
+    val dryRun = args.contains("--dry-run")
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_SHUFFLE_PARTITIONS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val results = run(spark, root, season, only, dryRun)
+      results.toSeq.sortBy(_._1).foreach {
+        case (t, Right(n)) => println(s"[ok]   $t rows=$n")
+        case (t, Left(e)) => println(s"[fail] $t $e")
+      }
+      if (results.values.exists(_.isLeft)) sys.exit(1)
+    } finally spark.stop()
+  }
 }
