@@ -281,6 +281,30 @@ object TextOps {
                substr(min(md5(kg)), 1, 8) AS fp8
         FROM kg GROUP BY 1""")),
 
+    // ----- t04 as a native expression: same oracle, zero shuffle ---------------
+    Q(
+      "t04b_fingerprint_native",
+      "t04 as ONE codegen'd Catalyst expression " +
+        "(graft.plans.KgramFingerprint): min-md5 + distinct count over " +
+        "all k-grams computed inside the scan projection — the composed " +
+        "form explodes ~|text| rows per doc through a shuffle; this " +
+        "moves zero rows. Same DuckDB oracle as t04.",
+      (s, d) => {
+        graft.plans.KgramFingerprint.register(s)
+        val docs = Tables.documents(s, d)
+        docs.filter(length(col("text")) >= 8)
+          .select(col("doc_id"), expr("kgram_fingerprint(text, 8)").as("s"))
+          .select(col("doc_id"), col("s.n_kgrams").as("n_kgrams"),
+            col("s.fp").as("fp"), substring(col("s.fp"), 1, 8).as("fp8"))
+      },
+      Some("""
+        WITH kg AS (SELECT doc_id, substr(text, i, 8) AS kg
+                    FROM (SELECT doc_id, text, unnest(range(1, length(text)-6)) AS i
+                          FROM documents WHERE length(text) >= 8))
+        SELECT doc_id, count(DISTINCT kg) AS n_kgrams, min(md5(kg)) AS fp,
+               substr(min(md5(kg)), 1, 8) AS fp8
+        FROM kg GROUP BY 1""")),
+
     // ----- deterministic splits / sampling -------------------------------------
     Q(
       "t05_split_assign",
