@@ -42,13 +42,37 @@ object TextOps {
         expr("explode(transform(sequence(0, size(w)-4), " +
           "i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3])))").as("sh"))
 
-  /** One row per doc: mh0..mh11 minhash components (min of seeded md5). */
-  private def signaturesFrom(sh: DataFrame): DataFrame =
+  /** One row per doc: mh0..mh11 minhash components (min of seeded md5)
+    * — the composed form, kept as the parity reference for the native
+    * expression (MinHashSignatureSpec). */
+  private[queries] def signaturesFrom(sh: DataFrame): DataFrame =
     sh.groupBy(col("doc_id"))
       .agg(
         min(md5(concat(lit("0|"), col("sh")))).as("mh0"),
         (1 until K).map(j =>
           min(md5(concat(lit(s"$j|"), col("sh")))).as(s"mh$j")): _*)
+
+  /** Same signature frame via graft.plans.MinHashSignature: one codegen
+    * pass, no explode — replaces the explode(~#words rows/doc) →
+    * groupBy stage. Values are bit-identical (same seeds, same md5);
+    * bench-neutral at sf0.1 (the pair join dominates there) but at
+    * 100 TB this swaps a corpus-sized shuffle (~#words rows per doc)
+    * for a signature-sized one.
+    * The trailing repartition matters: the LSH pipeline consumes the
+    * signature frame three times, and the composed form's groupBy
+    * exchange was the AQE reuse point; with zero shuffles the per-row
+    * hashing would recompute per consumer. One tiny exchange of the
+    * one-short-row-per-doc frame restores compute-once reuse — the
+    * in-plan miniature of the materialize-signatures-at-scale answer. */
+  private[queries] def signatures(s: SparkSession, d: String): DataFrame = {
+    graft.plans.MinHashSignature.register(s)
+    Tables.documents(s, d)
+      .filter(size(split(col("text"), " ")) >= 4)
+      .select(col("doc_id"), expr(s"minhash_sigs(text, $K)").as("mh"))
+      .select(col("doc_id") +:
+        (0 until K).map(j => col("mh").getItem(j).as(s"mh$j")): _*)
+      .repartition(col("doc_id"))
+  }
 
   /** Long-form band table: (doc_id, b, h). */
   private def bandTable(sig: DataFrame): DataFrame = {
@@ -442,7 +466,7 @@ object TextOps {
         s"minhash components -> $Bands bands -> equi-join on band hash -> " +
         "candidate pairs with estimated Jaccard. The join key is " +
         "(band, band_hash) so candidate generation never goes n².",
-      (s, d) => candidatePairsFrom(s, signaturesFrom(shingles(s, d))),
+      (s, d) => candidatePairsFrom(s, signatures(s, d)),
       Some(s"""
         $oracleLshCtes
         SELECT p.doc_a, p.doc_b,
@@ -460,7 +484,7 @@ object TextOps {
         "keep-one-per-group dedup decision. Hash-matched against a " +
         "DuckDB recursive-CTE transitive closure.",
       (s, d) => {
-        val pairs = candidatePairsFrom(s, signaturesFrom(shingles(s, d)))
+        val pairs = candidatePairsFrom(s, signatures(s, d))
           .select(col("doc_a"), col("doc_b"))
         graft.operators.ConnectedComponents.minLabel(pairs, "doc_a", "doc_b")
           .select(col("id").as("doc_id"), col("component"))
@@ -489,7 +513,7 @@ object TextOps {
         // caching here (see candidatePairsFrom scale note)
         val sh = shingles(s, d).distinct()
         val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-        val pairs = candidatePairsFrom(s, signaturesFrom(sh))
+        val pairs = candidatePairsFrom(s, signatures(s, d))
           .select(col("doc_a"), col("doc_b"))
         val inter = pairs
           .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
