@@ -194,6 +194,55 @@ object TextOps {
                        WHEN quality >= 0.4 THEN 'mid' ELSE 'low' END AS grade
         FROM q""")),
 
+    // ----- t01 as a native expression: same oracle, no per-token shuffle -------
+    Q(
+      "t01b_quality_native",
+      "t01 via ONE codegen'd expression (graft.plans.TokenStats): token " +
+        "count / stopword count / summed token length computed per row " +
+        "inside the scan — the composed form shuffles one row per TOKEN " +
+        "of the corpus. Integer-only expression outputs; every float op " +
+        "(mean, ratios, round) stays in Spark SQL so the result is " +
+        "bit-identical. Same DuckDB oracle as t01.",
+      (s, d) => {
+        graft.plans.TokenStats.register(s)
+        val docs = Tables.documents(s, d)
+        docs
+          .withColumn("ts",
+            expr(s"token_stats(text, '${StopWords.mkString(",")}')"))
+          .select(
+            col("doc_id"), col("lang"), col("n_chars"),
+            col("ts.n_tokens").as("n_tokens"),
+            round(col("ts.sum_wlen").cast("double") / col("ts.n_tokens"), 4)
+              .as("mean_wlen"),
+            round(col("ts.n_stop") * lit(1.0) / col("ts.n_tokens"), 4)
+              .as("stop_ratio"),
+            round(length(regexp_replace(col("text"), "[^a-z]", "")) * lit(1.0)
+              / col("n_chars"), 4).as("alpha_ratio"))
+          .withColumn("quality",
+            round(lit(0.4) * least(col("n_tokens") / 100.0, lit(1.0))
+              + lit(0.4) * col("stop_ratio") + lit(0.2) * col("alpha_ratio"), 4))
+          .withColumn("grade",
+            when(col("quality") >= 0.6, "high")
+              .when(col("quality") >= 0.4, "mid").otherwise("low"))
+      },
+      Some(s"""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        ta AS (SELECT doc_id, count(*) AS n_tokens,
+                      sum(CASE WHEN tok IN (${StopWords.map("'" + _ + "'").mkString(",")}) THEN 1 ELSE 0 END) AS n_stop,
+                      round(avg(length(tok)), 4) AS mean_wlen
+               FROM tok GROUP BY 1),
+        base AS (SELECT d.doc_id, d.lang, d.n_chars,
+                        CAST(ta.n_tokens AS BIGINT) AS n_tokens, ta.mean_wlen,
+                        round(ta.n_stop * 1.0 / ta.n_tokens, 4) AS stop_ratio,
+                        round(length(regexp_replace(d.text, '[^a-z]', '', 'g')) * 1.0 / d.n_chars, 4) AS alpha_ratio
+                 FROM documents d JOIN ta ON d.doc_id = ta.doc_id),
+        q AS (SELECT *, round(0.4 * least(n_tokens / 100.0, 1.0)
+                              + 0.4 * stop_ratio + 0.2 * alpha_ratio, 4) AS quality
+              FROM base)
+        SELECT *, CASE WHEN quality >= 0.6 THEN 'high'
+                       WHEN quality >= 0.4 THEN 'mid' ELSE 'low' END AS grade
+        FROM q""")),
+
     // ----- token counting ----------------------------------------------------
     Q(
       "t02_token_count",
