@@ -1,0 +1,81 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression: 16-bit SimHash of a document in ONE
+  * per-row pass. Bit j votes +1 per token whose md5 hex nibble j has
+  * its high bit set, −1 otherwise (duplicate tokens vote once per
+  * occurrence, matching the composed sum); fingerprint bit j is set
+  * when the vote sum is positive. Replaces the explode-per-token →
+  * 16-vote groupBy stage (one shuffled row per corpus token) with an
+  * integer-only per-row computation — no float parity surface at all.
+  */
+case class SimHash16(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"simhash16 expects a string argument, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash16"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHash16.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.SimHash16.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash16 =
+    copy(child = newChild)
+}
+
+object SimHash16 {
+
+  def compute(text: UTF8String): Long = {
+    val toks = text.toString.split(" ", -1) // Spark split: empties kept
+    val votes = new Array[Int](16)
+    // memoize per distinct token: md5 once, votes per occurrence
+    val memo = new java.util.HashMap[String, Array[Boolean]]()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      var bits = memo.get(t)
+      if (bits == null) {
+        val dig = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        md.reset()
+        bits = new Array[Boolean](16)
+        var j = 0
+        while (j < 16) {
+          // hex char j of the md5 = high/low nibble of byte j/2
+          val nib =
+            if (j % 2 == 0) (dig(j / 2) >> 4) & 0xf else dig(j / 2) & 0xf
+          bits(j) = nib >= 8
+          j += 1
+        }
+        memo.put(t, bits)
+      }
+      var j = 0
+      while (j < 16) { votes(j) += (if (bits(j)) 1 else -1); j += 1 }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 16) { if (votes(j) > 0) fp |= 1L << j; j += 1 }
+    fp
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("simhash16"),
+      new ExpressionInfo(classOf[SimHash16].getName, "simhash16"),
+      (children: Seq[Expression]) => SimHash16(children(0)))
+}

@@ -641,6 +641,38 @@ object TextOps {
         f AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM v)
         SELECT simhash, count(*) AS n_docs, min(doc_id) AS canonical_doc
         FROM f GROUP BY 1"""
+      }),
+
+    // ----- d03 as a native expression: same oracle, no per-token shuffle -------
+    Q(
+      "d03b_simhash_native",
+      "d03 via ONE codegen'd integer-only expression " +
+        "(graft.plans.SimHash16): the 16 vote counters accumulate per " +
+        "row inside the scan — the composed form shuffles one row per " +
+        "corpus token into a 16-aggregate groupBy. Same DuckDB oracle.",
+      (s, d) => {
+        graft.plans.SimHash16.register(s)
+        Tables.documents(s, d)
+          .select(col("doc_id"), expr("simhash16(text)").as("simhash"))
+          .groupBy(col("simhash"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            min(col("doc_id")).as("canonical_doc"))
+      },
+      Some {
+        val votes = (0 until 16).map(j =>
+          s"sum(CASE WHEN substr(md5(tok), ${j + 1}, 1) IN " +
+            s"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v$j")
+          .mkString(", ")
+        val fp = (0 until 16)
+          .map(j => s"CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END")
+          .mkString(" + ")
+        s"""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        v AS (SELECT doc_id, $votes FROM tok GROUP BY 1),
+        f AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM v)
+        SELECT simhash, count(*) AS n_docs, min(doc_id) AS canonical_doc
+        FROM f GROUP BY 1"""
       })
   )
 }
