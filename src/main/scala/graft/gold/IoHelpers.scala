@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 /** Input-shape tolerance shared by the gold builders (the reference's
   * _io_helpers.pydict_get: a missing input column reads as all-null
   * rather than failing the build). */
-private[gold] object IoHelpers {
+private[graft] object IoHelpers {
   def colOrNull(df: DataFrame, name: String, tpe: String): Column =
     if (df.columns.contains(name)) col(name).cast(tpe)
     else lit(null).cast(tpe)
