@@ -86,6 +86,7 @@ object RollupAdj {
       adj_off_eff_formula: Double, adj_def_eff_formula: Double,
       adj_net_eff_formula: Double,
       weighted_off_eff: Double, weighted_def_eff: Double,
+      weighted_off_eff_formula: Double, weighted_def_eff_formula: Double,
       hca_points_per_100: Double)
 
   /** Flat game-team rows (teamid, opponentid, startdate, ishometeam,
@@ -143,18 +144,25 @@ object RollupAdj {
       // opponent-strength-weighted raw efficiencies (reference :272-294)
       val wo = collection.mutable.Map[Long, List[Double]]().withDefaultValue(Nil)
       val wd = collection.mutable.Map[Long, List[Double]]().withDefaultValue(Nil)
+      val woF = collection.mutable.Map[Long, List[Double]]().withDefaultValue(Nil)
+      val wdF = collection.mutable.Map[Long, List[Double]]().withDefaultValue(Nil)
       prior.foreach { g =>
         wo(g.team) = (if (lDef != 0) g.offEff * (adjDef.getOrElse(g.opp, lDef) / lDef)
           else g.offEff) :: wo(g.team)
         wd(g.team) = (if (lOff != 0) g.defEff * (adjOff.getOrElse(g.opp, lOff) / lOff)
           else g.defEff) :: wd(g.team)
+        woF(g.team) = (if (lDefF != 0) g.offEffF * (adjDefF.getOrElse(g.opp, lDefF) / lDefF)
+          else g.offEffF) :: woF(g.team)
+        wdF(g.team) = (if (lOffF != 0) g.defEffF * (adjOffF.getOrElse(g.opp, lOffF) / lOffF)
+          else g.defEffF) :: wdF(g.team)
       }
       teams.foreach { t =>
         def mean(xs: List[Double]) = if (xs.isEmpty) 0.0 else xs.sum / xs.size
         out += AdjRow(t, d,
           adjOff(t), adjDef(t), adjOff(t) - adjDef(t),
           adjOffF(t), adjDefF(t), adjOffF(t) - adjDefF(t),
-          mean(wo(t).reverse), mean(wd(t).reverse), hca)
+          mean(wo(t).reverse), mean(wd(t).reverse),
+          mean(woF(t).reverse), mean(wdF(t).reverse), hca)
       }
     }
     out.toSeq.toDF()
