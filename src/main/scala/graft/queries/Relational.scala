@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
 
 /** Relational operator surface: joins, aggregations, set ops, scalar
@@ -293,25 +294,33 @@ object Relational {
         "each (order, supplier) aggregate with the other suppliers' " +
         "aggregates in the same order.",
       (s, d) => {
+        // Single-pass complement derivation: no self-join. Aggregate
+        // (order, supplier) once, then each row's opponents are the
+        // per-order totals minus its own contribution — one scan, one
+        // shuffle on the fact, one window exchange on aggregate-sized
+        // data. The old two-scan self-join's build side was a full fact
+        // aggregate (unbroadcastable at 100×); this shape has no join.
         val li = Tables.lineitem(s, d)
-        val a = li.groupBy(col("l_orderkey"), col("l_suppkey"))
+        val w = Window.partitionBy(col("l_orderkey"))
+        li.groupBy(col("l_orderkey"), col("l_suppkey"))
           .agg(sum(col("l_quantity")).as("qty"))
-        val t = a.as("t")
-        val o = a.select(col("l_orderkey").as("o_ok"), col("l_suppkey").as("o_sk"), col("qty").as("o_qty"))
-        t.join(o, col("t.l_orderkey") === col("o_ok") && col("t.l_suppkey") =!= col("o_sk"))
-          .groupBy(col("t.l_orderkey").as("l_orderkey"), col("t.l_suppkey").as("l_suppkey"))
-          .agg(
-            count(lit(1)).as("n_opp"),
-            round(avg(col("o_qty")), 4).as("opp_avg_qty"))
+          .withColumn("tot", sum(col("qty")).over(w))
+          .withColumn("cnt", count(lit(1)).over(w))
+          .filter(col("cnt") > 1)
+          .select(col("l_orderkey"), col("l_suppkey"),
+            (col("cnt") - 1).as("n_opp"),
+            round((col("tot") - col("qty")) / (col("cnt") - 1), 4).as("opp_avg_qty"))
       },
       Some("""
         WITH a AS (SELECT l_orderkey, l_suppkey, sum(l_quantity) AS qty
-                   FROM lineitem GROUP BY 1, 2)
-        SELECT t.l_orderkey, t.l_suppkey, count(*) AS n_opp,
-               round(avg(o.qty), 4) AS opp_avg_qty
-        FROM a t JOIN a o ON t.l_orderkey = o.l_orderkey
-                         AND t.l_suppkey <> o.l_suppkey
-        GROUP BY 1, 2""")),
+                   FROM lineitem GROUP BY 1, 2),
+        t AS (SELECT l_orderkey, l_suppkey, qty,
+                     sum(qty) OVER (PARTITION BY l_orderkey) AS tot,
+                     count(*) OVER (PARTITION BY l_orderkey) AS cnt
+              FROM a)
+        SELECT l_orderkey, l_suppkey, CAST(cnt - 1 AS BIGINT) AS n_opp,
+               round((tot - qty) / (cnt - 1), 4) AS opp_avg_qty
+        FROM t WHERE cnt > 1""")),
 
     // ----- J9/J2: unpivot via explode + union-shaped agg ------------------
     Q(

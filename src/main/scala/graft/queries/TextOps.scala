@@ -453,7 +453,7 @@ object TextOps {
                          ROWS UNBOUNDED PRECEDING) AS cum
           FROM documents)
         SELECT lang, CAST(floor((cum - toks) / 4096.0) AS BIGINT) AS bin,
-               count(*) AS n_docs, sum(toks) AS bin_tokens,
+               count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS bin_tokens,
                min(doc_id) AS first_doc, max(doc_id) AS last_doc
         FROM toks GROUP BY 1, 2""")),
 
