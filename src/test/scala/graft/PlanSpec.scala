@@ -1,0 +1,62 @@
+package graft
+
+/** Physical-plan regression guard: pins the load-bearing plan facts the
+  * earlier rounds established (pushdown, broadcast dims, top-k operator,
+  * single-scan j08, LSH exchange reuse, no cartesian products) so a
+  * refactor can't silently reintroduce a scale-killer plan shape. These
+  * are contains-checks on the executed plan string — cheap, and exactly
+  * what a human plan review looks for.
+  */
+class PlanSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("p02 pushes its filters into the parquet scan and prunes columns") {
+    val p = planOf("p02_pushdown_agg")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(!p.contains("PushedFilters: []"), p)
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p)
+      .map(_.group(1)).getOrElse(fail(s"no ReadSchema in:\n$p"))
+    val cols = read.split(",").map(_.split(":")(0).trim).toSet
+    assert(cols == Set("l_quantity", "l_extendedprice", "l_discount", "l_shipdate"),
+      s"expected the 4 referenced columns only, got $cols")
+  }
+
+  test("j01 joins its dimension chain via broadcast, not shuffle") {
+    val p = planOf("j01_broadcast_chain")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("o04 top-k is TakeOrderedAndProject, not a global sort") {
+    val p = planOf("o04_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("j08 complement derivation reads the fact exactly once and has no join") {
+    val p = planOf("j08_self_join_opponent")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 parquet scan, got $scans in:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin")
+      && !p.contains("ShuffledHashJoin"), s"j08 must not join:\n$p")
+  }
+
+  test("d02 LSH band join reuses the signature exchange") {
+    // Exchange reuse is an AQE runtime decision: execute, then read the
+    // final adaptive plan (the static plan shows two identical exchanges).
+    val df = SparkEntry.queries("d02_minhash_lsh")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p.take(300))
+    assert(p.contains("ReusedExchange"), p.take(3000))
+  }
+
+  test("no query in SparkEntry plans a cartesian product") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
+      planOf(name).contains("CartesianProduct")
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+}
