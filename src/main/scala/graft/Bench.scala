@@ -1,20 +1,28 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main: one JSON line with per-query seconds at
-  * SPARK_GRAFT_SF_DIR. A warmup pass at sf0.001 (when present) runs every
-  * query once first so JIT + codegen + catalog init don't land on the
-  * first timed query; each query is then timed SPARK_GRAFT_BENCH_RUNS
-  * times (default 3) and the MEDIAN reported, with the per-query
-  * max−min spread alongside — host-noise regressions (this box has
-  * shown 2x wall-clock swings on identical code) stay distinguishable
-  * from real plan regressions.
+/** Benchmark main: per-query seconds at SPARK_GRAFT_SF_DIR.
+  *
+  * - Warmup pass at sf0.001 (when present) so JIT + codegen + catalog
+  *   init don't land on the first timed query.
+  * - PASS-MAJOR run order: the whole suite runs SPARK_GRAFT_BENCH_RUNS
+  *   times (default 3) and each query's MEDIAN across passes is
+  *   reported. Query-major order (3 back-to-back runs) let a transient
+  *   host-contention window pollute all samples of one query — r3's
+  *   in-suite j08=11 s vs 1.9 s isolated; spreading samples across
+  *   passes makes the median robust to that.
+  * - stdout stays ONE compact JSON line (medians + spreads rounded to
+  *   ms) — the driver's contract; r3's full-precision line was long
+  *   enough to get tail-truncated in capture. Full detail including
+  *   every per-pass sample is written to SPARK_GRAFT_BENCH_OUT
+  *   (default bench_out.json) for post-hoc noise analysis.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -32,23 +40,35 @@ object Bench {
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
     }
-    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+    val samples = scala.collection.mutable.LinkedHashMap(
+      queries.map { case (n, _) => n -> Vector.empty[Double] }: _*)
+    (1 to runs).foreach { _ =>
+      queries.foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
+      }
     }
-    val results = queries.map { case (name, fn) =>
-      val ts = (1 to runs).map(_ => time(fn)).sorted
-      val median = ts(ts.size / 2)
-      (name, median, ts.last - ts.head)
+    def ms(x: Double): Double = math.rint(x * 1000) / 1000
+    val results = samples.toSeq.map { case (name, ts) =>
+      val s = ts.sorted
+      (name, s(s.size / 2), s.last - s.head, ts)
     }
-    val qs = results.map { case (k, m, _) => "\"" + k + "\":" + m }
+    val qs = results.map { case (k, m, _, _) => "\"" + k + "\":" + ms(m) }
       .mkString("{", ",", "}")
-    val spreads = results.map { case (k, _, sp) =>
-      "\"" + k + "\":" + math.rint(sp * 1000) / 1000 }
+    val spreads = results.map { case (k, _, sp, _) => "\"" + k + "\":" + ms(sp) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"runs":$runs,"sf":"$sfDir"}""")
+    val total = ms(results.map(_._2).sum)
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"runs":$runs,"order":"pass-major","sf":"$sfDir"}"""
+    val perRun = results.map { case (k, _, _, ts) =>
+      "\"" + k + "\":" + ts.map(ms).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val full = line.dropRight(1) + s""","samples":$perRun}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      full.getBytes("UTF-8"))
+    catch { case _: Throwable => () } // bench must still print if cwd is read-only
+    println(line)
     spark.stop()
   }
 }
