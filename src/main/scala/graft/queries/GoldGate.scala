@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.gold.{AdjustedEfficiencies, GamePredictionsFeatures, MarketLinesAnalysis, PlayerSeasonImpact, TeamPowerRankings, TeamSeasonSummary}
+import graft.ratings.IterativeRatings
 import graft.sources.Tables
 
 /** The gold transforms under the hard cross-engine gate.
@@ -728,6 +729,143 @@ object GoldGate {
           AND p.opp_poss IS NOT NULL AND p.opp_poss > 0
           AND p.pts IS NOT NULL AND p.opp_pts IS NOT NULL
           AND p.teamId IN (SELECT teamId FROM dim_d1
-                           WHERE conference IS NOT NULL AND conference <> '')"""))
+                           WHERE conference IS NOT NULL AND conference <> '')""")),
+
+    Q(
+      "g07_gold_adjeff_timeseries",
+      "The per-date warm-start solver loop of gold team_adjusted_" +
+        "efficiencies (reference adjusted_efficiencies.py:525-637) — the " +
+        "REAL AdjustedEfficiencies.build, pinned to the 2 earliest game " +
+        "dates x exactly 2 solver sweeps (maxIter=2, tol<0) so the loop " +
+        "becomes SQL-composable: the oracle replays init -> sweep -> " +
+        "sweep per date over strictly-dated game windows, carrying " +
+        "date-1's final ratings into date-2's init (warm start, raw-init " +
+        "fallback for new teams). Gates the warm-start/leakage wiring of " +
+        "the flagship product itself, not just its stages.",
+      (s, d) => {
+        val g = games(s, d)
+        val dates2 = g.select(substring(col("startDate"), 1, 10).as("gd"))
+          .distinct().orderBy(col("gd").asc).limit(2)
+        val g2 = g.join(broadcast(dates2),
+          substring(col("startDate"), 1, 10) === col("gd")).drop("gd")
+        AdjustedEfficiencies.build(s, gameTeams(s, d), g2, dimD1(s, d), Season,
+            IterativeRatings.Config(maxIter = 2, tol = -1.0))
+          .select(col("teamId"), col("rating_date"),
+            round(col("adj_oe"), 3).as("adj_oe"),
+            round(col("adj_de"), 3).as("adj_de"),
+            col("games_played"), col("iterations"))
+      },
+      Some(s"""
+        WITH $FixtureSql,
+        d2win AS (SELECT DISTINCT substr(startDate, 1, 10) AS gd
+                  FROM fx_games ORDER BY 1 LIMIT 2),
+        parsed AS (
+          SELECT gameId, teamId,
+                 coalesce(
+                   CASE WHEN json_valid(teamStats)
+                        THEN CAST(json_extract(teamStats, '$$.possessions') AS DOUBLE) END,
+                   CASE WHEN json_valid(replace(teamStats, '''', '"'))
+                        THEN CAST(json_extract(replace(teamStats, '''', '"'),
+                                               '$$.possessions') AS DOUBLE) END) AS poss,
+                 coalesce(
+                   CASE WHEN json_valid(teamStats)
+                        THEN CAST(json_extract(teamStats, '$$.points.total') AS DOUBLE) END,
+                   CASE WHEN json_valid(replace(teamStats, '''', '"'))
+                        THEN CAST(json_extract(replace(teamStats, '''', '"'),
+                                               '$$.points.total') AS DOUBLE) END) AS pts,
+                 coalesce(
+                   CASE WHEN json_valid(opponentStats)
+                        THEN CAST(json_extract(opponentStats, '$$.possessions') AS DOUBLE) END,
+                   CASE WHEN json_valid(replace(opponentStats, '''', '"'))
+                        THEN CAST(json_extract(replace(opponentStats, '''', '"'),
+                                               '$$.possessions') AS DOUBLE) END) AS opp_poss,
+                 coalesce(
+                   CASE WHEN json_valid(opponentStats)
+                        THEN CAST(json_extract(opponentStats, '$$.points.total') AS DOUBLE) END,
+                   CASE WHEN json_valid(replace(opponentStats, '''', '"'))
+                        THEN CAST(json_extract(replace(opponentStats, '''', '"'),
+                                               '$$.points.total') AS DOUBLE) END) AS opp_pts
+          FROM fx_gt),
+        prep AS (
+          SELECT p.gameId, p.teamId, p.poss, p.pts, p.opp_poss, p.opp_pts,
+                 substr(g.startDate, 1, 10) AS game_date,
+                 coalesce(g.neutralSite, false) AS neutral,
+                 p.teamId = g.homeTeamId AS is_home
+          FROM parsed p
+          JOIN fx_games g ON p.gameId = g.gameId
+          JOIN d2win w ON substr(g.startDate, 1, 10) = w.gd
+          WHERE p.poss IS NOT NULL AND p.poss > 0
+            AND p.opp_poss IS NOT NULL AND p.opp_poss > 0
+            AND p.pts IS NOT NULL AND p.opp_pts IS NOT NULL
+            AND p.teamId IN (SELECT teamId FROM dim_d1
+                             WHERE conference IS NOT NULL AND conference <> '')),
+        obs AS (
+          SELECT a.gameId, a.teamId AS team, b.teamId AS opp, a.pts, a.poss,
+                 a.opp_pts, a.opp_poss, a.game_date, a.neutral, a.is_home
+          FROM prep a JOIN prep b ON a.gameId = b.gameId AND a.teamId <> b.teamId),
+        eff AS (
+          SELECT *,
+                 pts / poss * 100.0
+                   + CASE WHEN neutral THEN 0.0
+                          WHEN is_home THEN -4.0266 ELSE 4.0266 END AS go,
+                 opp_pts / opp_poss * 100.0
+                   + CASE WHEN neutral THEN 0.0
+                          WHEN is_home THEN 4.0266 ELSE -4.0266 END AS gd
+          FROM obs),
+        dmin AS (SELECT min(game_date) AS d1 FROM eff),
+        dmax AS (SELECT max(game_date) AS d2 FROM eff),
+        e1 AS (SELECT e.* FROM eff e, dmin WHERE e.game_date <= dmin.d1),
+        lg1 AS (SELECT sum(pts) / sum(poss) * 100.0 AS league FROM e1),
+        i1 AS (
+          SELECT team,
+                 least(greatest(sum(go) / count(*), 40.0), 200.0) AS oe0,
+                 least(greatest(sum(gd) / count(*), 40.0), 200.0) AS de0
+          FROM e1 GROUP BY 1),
+        s1a AS (
+          SELECT e.team,
+                 least(greatest(sum(e.go * pow(lg1.league / i.de0, 0.85))
+                                / count(*), 40.0), 200.0) AS oe1,
+                 least(greatest(sum(e.gd * pow(lg1.league / i.oe0, 0.85))
+                                / count(*), 40.0), 200.0) AS de1
+          FROM e1 e JOIN i1 i ON e.opp = i.team, lg1 GROUP BY e.team),
+        s1b AS (
+          SELECT e.team, count(*) AS n,
+                 least(greatest(sum(e.go * pow(lg1.league / s.de1, 0.85))
+                                / count(*), 40.0), 200.0) AS oe2,
+                 least(greatest(sum(e.gd * pow(lg1.league / s.oe1, 0.85))
+                                / count(*), 40.0), 200.0) AS de2
+          FROM e1 e JOIN s1a s ON e.opp = s.team, lg1 GROUP BY e.team),
+        lg2 AS (SELECT sum(pts) / sum(poss) * 100.0 AS league FROM eff),
+        raw2 AS (
+          SELECT team, sum(go) / count(*) AS roe, sum(gd) / count(*) AS rde
+          FROM eff GROUP BY 1),
+        i2 AS (
+          SELECT r.team,
+                 least(greatest(coalesce(w.oe2, r.roe), 40.0), 200.0) AS oe0,
+                 least(greatest(coalesce(w.de2, r.rde), 40.0), 200.0) AS de0
+          FROM raw2 r LEFT JOIN s1b w ON r.team = w.team),
+        s2a AS (
+          SELECT e.team,
+                 least(greatest(sum(e.go * pow(lg2.league / i.de0, 0.85))
+                                / count(*), 40.0), 200.0) AS oe1,
+                 least(greatest(sum(e.gd * pow(lg2.league / i.oe0, 0.85))
+                                / count(*), 40.0), 200.0) AS de1
+          FROM eff e JOIN i2 i ON e.opp = i.team, lg2 GROUP BY e.team),
+        s2b AS (
+          SELECT e.team, count(*) AS n,
+                 least(greatest(sum(e.go * pow(lg2.league / s.de1, 0.85))
+                                / count(*), 40.0), 200.0) AS oe2,
+                 least(greatest(sum(e.gd * pow(lg2.league / s.oe1, 0.85))
+                                / count(*), 40.0), 200.0) AS de2
+          FROM eff e JOIN s2a s ON e.opp = s.team, lg2 GROUP BY e.team)
+        SELECT team AS teamId, (SELECT d1 FROM dmin) AS rating_date,
+               round(oe2, 3) AS adj_oe, round(de2, 3) AS adj_de,
+               CAST(n AS INT) AS games_played, CAST(2 AS INT) AS iterations
+        FROM s1b
+        UNION ALL
+        SELECT team, (SELECT d2 FROM dmax), round(oe2, 3), round(de2, 3),
+               CAST(n AS INT), CAST(2 AS INT)
+        FROM s2b
+        WHERE (SELECT d2 FROM dmax) <> (SELECT d1 FROM dmin)"""))
   )
 }
