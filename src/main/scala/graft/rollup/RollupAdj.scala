@@ -29,7 +29,7 @@ object RollupAdj {
 
   /** Empirical HCA: (mean home off_eff − mean away off_eff)/2, 0 when
     * either side is empty (reference :78-83). */
-  def estimateHca(games: Seq[GameRow]): Double = {
+  def estimateHca(games: collection.Seq[GameRow]): Double = {
     val home = games.filter(_.isHome.contains(true)).map(_.offEff)
     val away = games.filter(_.isHome.contains(false)).map(_.offEff)
     if (home.isEmpty || away.isEmpty) 0.0
@@ -38,7 +38,7 @@ object RollupAdj {
 
   /** Fixed-iteration additive solve over residuals (reference :86-146):
     * no recentering, league-mean init, hca_sign from the venue flag. */
-  def iterate(games: Seq[GameRow], teams: Seq[Long], hca: Double,
+  def iterate(games: collection.Seq[GameRow], teams: Seq[Long], hca: Double,
       iterations: Int): (Map[Long, Double], Map[Long, Double], Map[Long, Double], Map[Long, Double]) = {
     var off = teams.map(_ -> 0.0).toMap
     var deff = teams.map(_ -> 0.0).toMap
@@ -92,13 +92,22 @@ object RollupAdj {
   /** Flat game-team rows (teamid, opponentid, startdate, ishometeam,
     * team_points_total, opp_points_total, team_possessions,
     * opp_possessions [, *_formula]) → one row per team per calendar
-    * day. */
+    * day.
+    *
+    * Scale guard: the driver only ever holds ONE season's observation
+    * set (≤ ~6k games — the I1/I2 domain contract). A multi-season
+    * frame is split on the Aug-cutoff season label (Aug–Dec dates
+    * belong to the season ending the following year) and each season is
+    * collected, solved and released independently, each with its own
+    * calendar, team universe, HCA and strictly-prior window — ratings
+    * never leak across a season boundary, and driver memory is bounded
+    * by the largest season, not the input. */
   def build(spark: SparkSession, flat: DataFrame, iterations: Int = 25): DataFrame = {
     import spark.implicits._
     import graft.gold.IoHelpers.colOrNull
-    val rows = flat.select(
+    val selected = flat.select(
         col("teamid").cast("long"), col("opponentid").cast("long"),
-        substring(col("startdate").cast("string"), 1, 10),
+        substring(col("startdate").cast("string"), 1, 10).as("__d"),
         colOrNull(flat, "ishometeam", "boolean"),
         col("team_points_total").cast("double"),
         col("opp_points_total").cast("double"),
@@ -106,8 +115,25 @@ object RollupAdj {
         col("opp_possessions").cast("double"),
         colOrNull(flat, "team_possessions_formula", "double"),
         colOrNull(flat, "opp_possessions_formula", "double"))
-      .collect()
+      .withColumn("__season", year(to_date(col("__d")))
+        + when(month(to_date(col("__d"))) >= 8, 1).otherwise(0))
 
+    val seasons = selected.select(col("__season")).where(col("__season").isNotNull)
+      .distinct().collect().map(_.getInt(0)).sorted
+    val out = collection.mutable.ArrayBuffer[AdjRow]()
+    seasons.foreach { season =>
+      val rows = selected.filter(col("__season") === season)
+        .drop("__season").collect()
+      out ++= solveSeason(rows, iterations)
+    }
+    if (out.isEmpty) Seq.empty[AdjRow].toDF() else out.toSeq.toDF()
+  }
+
+  /** One season's per-date loop. The prior-games window is extended
+    * incrementally over date-sorted observations (O(N + D) list work,
+    * vs re-filtering all N observations for each of D calendar days). */
+  private def solveSeason(rows: Array[org.apache.spark.sql.Row],
+      iterations: Int): Seq[AdjRow] = {
     def eff(p: Double, poss: Double) = if (poss > 0) p * 100.0 / poss else 0.0
     val obs = rows.toSeq.flatMap { r =>
       if (r.isNullAt(0) || r.isNullAt(1) || r.isNullAt(2)) None
@@ -118,18 +144,20 @@ object RollupAdj {
           r.getString(2),
           eff(d(4), d(6)), eff(d(5), d(7)), eff(d(4), d(8)), eff(d(5), d(9))))
       }
-    }.sortBy(g => (g.date, g.team, g.opp)) // fixed float-accumulation order
+    }.sortBy(g => (g.date, g.team, g.opp)).toIndexedSeq // fixed float-accumulation order
 
-    if (obs.isEmpty) return Seq.empty[AdjRow].toDF()
+    if (obs.isEmpty) return Seq.empty
     val teams = obs.flatMap(g => Seq(g.team, g.opp)).distinct.sorted
-    val d0 = java.time.LocalDate.parse(obs.map(_.date).min)
-    val d1 = java.time.LocalDate.parse(obs.map(_.date).max)
+    val d0 = java.time.LocalDate.parse(obs.head.date)
+    val d1 = java.time.LocalDate.parse(obs.last.date)
     val calendar = Iterator.iterate(d0)(_.plusDays(1))
       .takeWhile(!_.isAfter(d1)).map(_.toString).toSeq
 
     val out = collection.mutable.ArrayBuffer[AdjRow]()
+    val prior = collection.mutable.ArrayBuffer[GameRow]() // strictly prior: no leakage
+    var next = 0
     calendar.foreach { d =>
-      val prior = obs.filter(_.date < d) // strictly prior: no leakage
+      while (next < obs.size && obs(next).date < d) { prior += obs(next); next += 1 }
       val hca = estimateHca(prior)
       val (off, deff, offF, defF) = iterate(prior, teams, hca, iterations)
       val n = prior.size
@@ -165,6 +193,6 @@ object RollupAdj {
           mean(woF(t).reverse), mean(wdF(t).reverse), hca)
       }
     }
-    out.toSeq.toDF()
+    out.toSeq
   }
 }

@@ -64,4 +64,43 @@ class RollupAdjSpec extends SparkSpec {
     val t3d3 = rows((3L, "2025-01-03"))
     assert(math.abs(t3d3.getAs[Double]("adj_net_eff")) < 1e-9)
   }
+
+  test("multi-season input is processed per-season (no cross-season leakage)") {
+    val s = spark
+    import s.implicits._
+    // season 2025: two games Dec 30/31 2024; season 2026: one game
+    // Nov 5 2025. Team 1 plays in both; team 4 only in season 2026.
+    val flat = Seq(
+      (1L, 2L, "2024-12-30T19:00:00", None: Option[Boolean], 80.0, 70.0, 70.0, 70.0),
+      (2L, 1L, "2024-12-30T19:00:00", None: Option[Boolean], 70.0, 80.0, 70.0, 70.0),
+      (1L, 3L, "2024-12-31T19:00:00", None: Option[Boolean], 75.0, 70.0, 70.0, 70.0),
+      (3L, 1L, "2024-12-31T19:00:00", None: Option[Boolean], 70.0, 75.0, 70.0, 70.0),
+      (1L, 4L, "2025-11-05T19:00:00", None: Option[Boolean], 90.0, 60.0, 70.0, 70.0),
+      (4L, 1L, "2025-11-05T19:00:00", None: Option[Boolean], 60.0, 90.0, 70.0, 70.0))
+      .toDF("teamid", "opponentid", "startdate", "ishometeam",
+        "team_points_total", "opp_points_total",
+        "team_possessions", "opp_possessions")
+
+    val out = RollupAdj.build(s, flat, iterations = 25).collect()
+    val byKey = out.map(r => (r.getAs[Long]("teamid"),
+      r.getAs[String]("rating_date")) -> r).toMap
+
+    // each season gets its OWN calendar and team universe: 3 teams x
+    // 2 days + 2 teams x 1 day — no rows for the 300-day summer gap,
+    // no team-4 rows in season 2025, no team-2/3 rows in season 2026
+    assert(out.length == 8, out.map(r => (r.getLong(0), r.getString(1))).toSeq)
+    assert(!byKey.contains((4L, "2024-12-31")))
+    assert(!byKey.contains((2L, "2025-11-05")))
+    val dates = out.map(_.getAs[String]("rating_date")).distinct.sorted
+    assert(dates.sameElements(Array("2024-12-30", "2024-12-31", "2025-11-05")))
+
+    // season-2026 opening day has NO prior games in its own season:
+    // team 1's season-2025 results must not leak across the boundary
+    val t1s2 = byKey((1L, "2025-11-05"))
+    assert(t1s2.getAs[Double]("adj_net_eff") == 0.0)
+    assert(t1s2.getAs[Double]("hca_points_per_100") == 0.0)
+
+    // and within season 2025 the day-2 rating still sees day-1's game
+    assert(byKey((1L, "2024-12-31")).getAs[Double]("adj_net_eff") > 0.0)
+  }
 }
