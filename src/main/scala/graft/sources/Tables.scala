@@ -25,8 +25,15 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = table(s, d, "events")
+    // only the driver's NANOS file needs the long→µs conversion; a
+    // re-materialized copy (e.g. tools.ScaleFixture) already carries a
+    // proper µs timestamp column
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
