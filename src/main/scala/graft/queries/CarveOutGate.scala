@@ -124,6 +124,55 @@ object CarveOutGate {
                 ORDER BY dot DESC, sid ASC) rn FROM s)
         WHERE rn = 1""")),
 
+    // ----- two composed Lloyd steps (assign → update → re-assign) ---------------
+    Q(
+      "v05c_lloyd_iterate",
+      "The REAL KMeans.fit at iterations=2 — seed assignment, centroid " +
+        "mean update (empty clusters keep their seed), re-assignment " +
+        "against the updated centroids — hash-matched against a full " +
+        "SQL replay of both steps. This gates the iterative WIRING of " +
+        "the k-means build (what v05b's single step couldn't), the " +
+        "same upgrade g07 gives the ratings solver; only unbounded " +
+        "iteration counts remain procedural (v05).",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val (assign, _) = graft.operators.KMeans.fit(s, e, k = 8, iterations = 2)
+        assign.select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+      },
+      Some("""
+        WITH seeds0 AS (
+          SELECT vec_id AS sid, embedding::DOUBLE[] AS se
+          FROM embeddings
+          ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 8),
+        seeds AS (
+          SELECT sid, se,
+                 row_number() OVER (ORDER BY CAST(sid AS VARCHAR) ASC) - 1 AS cluster
+          FROM seeds0),
+        long AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+                        unnest(range(len(embedding))) AS pos
+                 FROM embeddings),
+        sg AS (SELECT cluster, unnest(se) AS sv, unnest(range(len(se))) AS pos
+               FROM seeds),
+        d1 AS (SELECT l.vec_id, g.cluster, sum(l.v * g.sv) AS dot
+               FROM long l JOIN sg g USING (pos) GROUP BY 1, 2),
+        a1 AS (SELECT vec_id, cluster FROM (
+                 SELECT vec_id, cluster,
+                        row_number() OVER (PARTITION BY vec_id
+                          ORDER BY dot DESC, cluster ASC) AS rn
+                 FROM d1) WHERE rn = 1),
+        sums AS (SELECT a.cluster, l.pos, sum(l.v) AS s, count(*) AS n
+                 FROM long l JOIN a1 a USING (vec_id) GROUP BY 1, 2),
+        cent1 AS (SELECT g.cluster, g.pos, coalesce(m.s / m.n, g.sv) AS cv
+                  FROM sg g LEFT JOIN sums m
+                    ON g.cluster = m.cluster AND g.pos = m.pos),
+        d2 AS (SELECT l.vec_id, c.cluster, sum(l.v * c.cv) AS dot
+               FROM long l JOIN cent1 c USING (pos) GROUP BY 1, 2)
+        SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM (
+          SELECT vec_id, cluster,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY dot DESC, cluster ASC) AS rn
+          FROM d2) WHERE rn = 1""")),
+
     // ----- PBP classifier + flags stage --------------------------------------------
     Q(
       "pbp02_classifier_flags",
