@@ -8,16 +8,20 @@ import graft.pbp.PlayClassifier
 import graft.ratings.SolverSweep
 import graft.sources.Tables
 
-/** SQL-expressible single-step variants of the three rows-only
-  * procedural operators, so each carries a hard DuckDB hash check of
-  * its core math; only the irreducibly iterative loops stay rows-only.
+/** SQL-expressible gates for the procedural operators, so each carries
+  * a hard DuckDB hash check; only UNBOUNDED iteration counts stay
+  * rows-only (dm10, v05), and even those have their wiring gated.
   *
   *  - dm10b: one solver sweep (the (league/opp)^α re-estimate) — the
   *    same observations dm10 feeds the full fixed-point solver.
   *  - v05b: one Lloyd assignment step against the deterministic
   *    md5-seeded centroids KMeans.fit starts from.
+  *  - v05c: the REAL KMeans.fit at iterations=2 (assign → centroid
+  *    update → re-assign) vs a full SQL replay — the iterative wiring.
   *  - pbp02: the classifier + flags + ends_possession stage of the PBP
-  *    chain (everything before the procedural and-1 lookahead).
+  *    chain.
+  *  - pbp03: the ENTIRE possession state machine incl. the and-1
+  *    lookahead, replayed in SQL with bounded window scans.
   */
 object CarveOutGate {
 
@@ -172,6 +176,176 @@ object CarveOutGate {
                  row_number() OVER (PARTITION BY vec_id
                    ORDER BY dot DESC, cluster ASC) AS rn
           FROM d2) WHERE rn = 1""")),
+
+    // ----- FULL possession chain incl. and-1 lookahead -----------------------------
+    Q(
+      "pbp03_full_chain",
+      "The ENTIRE possession state machine — and-1 lookahead included — " +
+        "hash-matched against a full SQL replay. The lookahead is " +
+        "bounded-window-expressible: next-action index per row, first " +
+        "same-clock foul before it, ranked FT collection capped at the " +
+        "expected count; possession ids are then a running count over " +
+        "computed boundary flags, and offense follows the last start's " +
+        "pending-offense rule (def-rebound keeps, else flips; period " +
+        "change clears). Runs the REAL PossessionEngine.enrich on a " +
+        "foul-enriched play stream (coarse 150-value clock so same-" +
+        "clock shot+foul sequences occur organically). Upgrades pbp01 " +
+        "from rows-only + golden fixture to a cross-engine hash gate " +
+        "of the full chain on 10k plays.",
+      (s, d) => {
+        import s.implicits._
+        val plays = Tables.events(s, d).select(
+            col("event_id").as("id"),
+            col("user_id").as("gameId"),
+            (lit(1L) + col("event_id") % 2).as("teamId"),
+            (lit(2L) - col("event_id") % 2).as("opponentId"),
+            (lit(1) + (col("event_id") % 97 % 2)).cast("int").as("period"),
+            (lit(1200L) - (col("event_id") % 149) * 8).as("secondsRemaining"),
+            when(col("event_id") % 5 === 2, "Personal Foul")
+              .when(col("event_type") === "click", "JumpShot")
+              .when(col("event_type") === "view", "Defensive Rebound")
+              .when(col("event_type") === "purchase", "Three Point Jump Shot")
+              .when(col("event_type") === "signup", "Free Throw 1 of 1")
+              .otherwise("Lost Ball Turnover").as("playType"),
+            lit(null).cast("string").as("playText"),
+            (col("value") > 0.5).as("scoringPlay"),
+            lit(null).cast("boolean").as("shootingPlay"),
+            when(col("event_id") % 5 === 2, lit(null).cast("double"))
+              .when(col("event_type") === "signup", 1.0)
+              .when(col("event_type") === "purchase", 3.0)
+              .when(col("event_type") === "click", 2.0).as("scoreValue"),
+            (col("event_id") % 40).as("homeScore"),
+            (col("event_id") % 37).as("awayScore"),
+            (col("event_id") % 2 === 0).as("isHomeTeam"))
+          .as[graft.pbp.PossessionEngine.Play]
+        graft.pbp.PossessionEngine.enrich(plays).toDF()
+          .select(col("id"), col("gameId").as("game_id"),
+            col("possession_id"), col("offense_team_id"),
+            col("possession_end"), col("garbage_time"))
+      },
+      Some("""
+        WITH plays AS (
+          SELECT event_id AS id, user_id AS game_id,
+                 1 + event_id % 2 AS team_id, 2 - event_id % 2 AS opp_id,
+                 CAST(1 + (event_id % 97 % 2) AS INT) AS period,
+                 1200 - (event_id % 149) * 8 AS sec,
+                 CASE WHEN event_id % 5 = 2 THEN 'Personal Foul'
+                      ELSE CASE event_type WHEN 'click' THEN 'JumpShot'
+                                           WHEN 'view' THEN 'Defensive Rebound'
+                                           WHEN 'purchase' THEN 'Three Point Jump Shot'
+                                           WHEN 'signup' THEN 'Free Throw 1 of 1'
+                                           ELSE 'Lost Ball Turnover' END END AS play_type,
+                 value > 0.5 AS scoring,
+                 CASE WHEN event_id % 5 = 2 THEN NULL
+                      ELSE CASE event_type WHEN 'signup' THEN 1.0
+                                           WHEN 'purchase' THEN 3.0
+                                           WHEN 'click' THEN 2.0 END END AS sv,
+                 event_id % 40 AS hs, event_id % 37 AS aw
+          FROM events),
+        f AS (
+          SELECT *,
+                 row_number() OVER (PARTITION BY game_id
+                   ORDER BY period ASC, sec DESC, id ASC) AS rn,
+                 play_type IN ('JumpShot', 'Three Point Jump Shot') AS is_fga,
+                 play_type = 'Lost Ball Turnover' AS is_to,
+                 play_type = 'Defensive Rebound' AS is_dr,
+                 sv = 1.0 AS is_ft,
+                 lower(play_type) LIKE '%foul%' AS is_foul
+          FROM plays),
+        g AS (SELECT *, is_fga OR is_to OR is_dr AS is_action_base FROM f),
+        nx AS (
+          SELECT *,
+                 min(CASE WHEN is_action_base THEN rn END) OVER
+                   (PARTITION BY game_id ORDER BY rn
+                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_action
+          FROM g),
+        fouls AS (
+          SELECT a.game_id, a.rn AS shot_rn, min(b.rn) AS foul_rn
+          FROM nx a JOIN nx b
+            ON a.game_id = b.game_id AND b.rn > a.rn
+           AND b.rn < coalesce(a.next_action, 2147483647)
+           AND b.is_foul AND b.sec = a.sec
+          WHERE a.is_fga
+          GROUP BY 1, 2),
+        exp AS (
+          SELECT n.game_id, n.rn, n.next_action, fl.foul_rn,
+                 CASE WHEN n.scoring THEN 1 WHEN n.sv = 3.0 THEN 3 ELSE 2 END AS expected
+          FROM nx n JOIN fouls fl ON n.game_id = fl.game_id AND n.rn = fl.shot_rn),
+        ftc AS (
+          SELECT e.game_id, e.rn AS shot_rn, c.rn AS ft_rn, e.expected,
+                 row_number() OVER (PARTITION BY e.game_id, e.rn ORDER BY c.rn ASC) AS k
+          FROM exp e JOIN nx c
+            ON c.game_id = e.game_id AND c.rn > e.foul_rn
+           AND c.rn < coalesce(e.next_action, 2147483647)
+           AND c.is_ft),
+        lastft AS (SELECT game_id, shot_rn, max(ft_rn) AS last_ft_rn
+                   FROM ftc WHERE k <= expected GROUP BY 1, 2),
+        pe AS (
+          SELECT n.*,
+                 CASE WHEN n.is_ft THEN (lf.rn IS NOT NULL AND n.scoring)
+                      WHEN n.is_fga AND a1.shot_rn IS NOT NULL THEN false
+                      ELSE (n.is_to OR n.is_dr OR (n.is_fga AND n.scoring))
+                 END AS end_c
+          FROM nx n
+          LEFT JOIN (SELECT DISTINCT game_id, last_ft_rn AS rn FROM lastft) lf
+            ON n.game_id = lf.game_id AND n.rn = lf.rn
+          LEFT JOIN (SELECT DISTINCT game_id, shot_rn FROM lastft) a1
+            ON n.game_id = a1.game_id AND n.rn = a1.shot_rn),
+        fin AS (
+          SELECT *,
+                 end_c OR coalesce(lead(period) OVER (PARTITION BY game_id
+                   ORDER BY rn) <> period, false) AS end_f
+          FROM pe),
+        firstaf AS (SELECT game_id, min(rn) AS first_rn
+                    FROM fin WHERE is_action_base OR is_ft GROUP BY 1),
+        act AS (
+          SELECT f3.*,
+                 f3.is_action_base OR (f3.is_ft AND f3.rn = fa.first_rn) AS is_action
+          FROM fin f3 LEFT JOIN firstaf fa ON f3.game_id = fa.game_id),
+        b AS (
+          SELECT *,
+                 coalesce(max(CASE WHEN end_f THEN rn END) OVER
+                   (PARTITION BY game_id ORDER BY rn
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS last_b
+          FROM act),
+        st AS (
+          SELECT *,
+                 is_action AND coalesce(max(CASE WHEN is_action THEN rn END) OVER
+                   (PARTITION BY game_id ORDER BY rn
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) <= last_b AS is_start
+          FROM b),
+        pid AS (
+          SELECT *, sum(CASE WHEN is_start THEN 1 ELSE 0 END) OVER
+                   (PARTITION BY game_id ORDER BY rn) AS possession_id
+          FROM st),
+        off0 AS (
+          SELECT p.*,
+                 CASE WHEN p.is_start THEN
+                   CASE WHEN p.last_b = 0 THEN p.team_id
+                        WHEN bb.period <> p.period THEN p.team_id
+                        WHEN bb.is_dr THEN bb.team_id
+                        ELSE bb.opp_id END
+                 END AS start_off
+          FROM pid p LEFT JOIN pid bb
+            ON p.game_id = bb.game_id AND p.last_b = bb.rn AND p.last_b > 0)
+        SELECT id, game_id,
+               CAST(possession_id AS BIGINT) AS possession_id,
+               -- the period reset clears currentOffense: rows after a
+               -- period change but before the next start fall back to
+               -- their own team, so the carried start offense only
+               -- applies within the start's period
+               CAST(CASE WHEN last_value(CASE WHEN is_start THEN period END
+                                         IGNORE NULLS) OVER w = period
+                         THEN coalesce(last_value(start_off IGNORE NULLS) OVER w,
+                                       team_id)
+                         ELSE team_id END AS BIGINT) AS offense_team_id,
+               end_f AS possession_end,
+               period >= 2 AND
+                 ((abs(hs - aw) >= 20 AND sec <= 600) OR
+                  (abs(hs - aw) >= 15 AND sec <= 300)) AS garbage_time
+        FROM off0
+        WINDOW w AS (PARTITION BY game_id ORDER BY rn
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""")),
 
     // ----- PBP classifier + flags stage --------------------------------------------
     Q(

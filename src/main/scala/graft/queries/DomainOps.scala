@@ -403,9 +403,11 @@ object DomainOps {
         "possession state machine with and-1 lookahead (W6, " +
         "graft.pbp.PossessionEngine flatMapGroups) -> per-game-team " +
         "conditional aggs + opponent self-join (A1/J8, " +
-        "graft.pbp.GameTeamStats). Non-SQL-expressible (procedural " +
-        "lookahead) -> rows-only check; semantics proven in " +
-        "PossessionEngineSpec.",
+        "graft.pbp.GameTeamStats). Rows-only here (the aggregate " +
+        "composition); the chain itself is hash-gated: pbp03 replays " +
+        "the WHOLE state machine incl. the and-1 lookahead in SQL, " +
+        "pbp02 gates the flags stage, GoldenTraceSpec pins 5 " +
+        "hand-traced games bit-for-bit.",
       (s, d) => {
         import s.implicits._
         val e = Tables.events(s, d)
