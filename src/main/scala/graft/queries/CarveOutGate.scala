@@ -93,6 +93,121 @@ object CarveOutGate {
         FROM eff e JOIN init i ON e.opp = i.team, lg
         GROUP BY e.team""")),
 
+    // ----- full Rating output surface at one pinned sweep ------------------------
+    Q(
+      "dm10c_rating_outputs",
+      "The REAL IterativeRatings.solve at maxIter=1 (negative tol pins " +
+        "exactly one sweep) emitting the FULL Rating surface — adj_oe/" +
+        "adj_de, raw_oe/raw_de, barthag (exp 11.5), adj_tempo, sos_oe/" +
+        "sos_de, games, iterations — hash-matched against a SQL replay " +
+        "(iterative_ratings.py:58-77,187-202,305-353). Together with " +
+        "g07 (warm-start wiring) and dm10b (sweep math), every output " +
+        "column of the solver is now cross-engine gated; only the " +
+        "unbounded convergence loop itself stays rows-only (dm10).",
+      (s, d) => {
+        import s.implicits._
+        // dm10's exact input pipeline: pre-aggregate to the bounded
+        // (home, away) pair grid BEFORE .collect() — driver memory
+        // independent of fact cardinality
+        val rows = Tables.orders(s, d).select(
+            (col("o_orderkey") % 40).as("home"),
+            ((col("o_orderkey") % 40) + 1 + (col("o_custkey") % 39)).mod(40).as("away"),
+            (lit(60) + col("o_orderkey") % 40).cast("double").as("home_pts"),
+            (lit(60) + col("o_custkey") % 40).cast("double").as("away_pts"),
+            (lit(65) + col("o_orderkey") % 10).cast("double").as("poss"))
+          .filter(col("home") =!= col("away"))
+          .groupBy(col("home"), col("away"))
+          .agg(count(lit(1)).as("n"), sum(col("home_pts")).as("shp"),
+            sum(col("away_pts")).as("sap"), sum(col("poss")).as("sps"))
+          .collect()
+        val games = rows.iterator.flatMap { r =>
+          val (h, a) = (r.getLong(0), r.getLong(1))
+          val n = r.getLong(2).toDouble
+          val (hp, ap, ps) =
+            (r.getDouble(3) / n, r.getDouble(4) / n, r.getDouble(5) / n)
+          Iterator(
+            graft.ratings.IterativeRatings.GameObs(h, a, hp, ps, ap, ps, n,
+              isHome = true, neutral = false),
+            graft.ratings.IterativeRatings.GameObs(a, h, ap, ps, hp, ps, n,
+              isHome = false, neutral = false))
+        }.toSeq
+        val ratings = graft.ratings.IterativeRatings.solve(games,
+          graft.ratings.IterativeRatings.Config(maxIter = 1, tol = -1.0))
+        ratings.map(r => (r.team, r.adjOe, r.adjDe, r.rawOe, r.rawDe,
+            r.barthag, r.adjTempo, r.sosOe, r.sosDe, r.games, r.iterations))
+          .toDF("team", "adj_oe", "adj_de", "raw_oe", "raw_de", "barthag",
+            "adj_tempo", "sos_oe", "sos_de", "games", "iterations")
+          .select(col("team"),
+            round(col("adj_oe"), 3).as("adj_oe"),
+            round(col("adj_de"), 3).as("adj_de"),
+            round(col("raw_oe"), 3).as("raw_oe"),
+            round(col("raw_de"), 3).as("raw_de"),
+            round(col("barthag"), 6).as("barthag"),
+            round(col("adj_tempo"), 3).as("adj_tempo"),
+            round(col("sos_oe"), 3).as("sos_oe"),
+            round(col("sos_de"), 3).as("sos_de"),
+            col("games"), col("iterations"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT o_orderkey % 40 AS home,
+                 ((o_orderkey % 40) + 1 + (o_custkey % 39)) % 40 AS away,
+                 CAST(60 + o_orderkey % 40 AS DOUBLE) AS home_pts,
+                 CAST(60 + o_custkey % 40 AS DOUBLE) AS away_pts,
+                 CAST(65 + o_orderkey % 10 AS DOUBLE) AS poss
+          FROM orders
+          WHERE (o_orderkey % 40) <> ((o_orderkey % 40) + 1 + (o_custkey % 39)) % 40),
+        grid AS (
+          SELECT home, away, CAST(count(*) AS DOUBLE) AS w,
+                 sum(home_pts) / count(*) AS hp,
+                 sum(away_pts) / count(*) AS ap,
+                 sum(poss) / count(*) AS ps
+          FROM base GROUP BY 1, 2),
+        obs AS (
+          SELECT home AS team, away AS opp, hp AS pts, ap AS opp_pts,
+                 ps AS poss, w, true AS is_home FROM grid
+          UNION ALL
+          SELECT away, home, ap, hp, ps, w, false FROM grid),
+        eff AS (
+          SELECT *,
+                 pts / poss * 100.0 + CASE WHEN is_home THEN -4.0266 ELSE 4.0266 END AS go,
+                 opp_pts / poss * 100.0 + CASE WHEN is_home THEN 4.0266 ELSE -4.0266 END AS gd
+          FROM obs),
+        lg AS (SELECT sum(w * pts) / sum(w * poss) * 100.0 AS league FROM eff),
+        init AS (
+          SELECT team,
+                 sum(w * go) / sum(w) AS raw_oe, sum(w * gd) / sum(w) AS raw_de,
+                 least(greatest(sum(w * go) / sum(w), 40.0), 200.0) AS oe0,
+                 least(greatest(sum(w * gd) / sum(w), 40.0), 200.0) AS de0,
+                 sum(w * poss) / sum(w) AS raw_tempo
+          FROM eff GROUP BY 1),
+        s1 AS (
+          SELECT e.team, CAST(count(*) AS INT) AS games,
+                 least(greatest(sum(e.w * e.go * pow(league / i.de0, 0.85)) / sum(e.w),
+                                40.0), 200.0) AS oe1,
+                 least(greatest(sum(e.w * e.gd * pow(league / i.oe0, 0.85)) / sum(e.w),
+                                40.0), 200.0) AS de1
+          FROM eff e JOIN init i ON e.opp = i.team, lg
+          GROUP BY e.team),
+        lt AS (SELECT avg(raw_tempo) AS league_tempo FROM init WHERE raw_tempo > 0),
+        sos AS (
+          SELECT e.team,
+                 sum(e.w * s.de1) / sum(e.w) AS sos_oe,
+                 sum(e.w * s.oe1) / sum(e.w) AS sos_de,
+                 sum(e.w * i.raw_tempo) / sum(e.w) AS avg_opp_tempo
+          FROM eff e JOIN s1 s ON e.opp = s.team
+                     JOIN init i ON e.opp = i.team
+          WHERE e.poss > 0 GROUP BY e.team)
+        SELECT s.team,
+               round(s.oe1, 3) AS adj_oe, round(s.de1, 3) AS adj_de,
+               round(i.raw_oe, 3) AS raw_oe, round(i.raw_de, 3) AS raw_de,
+               round(pow(s.oe1, 11.5) / (pow(s.oe1, 11.5) + pow(s.de1, 11.5)), 6) AS barthag,
+               round(i.raw_tempo * (lt.league_tempo / so.avg_opp_tempo), 3) AS adj_tempo,
+               round(so.sos_oe, 3) AS sos_oe, round(so.sos_de, 3) AS sos_de,
+               s.games, CAST(1 AS INT) AS iterations
+        FROM s1 s JOIN init i ON s.team = i.team
+                  JOIN sos so ON s.team = so.team, lt""")),
+
     // ----- one Lloyd assignment step ---------------------------------------------
     Q(
       "v05b_lloyd_assign",
