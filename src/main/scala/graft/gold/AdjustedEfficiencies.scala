@@ -43,7 +43,15 @@ object AdjustedEfficiencies {
   }
 
   /** Distributed prep: one row per (gameId, teamId) with parsed stats,
-    * game meta, both-sides D1 filter applied. */
+    * game meta, both-sides D1 filter applied.
+    *
+    * Join order: the D1 semi-join and the games-meta inner join run
+    * BEFORE the JSON parse, so rows dropped by either (non-D1 teams,
+    * games outside the caller's window — e.g. g07's two-date
+    * restriction, or a production date-partitioned run) never pay the
+    * parse. The parse is the CPU bound of this stage; the joins are
+    * key-only and independent of the parsed values, so output is
+    * identical. */
   def prepare(gameTeams: DataFrame, games: DataFrame, dimTeams: DataFrame): DataFrame = {
     val d1 = dimTeams.filter(col("conference").isNotNull && col("conference") =!= "")
       .select(col("teamId"))
@@ -54,20 +62,20 @@ object AdjustedEfficiencies {
       coalesce(col("neutralSite"), lit(false)).as("neutral"))
 
     gameTeams
+      .join(broadcast(d1), Seq("teamId"), "left_semi") // this side D1
+      .join(meta, Seq("gameId"))
       .withColumn("ts", parseStats(col("teamStats")))
       .withColumn("os", parseStats(col("opponentStats")))
       .select(col("gameId"), col("teamId"),
         col("ts.possessions").as("poss"),
         col("ts.points.total").as("pts"),
         col("os.possessions").as("opp_poss"),
-        col("os.points.total").as("opp_pts"))
+        col("os.points.total").as("opp_pts"),
+        col("game_date"), col("neutral"),
+        (col("teamId") === col("homeTeamId")).as("is_home"))
       .filter(col("poss").isNotNull && col("poss") > 0 &&
         col("opp_poss").isNotNull && col("opp_poss") > 0 &&
         col("pts").isNotNull && col("opp_pts").isNotNull)
-      .join(broadcast(d1), Seq("teamId"), "left_semi") // this side D1
-      .join(meta, Seq("gameId"))
-      .withColumn("is_home", col("teamId") === col("homeTeamId"))
-      .drop("homeTeamId")
   }
 
   final case class Snapshot(
