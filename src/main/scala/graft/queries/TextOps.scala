@@ -485,6 +485,81 @@ object TextOps {
         WHERE substr(md5(d.lang || '|' || CAST(doc_id AS VARCHAR)), 1, 2) < r.thr
         GROUP BY 1""")),
 
+    Q(
+      "t09_repetition",
+      "Gopher-style repetition signal: per document, total vs distinct " +
+        "word 3-grams (duplicate-gram count = total - distinct) — a " +
+        "standard pretraining quality filter for boilerplate/looping " +
+        "text. Pure array functions (transform over sequence + " +
+        "array_distinct): per-row compute, ZERO shuffle, stays inside " +
+        "whole-stage codegen. Integer outputs only so cross-engine " +
+        "hashing needs no rounding convention.",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+          .filter(size(col("ws")) >= 3)
+          .select(col("doc_id"), expr(
+            "transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', " +
+              "element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3)))")
+            .as("gs"))
+          .select(col("doc_id"),
+            size(col("gs")).cast("long").as("n_grams"),
+            size(array_distinct(col("gs"))).cast("long").as("n_distinct"),
+            (size(col("gs")) - size(array_distinct(col("gs")))).cast("long")
+              .as("n_repeated"))
+      },
+      Some("""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        g AS (SELECT doc_id,
+                     list_transform(range(len(ws) - 2), i ->
+                       ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3]) AS gs
+              FROM w WHERE len(ws) >= 3)
+        SELECT doc_id,
+               CAST(len(gs) AS BIGINT) AS n_grams,
+               CAST(len(list_distinct(gs)) AS BIGINT) AS n_distinct,
+               CAST(len(gs) - len(list_distinct(gs)) AS BIGINT) AS n_repeated
+        FROM g""")),
+
+    Q(
+      "t10_contamination",
+      "Benchmark-contamination detection: the held-out set (doc_id % 5 " +
+        "= 0, ~1% of the corpus) contributes a distinct word-8-gram md5 " +
+        "set; every other document is flagged with how many of its own " +
+        "distinct 8-grams appear in that set — the n-gram-overlap decontamination " +
+        "pass every pretraining pipeline runs against eval benchmarks. " +
+        "Scale shape: the benchmark gram set is broadcast (small by " +
+        "construction), the corpus side is one scan + explode of " +
+        "per-doc DISTINCT grams, equi-join on the hash — never n².",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        def grams(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("doc_id"), split(col("text"), " ").as("ws"))
+            .filter(size(col("ws")) >= 8)
+            .select(col("doc_id"), explode(array_distinct(expr(
+              "transform(sequence(0, size(ws) - 8), i -> md5(concat_ws(' ', " +
+                (1 to 8).map(k => s"element_at(ws, i + $k)").mkString(", ") +
+                ")))"))).as("gh"))
+        val bench = grams(docs.filter(col("doc_id") % 5 === 0))
+          .select(col("gh")).distinct()
+        grams(docs.filter(col("doc_id") % 5 =!= 0))
+          .join(broadcast(bench), Seq("gh"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shared"))
+      },
+      Some("""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        g AS (SELECT doc_id,
+                     list_distinct(list_transform(range(len(ws) - 7), i ->
+                       md5(ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' ||
+                           ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' ||
+                           ws[i+7] || ' ' || ws[i+8]))) AS gs
+              FROM w WHERE len(ws) >= 8),
+        bench AS (SELECT DISTINCT unnest(gs) AS gh FROM g WHERE doc_id % 5 = 0),
+        corpus AS (SELECT doc_id, unnest(gs) AS gh FROM g WHERE doc_id % 5 <> 0)
+        SELECT c.doc_id, count(*) AS n_shared
+        FROM corpus c JOIN bench b USING (gh)
+        GROUP BY 1""")),
+
     // ----- exact dedup ---------------------------------------------------------
     Q(
       "d01_exact_dedup",
