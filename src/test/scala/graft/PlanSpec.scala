@@ -53,6 +53,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReusedExchange"), p.take(3000))
   }
 
+  test("t09 repetition scoring is pure per-row compute — no exchange at all") {
+    val p = planOf("t09_repetition")
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("t10 contamination joins the benchmark gram set via broadcast") {
+    val p = planOf("t10_contamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("no query in SparkEntry plans a cartesian product") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
       planOf(name).contains("CartesianProduct")
