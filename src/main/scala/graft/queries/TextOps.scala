@@ -560,6 +560,41 @@ object TextOps {
         FROM corpus c JOIN bench b USING (gh)
         GROUP BY 1""")),
 
+    Q(
+      "t11_oov_rate",
+      "Vocabulary-coverage filter (the CCNet/rare-token family): pass 1 " +
+        "builds the corpus vocabulary (tokens with frequency >= 50), " +
+        "pass 2 annotates every document with its total and " +
+        "out-of-vocabulary token counts via an anti-join — the " +
+        "two-pass corpus-stats-then-annotate shape every frequency-" +
+        "based quality filter uses. Integer outputs only. At 100 TB " +
+        "the vocabulary is Heap's-law-bounded but may exceed broadcast " +
+        "size — the anti-join is a plain equi-join on the token, so " +
+        "AQE picks broadcast vs shuffle by its actual size.",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        val vocab = toks.groupBy(col("tok"))
+          .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 50)
+          .select(col("tok"))
+        val total = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tokens"))
+        val oov = toks.join(vocab, Seq("tok"), "left_anti")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_oov"))
+        total.join(oov, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            coalesce(col("n_oov"), lit(0L)).as("n_oov"))
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                      FROM documents),
+        vocab AS (SELECT tok FROM toks GROUP BY 1 HAVING count(*) >= 50),
+        tot AS (SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY 1),
+        oov AS (SELECT doc_id, count(*) AS n_oov
+                FROM toks ANTI JOIN vocab USING (tok) GROUP BY 1)
+        SELECT t.doc_id, t.n_tokens,
+               CAST(coalesce(o.n_oov, 0) AS BIGINT) AS n_oov
+        FROM tot t LEFT JOIN oov o ON t.doc_id = o.doc_id""")),
+
     // ----- exact dedup ---------------------------------------------------------
     Q(
       "d01_exact_dedup",
