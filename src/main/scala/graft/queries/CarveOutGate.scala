@@ -29,6 +29,168 @@ object CarveOutGate {
     expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
       "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
 
+  /** The foul-enriched synthetic play stream shared by pbp03/pbp04:
+    * coarse 149-value clock (coprime to the %5 foul selector, so
+    * same-clock shot+foul sequences occur) over the events table. */
+  private def pbpPlays(s: org.apache.spark.sql.SparkSession, d: String) = {
+    import s.implicits._
+    Tables.events(s, d).select(
+        col("event_id").as("id"),
+        col("user_id").as("gameId"),
+        (lit(1L) + col("event_id") % 2).as("teamId"),
+        (lit(2L) - col("event_id") % 2).as("opponentId"),
+        (lit(1) + (col("event_id") % 97 % 2)).cast("int").as("period"),
+        (lit(1200L) - (col("event_id") % 149) * 8).as("secondsRemaining"),
+        when(col("event_id") % 5 === 2, "Personal Foul")
+          .when(col("event_type") === "click", "JumpShot")
+          .when(col("event_type") === "view", "Defensive Rebound")
+          .when(col("event_type") === "purchase", "Three Point Jump Shot")
+          .when(col("event_type") === "signup", "Free Throw 1 of 1")
+          .otherwise("Lost Ball Turnover").as("playType"),
+        lit(null).cast("string").as("playText"),
+        (col("value") > 0.5).as("scoringPlay"),
+        lit(null).cast("boolean").as("shootingPlay"),
+        when(col("event_id") % 5 === 2, lit(null).cast("double"))
+          .when(col("event_type") === "signup", 1.0)
+          .when(col("event_type") === "purchase", 3.0)
+          .when(col("event_type") === "click", 2.0).as("scoreValue"),
+        (col("event_id") % 40).as("homeScore"),
+        (col("event_id") % 37).as("awayScore"),
+        (col("event_id") % 2 === 0).as("isHomeTeam"))
+      .as[graft.pbp.PossessionEngine.Play]
+  }
+
+  /** Full SQL replay of the possession state machine, shared by pbp03
+    * (enriched-play level) and pbp04 (game-team aggregate level): the
+    * and-1 lookahead as bounded window scans, possession ids as running
+    * counts over boundary flags, offense via the last start's pending
+    * rule with the period-reset fallback. Ends with the `enr` CTE — one
+    * row per play with flags + possession columns. */
+  private val PbpChainCtes: String = """
+        WITH plays AS (
+          SELECT event_id AS id, user_id AS game_id,
+                 1 + event_id % 2 AS team_id, 2 - event_id % 2 AS opp_id,
+                 CAST(1 + (event_id % 97 % 2) AS INT) AS period,
+                 1200 - (event_id % 149) * 8 AS sec,
+                 CASE WHEN event_id % 5 = 2 THEN 'Personal Foul'
+                      ELSE CASE event_type WHEN 'click' THEN 'JumpShot'
+                                           WHEN 'view' THEN 'Defensive Rebound'
+                                           WHEN 'purchase' THEN 'Three Point Jump Shot'
+                                           WHEN 'signup' THEN 'Free Throw 1 of 1'
+                                           ELSE 'Lost Ball Turnover' END END AS play_type,
+                 value > 0.5 AS scoring,
+                 CASE WHEN event_id % 5 = 2 THEN NULL
+                      ELSE CASE event_type WHEN 'signup' THEN 1.0
+                                           WHEN 'purchase' THEN 3.0
+                                           WHEN 'click' THEN 2.0 END END AS sv,
+                 event_id % 40 AS hs, event_id % 37 AS aw
+          FROM events),
+        f AS (
+          SELECT *,
+                 row_number() OVER (PARTITION BY game_id
+                   ORDER BY period ASC, sec DESC, id ASC) AS rn,
+                 play_type IN ('JumpShot', 'Three Point Jump Shot') AS is_fga,
+                 play_type = 'Lost Ball Turnover' AS is_to,
+                 play_type = 'Defensive Rebound' AS is_dr,
+                 sv = 1.0 AS is_ft,
+                 lower(play_type) LIKE '%foul%' AS is_foul
+          FROM plays),
+        g AS (SELECT *, is_fga OR is_to OR is_dr AS is_action_base FROM f),
+        nx AS (
+          SELECT *,
+                 min(CASE WHEN is_action_base THEN rn END) OVER
+                   (PARTITION BY game_id ORDER BY rn
+                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_action
+          FROM g),
+        fouls AS (
+          SELECT a.game_id, a.rn AS shot_rn, min(b.rn) AS foul_rn
+          FROM nx a JOIN nx b
+            ON a.game_id = b.game_id AND b.rn > a.rn
+           AND b.rn < coalesce(a.next_action, 2147483647)
+           AND b.is_foul AND b.sec = a.sec
+          WHERE a.is_fga
+          GROUP BY 1, 2),
+        exp AS (
+          SELECT n.game_id, n.rn, n.next_action, fl.foul_rn,
+                 CASE WHEN n.scoring THEN 1 WHEN n.sv = 3.0 THEN 3 ELSE 2 END AS expected
+          FROM nx n JOIN fouls fl ON n.game_id = fl.game_id AND n.rn = fl.shot_rn),
+        ftc AS (
+          SELECT e.game_id, e.rn AS shot_rn, c.rn AS ft_rn, e.expected,
+                 row_number() OVER (PARTITION BY e.game_id, e.rn ORDER BY c.rn ASC) AS k
+          FROM exp e JOIN nx c
+            ON c.game_id = e.game_id AND c.rn > e.foul_rn
+           AND c.rn < coalesce(e.next_action, 2147483647)
+           AND c.is_ft),
+        lastft AS (SELECT game_id, shot_rn, max(ft_rn) AS last_ft_rn
+                   FROM ftc WHERE k <= expected GROUP BY 1, 2),
+        pe AS (
+          SELECT n.*,
+                 CASE WHEN n.is_ft THEN (lf.rn IS NOT NULL AND n.scoring)
+                      WHEN n.is_fga AND a1.shot_rn IS NOT NULL THEN false
+                      ELSE (n.is_to OR n.is_dr OR (n.is_fga AND n.scoring))
+                 END AS end_c
+          FROM nx n
+          LEFT JOIN (SELECT DISTINCT game_id, last_ft_rn AS rn FROM lastft) lf
+            ON n.game_id = lf.game_id AND n.rn = lf.rn
+          LEFT JOIN (SELECT DISTINCT game_id, shot_rn FROM lastft) a1
+            ON n.game_id = a1.game_id AND n.rn = a1.shot_rn),
+        fin AS (
+          SELECT *,
+                 end_c OR coalesce(lead(period) OVER (PARTITION BY game_id
+                   ORDER BY rn) <> period, false) AS end_f
+          FROM pe),
+        firstaf AS (SELECT game_id, min(rn) AS first_rn
+                    FROM fin WHERE is_action_base OR is_ft GROUP BY 1),
+        act AS (
+          SELECT f3.*,
+                 f3.is_action_base OR (f3.is_ft AND f3.rn = fa.first_rn) AS is_action
+          FROM fin f3 LEFT JOIN firstaf fa ON f3.game_id = fa.game_id),
+        b AS (
+          SELECT *,
+                 coalesce(max(CASE WHEN end_f THEN rn END) OVER
+                   (PARTITION BY game_id ORDER BY rn
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS last_b
+          FROM act),
+        st AS (
+          SELECT *,
+                 is_action AND coalesce(max(CASE WHEN is_action THEN rn END) OVER
+                   (PARTITION BY game_id ORDER BY rn
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) <= last_b AS is_start
+          FROM b),
+        pid AS (
+          SELECT *, sum(CASE WHEN is_start THEN 1 ELSE 0 END) OVER
+                   (PARTITION BY game_id ORDER BY rn) AS possession_id
+          FROM st),
+        off0 AS (
+          SELECT p.*,
+                 CASE WHEN p.is_start THEN
+                   CASE WHEN p.last_b = 0 THEN p.team_id
+                        WHEN bb.period <> p.period THEN p.team_id
+                        WHEN bb.is_dr THEN bb.team_id
+                        ELSE bb.opp_id END
+                 END AS start_off
+          FROM pid p LEFT JOIN pid bb
+            ON p.game_id = bb.game_id AND p.last_b = bb.rn AND p.last_b > 0),
+        enr AS (
+          -- the period reset clears currentOffense: rows after a period
+          -- change but before the next start fall back to their own team
+          SELECT id, game_id, team_id, opp_id, period, sec, play_type,
+                 scoring, CAST(sv AS DOUBLE) AS sv, hs, aw,
+                 is_fga, is_ft, is_to, is_dr,
+                 CAST(possession_id AS BIGINT) AS possession_id,
+                 CAST(CASE WHEN last_value(CASE WHEN is_start THEN period END
+                                           IGNORE NULLS) OVER w = period
+                           THEN coalesce(last_value(start_off IGNORE NULLS) OVER w,
+                                         team_id)
+                           ELSE team_id END AS BIGINT) AS offense_team_id,
+                 end_f AS possession_end,
+                 period >= 2 AND
+                   ((abs(hs - aw) >= 20 AND sec <= 600) OR
+                    (abs(hs - aw) >= 15 AND sec <= 300)) AS garbage_time
+          FROM off0
+          WINDOW w AS (PARTITION BY game_id ORDER BY rn
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))"""
+
   def defs: Seq[Q] = Seq(
 
     // ----- I1 single sweep ------------------------------------------------------
@@ -308,159 +470,93 @@ object CarveOutGate {
         "from rows-only + golden fixture to a cross-engine hash gate " +
         "of the full chain on 10k plays.",
       (s, d) => {
-        import s.implicits._
-        val plays = Tables.events(s, d).select(
-            col("event_id").as("id"),
-            col("user_id").as("gameId"),
-            (lit(1L) + col("event_id") % 2).as("teamId"),
-            (lit(2L) - col("event_id") % 2).as("opponentId"),
-            (lit(1) + (col("event_id") % 97 % 2)).cast("int").as("period"),
-            (lit(1200L) - (col("event_id") % 149) * 8).as("secondsRemaining"),
-            when(col("event_id") % 5 === 2, "Personal Foul")
-              .when(col("event_type") === "click", "JumpShot")
-              .when(col("event_type") === "view", "Defensive Rebound")
-              .when(col("event_type") === "purchase", "Three Point Jump Shot")
-              .when(col("event_type") === "signup", "Free Throw 1 of 1")
-              .otherwise("Lost Ball Turnover").as("playType"),
-            lit(null).cast("string").as("playText"),
-            (col("value") > 0.5).as("scoringPlay"),
-            lit(null).cast("boolean").as("shootingPlay"),
-            when(col("event_id") % 5 === 2, lit(null).cast("double"))
-              .when(col("event_type") === "signup", 1.0)
-              .when(col("event_type") === "purchase", 3.0)
-              .when(col("event_type") === "click", 2.0).as("scoreValue"),
-            (col("event_id") % 40).as("homeScore"),
-            (col("event_id") % 37).as("awayScore"),
-            (col("event_id") % 2 === 0).as("isHomeTeam"))
-          .as[graft.pbp.PossessionEngine.Play]
-        graft.pbp.PossessionEngine.enrich(plays).toDF()
+        graft.pbp.PossessionEngine.enrich(pbpPlays(s, d)).toDF()
           .select(col("id"), col("gameId").as("game_id"),
             col("possession_id"), col("offense_team_id"),
             col("possession_end"), col("garbage_time"))
       },
-      Some("""
-        WITH plays AS (
-          SELECT event_id AS id, user_id AS game_id,
-                 1 + event_id % 2 AS team_id, 2 - event_id % 2 AS opp_id,
-                 CAST(1 + (event_id % 97 % 2) AS INT) AS period,
-                 1200 - (event_id % 149) * 8 AS sec,
-                 CASE WHEN event_id % 5 = 2 THEN 'Personal Foul'
-                      ELSE CASE event_type WHEN 'click' THEN 'JumpShot'
-                                           WHEN 'view' THEN 'Defensive Rebound'
-                                           WHEN 'purchase' THEN 'Three Point Jump Shot'
-                                           WHEN 'signup' THEN 'Free Throw 1 of 1'
-                                           ELSE 'Lost Ball Turnover' END END AS play_type,
-                 value > 0.5 AS scoring,
-                 CASE WHEN event_id % 5 = 2 THEN NULL
-                      ELSE CASE event_type WHEN 'signup' THEN 1.0
-                                           WHEN 'purchase' THEN 3.0
-                                           WHEN 'click' THEN 2.0 END END AS sv,
-                 event_id % 40 AS hs, event_id % 37 AS aw
-          FROM events),
-        f AS (
-          SELECT *,
-                 row_number() OVER (PARTITION BY game_id
-                   ORDER BY period ASC, sec DESC, id ASC) AS rn,
-                 play_type IN ('JumpShot', 'Three Point Jump Shot') AS is_fga,
-                 play_type = 'Lost Ball Turnover' AS is_to,
-                 play_type = 'Defensive Rebound' AS is_dr,
-                 sv = 1.0 AS is_ft,
-                 lower(play_type) LIKE '%foul%' AS is_foul
-          FROM plays),
-        g AS (SELECT *, is_fga OR is_to OR is_dr AS is_action_base FROM f),
-        nx AS (
-          SELECT *,
-                 min(CASE WHEN is_action_base THEN rn END) OVER
-                   (PARTITION BY game_id ORDER BY rn
-                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_action
-          FROM g),
-        fouls AS (
-          SELECT a.game_id, a.rn AS shot_rn, min(b.rn) AS foul_rn
-          FROM nx a JOIN nx b
-            ON a.game_id = b.game_id AND b.rn > a.rn
-           AND b.rn < coalesce(a.next_action, 2147483647)
-           AND b.is_foul AND b.sec = a.sec
-          WHERE a.is_fga
+      Some(s"""$PbpChainCtes
+        SELECT id, game_id, possession_id, offense_team_id,
+               possession_end, garbage_time
+        FROM enr""")),
+
+    // ----- the WHOLE pbp01 pipeline: chain + game-team aggregates -----------------
+    Q(
+      "pbp04_game_team_stats",
+      "The COMPLETE pbp01 pipeline under the hash gate: the real " +
+        "PossessionEngine.enrich + GameTeamStats.build (conditional box " +
+        "aggs, event-counted possessions crediting the offense team, " +
+        "formula possessions, opponent self-join, eFG/TS/ft-rate/" +
+        "tov-ratio/oreb-pct/pace derivations — build_pbp_game_team_" +
+        "stats.py:155-283) vs the pbp03 chain CTEs plus the aggregate " +
+        "layer in SQL. With this, nothing in the PBP surface rests on " +
+        "rows-only checks: pbp01 itself stays rows-only purely as the " +
+        "driver-contract smoke query.",
+      (s, d) => {
+        val enriched = graft.pbp.PossessionEngine.enrich(pbpPlays(s, d))
+        graft.pbp.GameTeamStats.build(enriched.toDF())
+          .select(col("gameId"), col("teamId"), col("opponentId"),
+            col("is_home_team"), col("fga"), col("fgm"), col("fg3m"),
+            col("fta"), col("ftm"), col("tov"), col("dreb"), col("oreb"),
+            col("pts"), col("max_period"), col("possessions_event"),
+            col("possessions_formula"), col("opp_pts"),
+            col("opp_poss_formula"), col("opp_dreb"), col("opp_fga"),
+            col("game_minutes"), col("efg_pct"), col("ts_pct"),
+            col("ft_rate"), col("tov_ratio"), col("oreb_pct"), col("pace"))
+      },
+      Some(s"""$PbpChainCtes,
+        stats AS (
+          SELECT game_id, team_id,
+                 CAST(sum(CASE WHEN is_fga THEN 1 ELSE 0 END) AS BIGINT) AS fga,
+                 CAST(sum(CASE WHEN is_fga AND scoring THEN 1 ELSE 0 END) AS BIGINT) AS fgm,
+                 CAST(sum(CASE WHEN is_fga AND scoring AND sv = 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS fg3m,
+                 CAST(sum(CASE WHEN is_ft THEN 1 ELSE 0 END) AS BIGINT) AS fta,
+                 CAST(sum(CASE WHEN is_ft AND scoring THEN 1 ELSE 0 END) AS BIGINT) AS ftm,
+                 CAST(sum(CASE WHEN is_to THEN 1 ELSE 0 END) AS BIGINT) AS tov,
+                 CAST(sum(CASE WHEN is_dr THEN 1 ELSE 0 END) AS BIGINT) AS dreb,
+                 CAST(0 AS BIGINT) AS oreb,
+                 sum(CASE WHEN scoring THEN sv ELSE CAST(0.0 AS DOUBLE) END) AS pts,
+                 CAST(max(coalesce(period, 1)) AS INT) AS max_period
+          FROM enr GROUP BY 1, 2),
+        poss AS (
+          SELECT game_id, offense_team_id AS team_id,
+                 CAST(count(*) AS BIGINT) AS possessions_event
+          FROM enr WHERE possession_end AND offense_team_id IS NOT NULL
           GROUP BY 1, 2),
-        exp AS (
-          SELECT n.game_id, n.rn, n.next_action, fl.foul_rn,
-                 CASE WHEN n.scoring THEN 1 WHEN n.sv = 3.0 THEN 3 ELSE 2 END AS expected
-          FROM nx n JOIN fouls fl ON n.game_id = fl.game_id AND n.rn = fl.shot_rn),
-        ftc AS (
-          SELECT e.game_id, e.rn AS shot_rn, c.rn AS ft_rn, e.expected,
-                 row_number() OVER (PARTITION BY e.game_id, e.rn ORDER BY c.rn ASC) AS k
-          FROM exp e JOIN nx c
-            ON c.game_id = e.game_id AND c.rn > e.foul_rn
-           AND c.rn < coalesce(e.next_action, 2147483647)
-           AND c.is_ft),
-        lastft AS (SELECT game_id, shot_rn, max(ft_rn) AS last_ft_rn
-                   FROM ftc WHERE k <= expected GROUP BY 1, 2),
-        pe AS (
-          SELECT n.*,
-                 CASE WHEN n.is_ft THEN (lf.rn IS NOT NULL AND n.scoring)
-                      WHEN n.is_fga AND a1.shot_rn IS NOT NULL THEN false
-                      ELSE (n.is_to OR n.is_dr OR (n.is_fga AND n.scoring))
-                 END AS end_c
-          FROM nx n
-          LEFT JOIN (SELECT DISTINCT game_id, last_ft_rn AS rn FROM lastft) lf
-            ON n.game_id = lf.game_id AND n.rn = lf.rn
-          LEFT JOIN (SELECT DISTINCT game_id, shot_rn FROM lastft) a1
-            ON n.game_id = a1.game_id AND n.rn = a1.shot_rn),
-        fin AS (
-          SELECT *,
-                 end_c OR coalesce(lead(period) OVER (PARTITION BY game_id
-                   ORDER BY rn) <> period, false) AS end_f
-          FROM pe),
-        firstaf AS (SELECT game_id, min(rn) AS first_rn
-                    FROM fin WHERE is_action_base OR is_ft GROUP BY 1),
-        act AS (
-          SELECT f3.*,
-                 f3.is_action_base OR (f3.is_ft AND f3.rn = fa.first_rn) AS is_action
-          FROM fin f3 LEFT JOIN firstaf fa ON f3.game_id = fa.game_id),
-        b AS (
-          SELECT *,
-                 coalesce(max(CASE WHEN end_f THEN rn END) OVER
-                   (PARTITION BY game_id ORDER BY rn
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS last_b
-          FROM act),
-        st AS (
-          SELECT *,
-                 is_action AND coalesce(max(CASE WHEN is_action THEN rn END) OVER
-                   (PARTITION BY game_id ORDER BY rn
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) <= last_b AS is_start
-          FROM b),
-        pid AS (
-          SELECT *, sum(CASE WHEN is_start THEN 1 ELSE 0 END) OVER
-                   (PARTITION BY game_id ORDER BY rn) AS possession_id
-          FROM st),
-        off0 AS (
-          SELECT p.*,
-                 CASE WHEN p.is_start THEN
-                   CASE WHEN p.last_b = 0 THEN p.team_id
-                        WHEN bb.period <> p.period THEN p.team_id
-                        WHEN bb.is_dr THEN bb.team_id
-                        ELSE bb.opp_id END
-                 END AS start_off
-          FROM pid p LEFT JOIN pid bb
-            ON p.game_id = bb.game_id AND p.last_b = bb.rn AND p.last_b > 0)
-        SELECT id, game_id,
-               CAST(possession_id AS BIGINT) AS possession_id,
-               -- the period reset clears currentOffense: rows after a
-               -- period change but before the next start fall back to
-               -- their own team, so the carried start offense only
-               -- applies within the start's period
-               CAST(CASE WHEN last_value(CASE WHEN is_start THEN period END
-                                         IGNORE NULLS) OVER w = period
-                         THEN coalesce(last_value(start_off IGNORE NULLS) OVER w,
-                                       team_id)
-                         ELSE team_id END AS BIGINT) AS offense_team_id,
-               end_f AS possession_end,
-               period >= 2 AND
-                 ((abs(hs - aw) >= 20 AND sec <= 600) OR
-                  (abs(hs - aw) >= 15 AND sec <= 300)) AS garbage_time
-        FROM off0
-        WINDOW w AS (PARTITION BY game_id ORDER BY rn
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""")),
+        t AS (
+          SELECT s.*,
+                 CAST(coalesce(p.possessions_event, 0) AS BIGINT) AS possessions_event,
+                 s.fga - s.oreb + s.tov + CAST(0.44 AS DOUBLE) * s.fta AS possessions_formula
+          FROM stats s LEFT JOIN poss p
+            ON s.game_id = p.game_id AND s.team_id = p.team_id),
+        j AS (
+          SELECT t1.*, t2.team_id AS opp_tid, t2.pts AS opp_pts,
+                 t2.possessions_formula AS opp_poss_formula,
+                 t2.dreb AS opp_dreb, t2.fga AS opp_fga
+          FROM t t1 JOIN t t2
+            ON t1.game_id = t2.game_id AND t1.team_id <> t2.team_id)
+        SELECT game_id AS gameId, team_id AS teamId, opp_tid AS opponentId,
+               team_id = 1 AS is_home_team,
+               fga, fgm, fg3m, fta, ftm, tov, dreb, oreb, pts, max_period,
+               possessions_event, possessions_formula,
+               opp_pts, opp_poss_formula, opp_dreb, opp_fga,
+               CAST(40 + 5 * greatest(max_period - 2, 0) AS DOUBLE) AS game_minutes,
+               CASE WHEN fga > 0
+                    THEN (fgm + CAST(0.5 AS DOUBLE) * fg3m) / fga END AS efg_pct,
+               CASE WHEN fga + CAST(0.44 AS DOUBLE) * fta > 0
+                    THEN pts / (CAST(2.0 AS DOUBLE) * (fga + CAST(0.44 AS DOUBLE) * fta))
+               END AS ts_pct,
+               CASE WHEN fga > 0 THEN CAST(fta AS DOUBLE) / fga END AS ft_rate,
+               CASE WHEN possessions_formula > 0
+                    THEN tov / possessions_formula END AS tov_ratio,
+               CASE WHEN oreb + opp_dreb > 0
+                    THEN CAST(oreb AS DOUBLE) / (oreb + opp_dreb) END AS oreb_pct,
+               CASE WHEN CAST(40 + 5 * greatest(max_period - 2, 0) AS DOUBLE) > 0
+                    THEN (possessions_formula + opp_poss_formula) / 2.0
+                         * (CAST(40.0 AS DOUBLE)
+                            / CAST(40 + 5 * greatest(max_period - 2, 0) AS DOUBLE))
+               END AS pace
+        FROM j""")),
 
     // ----- PBP classifier + flags stage --------------------------------------------
     Q(
