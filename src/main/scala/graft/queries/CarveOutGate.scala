@@ -60,14 +60,9 @@ object CarveOutGate {
       .as[graft.pbp.PossessionEngine.Play]
   }
 
-  /** Full SQL replay of the possession state machine, shared by pbp03
-    * (enriched-play level) and pbp04 (game-team aggregate level): the
-    * and-1 lookahead as bounded window scans, possession ids as running
-    * counts over boundary flags, offense via the last start's pending
-    * rule with the period-reset fallback. Ends with the `enr` CTE — one
-    * row per play with flags + possession columns. */
-  private val PbpChainCtes: String = """
-        WITH plays AS (
+  /** The foul-enriched play stream (pbp03/pbp04) as the SQL `plays`
+    * CTE body — coarse 149-value clock, %5 foul injection. */
+  private val FoulPlaysSelect: String = """
           SELECT event_id AS id, user_id AS game_id,
                  1 + event_id % 2 AS team_id, 2 - event_id % 2 AS opp_id,
                  CAST(1 + (event_id % 97 % 2) AS INT) AS period,
@@ -84,7 +79,36 @@ object CarveOutGate {
                                            WHEN 'purchase' THEN 3.0
                                            WHEN 'click' THEN 2.0 END END AS sv,
                  event_id % 40 AS hs, event_id % 37 AS aw
-          FROM events),
+          FROM events"""
+
+  /** pbp01's play stream as the SQL `plays` CTE body: the same
+    * event-type mapping WITHOUT foul injection and with the
+    * fine-grained clock (`1200 - id % 1200`). */
+  private[queries] val NoFoulPlaysSelect: String = """
+          SELECT event_id AS id, user_id AS game_id,
+                 1 + event_id % 2 AS team_id, 2 - event_id % 2 AS opp_id,
+                 CAST(1 + (event_id % 97 % 2) AS INT) AS period,
+                 1200 - event_id % 1200 AS sec,
+                 CASE event_type WHEN 'click' THEN 'JumpShot'
+                                 WHEN 'view' THEN 'Defensive Rebound'
+                                 WHEN 'purchase' THEN 'Three Point Jump Shot'
+                                 WHEN 'signup' THEN 'Free Throw 1 of 1'
+                                 ELSE 'Lost Ball Turnover' END AS play_type,
+                 value > 0.5 AS scoring,
+                 CASE event_type WHEN 'signup' THEN 1.0
+                                 WHEN 'purchase' THEN 3.0
+                                 WHEN 'click' THEN 2.0 END AS sv,
+                 event_id % 40 AS hs, event_id % 37 AS aw
+          FROM events"""
+
+  /** Full SQL replay of the possession state machine over any play
+    * stream (pbp03/pbp04 foul-enriched; pbp01 the no-foul stream): the
+    * and-1 lookahead as bounded window scans, possession ids as running
+    * counts over boundary flags, offense via the last start's pending
+    * rule with the period-reset fallback. Ends with the `enr` CTE — one
+    * row per play with flags + possession columns. */
+  private[queries] def pbpChainCtes(playsSelect: String): String = s"""
+        WITH plays AS ($playsSelect),
         f AS (
           SELECT *,
                  row_number() OVER (PARTITION BY game_id
