@@ -60,6 +60,34 @@ object CarveOutGate {
       .as[graft.pbp.PossessionEngine.Play]
   }
 
+  /** pbp01's exact play stream (DomainOps pbp01): fine 1200-value
+    * clock, NO foul injection — gated by pbp05. */
+  private def noFoulPlays(s: org.apache.spark.sql.SparkSession, d: String) = {
+    import s.implicits._
+    Tables.events(s, d).select(
+        col("event_id").as("id"),
+        col("user_id").as("gameId"),
+        (lit(1L) + col("event_id") % 2).as("teamId"),
+        (lit(2L) - col("event_id") % 2).as("opponentId"),
+        (lit(1) + (col("event_id") % 97 % 2)).cast("int").as("period"),
+        (lit(1200L) - col("event_id") % 1200).as("secondsRemaining"),
+        when(col("event_type") === "click", "JumpShot")
+          .when(col("event_type") === "view", "Defensive Rebound")
+          .when(col("event_type") === "purchase", "Three Point Jump Shot")
+          .when(col("event_type") === "signup", "Free Throw 1 of 1")
+          .otherwise("Lost Ball Turnover").as("playType"),
+        lit(null).cast("string").as("playText"),
+        (col("value") > 0.5).as("scoringPlay"),
+        lit(null).cast("boolean").as("shootingPlay"),
+        when(col("event_type") === "signup", 1.0)
+          .when(col("event_type") === "purchase", 3.0)
+          .when(col("event_type") === "click", 2.0).as("scoreValue"),
+        (col("event_id") % 40).as("homeScore"),
+        (col("event_id") % 37).as("awayScore"),
+        (col("event_id") % 2 === 0).as("isHomeTeam"))
+      .as[graft.pbp.PossessionEngine.Play]
+  }
+
   /** The foul-enriched play stream (pbp03/pbp04) as the SQL `plays`
     * CTE body — coarse 149-value clock, %5 foul injection. */
   private val FoulPlaysSelect: String = """
@@ -499,7 +527,7 @@ object CarveOutGate {
             col("possession_id"), col("offense_team_id"),
             col("possession_end"), col("garbage_time"))
       },
-      Some(s"""$PbpChainCtes
+      Some(s"""${pbpChainCtes(FoulPlaysSelect)}
         SELECT id, game_id, possession_id, offense_team_id,
                possession_end, garbage_time
         FROM enr""")),
@@ -528,7 +556,7 @@ object CarveOutGate {
             col("game_minutes"), col("efg_pct"), col("ts_pct"),
             col("ft_rate"), col("tov_ratio"), col("oreb_pct"), col("pace"))
       },
-      Some(s"""$PbpChainCtes,
+      Some(s"""${pbpChainCtes(FoulPlaysSelect)},
         stats AS (
           SELECT game_id, team_id,
                  CAST(sum(CASE WHEN is_fga THEN 1 ELSE 0 END) AS BIGINT) AS fga,
@@ -581,6 +609,25 @@ object CarveOutGate {
                             / CAST(40 + 5 * greatest(max_period - 2, 0) AS DOUBLE))
                END AS pace
         FROM j""")),
+
+    // ----- the pbp01 stream itself under the chain gate ----------------------------
+    Q(
+      "pbp05_nofoul_chain",
+      "The possession state machine on pbp01's EXACT play stream (fine " +
+        "1200-value clock, no foul injection) — the same SQL replay as " +
+        "pbp03 parameterized over the no-foul stream. With pbp03 gating " +
+        "the foul/and-1 path and this gating pbp01's own input, the " +
+        "rows-only pbp01 entry is pure driver-contract smoke.",
+      (s, d) => {
+        graft.pbp.PossessionEngine.enrich(noFoulPlays(s, d)).toDF()
+          .select(col("id"), col("gameId").as("game_id"),
+            col("possession_id"), col("offense_team_id"),
+            col("possession_end"), col("garbage_time"))
+      },
+      Some(s"""${pbpChainCtes(NoFoulPlaysSelect)}
+        SELECT id, game_id, possession_id, offense_team_id,
+               possession_end, garbage_time
+        FROM enr""")),
 
     // ----- PBP classifier + flags stage --------------------------------------------
     Q(
