@@ -11,11 +11,15 @@ import org.apache.spark.sql.SparkSession
   *   host-contention window pollute all samples of one query — r3's
   *   in-suite j08=11 s vs 1.9 s isolated; spreading samples across
   *   passes makes the median robust to that.
-  * - stdout stays ONE compact JSON line (medians + spreads rounded to
-  *   ms) — the driver's contract; r3's full-precision line was long
-  *   enough to get tail-truncated in capture. Full detail including
-  *   every per-pass sample is written to SPARK_GRAFT_BENCH_OUT
-  *   (default bench_out.json) for post-hoc noise analysis.
+  * - stdout stays ONE compact JSON line — the driver's contract. The
+  *   capture window that stores it is 2000 chars (every BENCH_r*.json
+  *   through r5 shows a tail-truncated line and parsed:null), so the
+  *   stdout line keys each query by its unique operator-id prefix
+  *   ("j01" for j01_broadcast_chain; verified collision-free) and
+  *   omits the spread object — ~1.3k chars for 96 queries, leaving
+  *   headroom for growth. Full names, medians, spreads, and every
+  *   per-pass sample go to SPARK_GRAFT_BENCH_OUT (default
+  *   bench_out.json) for post-hoc analysis.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -54,17 +58,25 @@ object Bench {
       val s = ts.sorted
       (name, s(s.size / 2), s.last - s.head, ts)
     }
-    val qs = results.map { case (k, m, _, _) => "\"" + k + "\":" + ms(m) }
-      .mkString("{", ",", "}")
-    val spreads = results.map { case (k, _, sp, _) => "\"" + k + "\":" + ms(sp) }
+    // short stdout key: the operator-id prefix, unique across queries
+    def tag(name: String): String = name.takeWhile(_ != '_')
+    val qs = results.map { case (k, m, _, _) => "\"" + tag(k) + "\":" + ms(m) }
       .mkString("{", ",", "}")
     val total = ms(results.map(_._2).sum)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"runs":$runs,"order":"pass-major","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"order":"pass-major","sf":"$sfDir"}"""
+    val names = results.map { case (k, _, _, _) =>
+      "\"" + tag(k) + "\":\"" + k + "\""
+    }.mkString("{", ",", "}")
+    val spreads = results.map { case (k, _, sp, _) => "\"" + k + "\":" + ms(sp) }
+      .mkString("{", ",", "}")
     val perRun = results.map { case (k, _, _, ts) =>
       "\"" + k + "\":" + ts.map(ms).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val full = line.dropRight(1) + s""","samples":$perRun}"""
+    val medians = results.map { case (k, m, _, _) => "\"" + k + "\":" + ms(m) }
+      .mkString("{", ",", "}")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$medians,"spread":$spreads,"names":$names,"samples":$perRun,"runs":$runs,"order":"pass-major","sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       full.getBytes("UTF-8"))
     catch { case _: Throwable => () } // bench must still print if cwd is read-only
