@@ -595,6 +595,90 @@ object TextOps {
                CAST(coalesce(o.n_oov, 0) AS BIGINT) AS n_oov
         FROM tot t LEFT JOIN oov o ON t.doc_id = o.doc_id""")),
 
+    // ----- overlapping-window chunking -----------------------------------------
+    Q(
+      "t12_chunk_windows",
+      "Sliding-window document chunking (the context-window prep step " +
+        "every training pipeline runs before tokenization): 120-char " +
+        "windows at stride 90 (30-char overlap), stable (doc_id, " +
+        "chunk_idx) ids, per-chunk md5. Pure explode + projection — " +
+        "zero shuffle, embarrassingly parallel at any scale; chunk " +
+        "count per doc is ceil((len-W)/S)+1 so output size is " +
+        "len/S-linear, never quadratic.",
+      (s, d) => {
+        val W = 120
+        val S = 90
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("text"),
+            greatest(ceil((length(col("text")) - W) / lit(S.toDouble)), lit(0))
+              .cast("int").as("last_idx"))
+          .select(col("doc_id"), col("text"),
+            explode(expr("sequence(0, last_idx)")).as("chunk_idx"))
+          .select(
+            col("doc_id"),
+            col("chunk_idx").cast("long").as("chunk_idx"),
+            (col("chunk_idx") * S + 1).cast("long").as("chunk_start"),
+            expr(s"substring(text, chunk_idx * $S + 1, $W)").as("chunk"))
+          .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
+            length(col("chunk")).cast("long").as("chunk_len"),
+            md5(col("chunk")).as("chunk_md5"))
+      },
+      Some("""
+        WITH idx AS (
+          SELECT doc_id, text,
+                 greatest(CAST(ceil((length(text) - 120) / 90.0) AS BIGINT), 0) AS last_idx
+          FROM documents),
+        c AS (
+          SELECT doc_id, text, unnest(generate_series(0, last_idx)) AS chunk_idx
+          FROM idx)
+        SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+               CAST(chunk_idx * 90 + 1 AS BIGINT) AS chunk_start,
+               CAST(length(substr(text, CAST(chunk_idx * 90 + 1 AS INT), 120)) AS BIGINT) AS chunk_len,
+               md5(substr(text, CAST(chunk_idx * 90 + 1 AS INT), 120)) AS chunk_md5
+        FROM c""")),
+
+    // ----- PII scrubbing --------------------------------------------------------
+    Q(
+      "t13_pii_scrub",
+      "PII redaction (the compliance pass before any corpus ships): " +
+        "synthesizes a deterministic email + phone per document (the " +
+        "test corpus has none), masks both with RE2-safe regexes " +
+        "(no lookarounds/backrefs, so the same pattern runs on Java " +
+        "regex and RE2 engines), and reports per-doc mask counts. " +
+        "Pure per-row projection — zero shuffle at any scale.",
+      (s, d) => {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phone = "\\b\\d{3}-\\d{4}\\b"
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" contact user"),
+              col("doc_id").cast("string"),
+              lit("@mail.example.com or call 555-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("aug"))
+          .select(
+            col("doc_id"),
+            size(regexp_extract_all(col("aug"), lit(email), lit(0)))
+              .cast("long").as("n_emails"),
+            size(regexp_extract_all(col("aug"), lit(phone), lit(0)))
+              .cast("long").as("n_phones"),
+            md5(regexp_replace(
+              regexp_replace(col("aug"), email, "<EMAIL>"),
+              phone, "<PHONE>")).as("masked_md5"))
+      },
+      Some("""
+        WITH aug AS (
+          SELECT doc_id,
+                 text || ' contact user' || doc_id || '@mail.example.com or call 555-'
+                      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS aug
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(aug, '\b\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+               md5(regexp_replace(
+                     regexp_replace(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                     '\b\d{3}-\d{4}\b', '<PHONE>', 'g')) AS masked_md5
+        FROM aug""")),
+
     // ----- exact dedup ---------------------------------------------------------
     Q(
       "d01_exact_dedup",

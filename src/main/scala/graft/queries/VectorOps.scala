@@ -206,7 +206,58 @@ object VectorOps {
         "shape; at 10x data this variant scales linearly where the " +
         "fixed-width form went quadratic.",
       (s, d) => neardupLsh(s, d, bits = 16),
-      Some(neardupLshSql(bits = 16)))
+      Some(neardupLshSql(bits = 16))),
+
+    // ----- int8 embedding quantization ------------------------------------------
+    Q(
+      "v06_quantize_int8",
+      "Symmetric int8 embedding quantization (the storage/serving " +
+        "compression step: 4x smaller vectors for ANN shortlists): " +
+        "per-vector absmax scale, q = clamp(floor(x/scale + 0.5), " +
+        "-127, 127), plus reconstruction MSE. floor(x+0.5) instead of " +
+        "round() because both engines compute floor identically while " +
+        "round() half-handling differs; all math in DOUBLE lambdas — " +
+        "codegen'd higher-order array functions, zero shuffle, " +
+        "embarrassingly parallel at any corpus size.",
+      (s, d) => {
+        Tables.embeddings(s, d)
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+          .select(col("vec_id"), col("e"),
+            expr("greatest(array_max(transform(e, x -> abs(x))), 1e-30d) / 127.0d")
+              .as("scale"))
+          .select(col("vec_id"), col("e"), col("scale"),
+            expr("transform(e, x -> CAST(least(greatest(floor(x / scale + 0.5d), " +
+              "-127.0d), 127.0d) AS BIGINT))").as("q"))
+          .select(
+            col("vec_id"),
+            round(col("scale"), 8).as("scale_r"),
+            expr("aggregate(q, 0L, (acc, v) -> acc + v)").as("q_sum"),
+            expr("aggregate(q, 0L, (acc, v) -> acc + abs(v))").as("q_l1"),
+            md5(expr("array_join(transform(q, v -> CAST(v AS STRING)), ',')"))
+              .as("q_md5"),
+            round(
+              expr("aggregate(zip_with(e, q, (x, v) -> pow(x - v * scale, 2.0d)), " +
+                "CAST(0 AS DOUBLE), (acc, v) -> acc + v) / size(e)"), 10)
+              .as("recon_mse"))
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        sc AS (SELECT vec_id, e,
+                      greatest(list_max(list_transform(e, x -> abs(x))), 1e-30) / 127.0 AS scale
+               FROM e),
+        q AS (SELECT vec_id, e, scale,
+                     list_transform(e, x ->
+                       CAST(least(greatest(floor(x / scale + 0.5), -127.0), 127.0) AS BIGINT)) AS q
+              FROM sc)
+        SELECT vec_id,
+               round(scale, 8) AS scale_r,
+               CAST(list_sum(q) AS BIGINT) AS q_sum,
+               CAST(list_sum(list_transform(q, v -> abs(v))) AS BIGINT) AS q_l1,
+               md5(array_to_string(q, ',')) AS q_md5,
+               round(list_sum(list_transform(range(len(e)), i ->
+                       pow(e[i + 1] - q[i + 1] * scale, 2.0))) / len(e), 10) AS recon_mse
+        FROM q"""))
   )
 
   /** Random-hyperplane LSH near-dup pairing at a given code width:

@@ -64,6 +64,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("t12/t13/v06 per-row pipeline ops stay shuffle-free") {
+    Seq("t12_chunk_windows", "t13_pii_scrub", "v06_quantize_int8").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("Exchange"), s"$q should be zero-exchange:\n$p")
+    }
+  }
+
   test("no query in SparkEntry plans a cartesian product") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
       planOf(name).contains("CartesianProduct")
