@@ -87,4 +87,19 @@ object LakeIO {
     (if (partitions.isEmpty) w else w.partitionBy(partitions: _*))
       .saveAsTable(name)
   }
+
+  /** Bucketed catalog table — the co-located-join layout for the
+    * repeated big-fact joins (J1/J3/A1 at 100 TB): two facts bucketed
+    * by the same key and count sort-merge-join with ZERO exchanges,
+    * because the bucket layout IS the shuffle, paid once at write time
+    * and amortized over every subsequent join/aggregation on that key.
+    * `path` pins the data outside the warehouse dir (external table);
+    * bucket files are also sorted by the key so the join skips the
+    * per-partition sort when Spark can prove per-file sortedness. */
+  def saveBucketed(df: DataFrame, name: String, key: String,
+      buckets: Int, path: Option[String] = None): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+    path.fold(w.saveAsTable(name))(p => w.option("path", p).saveAsTable(name))
+  }
 }

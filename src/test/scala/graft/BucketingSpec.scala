@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.{LakeIO, Tables}
+
+/** Co-located bucketed joins — the 100 TB layout decision the brief
+  * calls out: when two facts are repeatedly joined on a key, bucket
+  * both by that key at write time and every subsequent join (and
+  * groupBy on the key) runs with ZERO exchanges. The shuffle is paid
+  * once, at ingest.
+  */
+class BucketingSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("same-key bucketed facts sort-merge-join with zero exchanges") {
+    val s = spark
+    val root = java.nio.file.Files.createTempDirectory("graft-bkt").toString
+    val orders = Tables.orders(s, sf)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+    val lineitem = Tables.lineitem(s, sf)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+
+    LakeIO.saveBucketed(orders, "bkt_orders", "o_orderkey", 8,
+      Some(s"$root/orders"))
+    LakeIO.saveBucketed(
+      lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+      "bkt_lineitem", "o_orderkey", 8, Some(s"$root/lineitem"))
+
+    // force the SMJ path (broadcast would hide the exchange question)
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = s.table("bkt_lineitem")
+        .join(s.table("bkt_orders"), "o_orderkey")
+        .groupBy(col("o_orderkey"))
+        .agg(sum(col("l_quantity")).as("qty"), first(col("o_totalprice")))
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p.take(2000))
+      assert(!p.contains("Exchange"),
+        s"bucketed join+agg must not shuffle:\n${p.take(3000)}")
+
+      // same result as the plain parquet join
+      val expect = lineitem
+        .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
+        .groupBy(lineitem("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("qty"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val got = joined.collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got == expect)
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      s.sql("DROP TABLE IF EXISTS bkt_orders")
+      s.sql("DROP TABLE IF EXISTS bkt_lineitem")
+    }
+  }
+
+  test("groupBy on the bucket key aggregates without an exchange") {
+    val s = spark
+    val root = java.nio.file.Files.createTempDirectory("graft-bkt2").toString
+    val lineitem = Tables.lineitem(s, sf)
+      .select(col("l_orderkey"), col("l_quantity"))
+    LakeIO.saveBucketed(lineitem, "bkt_li2", "l_orderkey", 8,
+      Some(s"$root/li"))
+    try {
+      val agg = s.table("bkt_li2").groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("qty"))
+      agg.collect()
+      val p = agg.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"bucketed groupBy must not shuffle:\n${p.take(3000)}")
+    } finally s.sql("DROP TABLE IF EXISTS bkt_li2")
+  }
+}
