@@ -744,10 +744,12 @@ object GoldGate {
         "the flagship product itself, not just its stages.",
       (s, d) => {
         val g = games(s, d)
+        // collect the 2-date window up front (2 tiny values) so the
+        // derived fixture frame is scanned once, not once per branch
         val dates2 = g.select(substring(col("startDate"), 1, 10).as("gd"))
           .distinct().orderBy(col("gd").asc).limit(2)
-        val g2 = g.join(broadcast(dates2),
-          substring(col("startDate"), 1, 10) === col("gd")).drop("gd")
+          .collect().map(_.getString(0)).toSeq
+        val g2 = g.filter(substring(col("startDate"), 1, 10).isin(dates2: _*))
         AdjustedEfficiencies.build(s, gameTeams(s, d), g2, dimD1(s, d), Season,
             IterativeRatings.Config(maxIter = 2, tol = -1.0))
           .select(col("teamId"), col("rating_date"),
