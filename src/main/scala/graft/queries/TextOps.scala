@@ -679,6 +679,75 @@ object TextOps {
                      '\b\d{3}-\d{4}\b', '<PHONE>', 'g')) AS masked_md5
         FROM aug""")),
 
+    // ----- per-source document caps ---------------------------------------------
+    Q(
+      "t14_source_cap",
+      "Per-source document caps (the crawl-diversity pass that stops " +
+        "any one domain from dominating a pretraining mix): docs are " +
+        "ranked within each source by a deterministic md5 lottery (no " +
+        "RNG — same winners on any engine or cluster size) and capped " +
+        "at 10; reports per-source total/kept volume. The window is " +
+        "keyed by source, so the cap parallelizes across sources at " +
+        "any corpus size — no global ordering anywhere.",
+      (s, d) => {
+        val cap = 10
+        val docs = Tables.documents(s, d)
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("h").asc, col("doc_id").asc)
+        docs.select(col("source"), col("doc_id"), col("n_chars"),
+            md5(concat(col("source"), lit("|"), col("doc_id").cast("string"))).as("h"))
+          .withColumn("kept", row_number().over(w) <= cap)
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("kept"), col("n_chars")).otherwise(0L)).as("kept_chars"),
+            min(when(col("kept"), col("doc_id"))).as("first_kept"))
+      },
+      Some("""
+        WITH r AS (
+          SELECT source, doc_id, n_chars,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY md5(source || '|' || CAST(doc_id AS VARCHAR)) ASC,
+                            doc_id ASC) AS rn
+          FROM documents)
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(CASE WHEN rn <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN rn <= 10 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+               min(CASE WHEN rn <= 10 THEN doc_id END) AS first_kept
+        FROM r GROUP BY 1""")),
+
+    // ----- deterministic training shards ----------------------------------------
+    Q(
+      "t15_corpus_shard",
+      "Deterministic training-shard assignment: shard = first hex " +
+        "nibble of md5(doc_id) (16 shards), within-shard order = the " +
+        "full hash — the reproducible global shuffle a pretraining run " +
+        "needs (same doc -> same shard -> same position at any cluster " +
+        "size, no RNG, no global sort). Reports per-shard doc/token " +
+        "balance plus the hash-order head and tail doc; one hash-keyed " +
+        "exchange, and shard count widens with the corpus.",
+      (s, d) => {
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("toks"),
+            md5(col("doc_id").cast("string")).as("h"))
+          .withColumn("shard", substring(col("h"), 1, 1))
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"),
+            min_by(col("doc_id"), col("h")).as("head_doc"),
+            max_by(col("doc_id"), col("h")).as("tail_doc"))
+      },
+      Some("""
+        WITH h AS (SELECT doc_id,
+                          CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+                          md5(CAST(doc_id AS VARCHAR)) AS h
+                   FROM documents)
+        SELECT substr(h, 1, 1) AS shard, count(*) AS n_docs,
+               CAST(sum(toks) AS BIGINT) AS n_tokens,
+               min_by(doc_id, h) AS head_doc, max_by(doc_id, h) AS tail_doc
+        FROM h GROUP BY 1""")),
+
     // ----- exact dedup ---------------------------------------------------------
     Q(
       "d01_exact_dedup",
@@ -742,6 +811,50 @@ object TextOps {
           SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
         SELECT s AS doc_id, least(s, min(d)) AS component
         FROM reach GROUP BY s""")),
+
+    // ----- keep-one-per-group dedup emit ----------------------------------------
+    Q(
+      "d06_dedup_canonical",
+      "The dedup cascade's final emit: every document resolves to its " +
+        "duplicate-cluster canonical (min doc_id via the d05 connected " +
+        "components; docs in no candidate pair are their own canonical) " +
+        "and the corpus rolls up per-language survivor stats — i.e. " +
+        "what actually ships to tokenization. Cluster state is " +
+        "pair-bounded (LSH candidates only), never corpus-bounded, and " +
+        "the canonical join back to the corpus is a plain equi-join on " +
+        "doc_id.",
+      (s, d) => {
+        val pairs = candidatePairsFrom(s, signatures(s, d))
+          .select(col("doc_a"), col("doc_b"))
+        val cc = graft.operators.ConnectedComponents.minLabel(pairs, "doc_a", "doc_b")
+          .select(col("id").as("doc_id"), col("component"))
+        Tables.documents(s, d)
+          .join(cc, Seq("doc_id"), "left")
+          .withColumn("canonical", coalesce(col("component"), col("doc_id")))
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("doc_id") =!= col("canonical"), 1L).otherwise(0L)).as("n_dropped"),
+            sum(when(col("doc_id") === col("canonical"), col("n_chars")).otherwise(0L))
+              .as("kept_chars"))
+      },
+      Some(s"""
+        ${oracleLshCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+                  UNION SELECT doc_b, doc_a FROM pairs),
+        reach AS (
+          SELECT s, d FROM edges
+          UNION
+          SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+        comp AS (SELECT s AS doc_id, least(s, min(d)) AS component
+                 FROM reach GROUP BY s)
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(CASE WHEN c.component IS NOT NULL AND c.component <> dd.doc_id
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+               CAST(sum(CASE WHEN c.component IS NULL OR c.component = dd.doc_id
+                             THEN dd.n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+        FROM documents dd LEFT JOIN comp c ON c.doc_id = dd.doc_id
+        GROUP BY 1""")),
 
     // ----- exact n-gram Jaccard verification -------------------------------------
     Q(

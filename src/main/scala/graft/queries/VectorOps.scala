@@ -257,7 +257,74 @@ object VectorOps {
                md5(array_to_string(q, ',')) AS q_md5,
                round(list_sum(list_transform(range(len(e)), i ->
                        pow(e[i + 1] - q[i + 1] * scale, 2.0))) / len(e), 10) AS recon_mse
-        FROM q"""))
+        FROM q""")),
+
+    // ----- SemDeDup-style semantic dedup ----------------------------------------
+    Q(
+      "v07_semantic_dedup",
+      "SemDeDup-style semantic dedup (cluster-then-compare, Abbas et " +
+        "al. 2023): assign every embedding to its nearest seed centroid " +
+        "(the same deterministic md5 seeds as v05b), compare pairs ONLY " +
+        "within a cluster, and drop the higher vec_id of any pair with " +
+        "cosine >= 0.2 — per-cluster keep/drop stats out. The cluster " +
+        "bounds the quadratic: pair volume is the sum of per-cluster " +
+        "m², never corpus n², and k tracks sqrt(n) at scale so " +
+        "per-cluster occupancy (and thus per-vector compare cost) " +
+        "stays constant. Seeds are broadcast; the pair join shuffles " +
+        "on cluster id only.",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val seeds = e.select(col("vec_id").as("sid"), col("embedding").as("se"),
+            md5(col("vec_id").cast("string")).as("h"))
+          .orderBy(col("h").asc, col("sid").asc).limit(8)
+          .select(col("sid"), col("se"))
+        val c = e.select(col("vec_id"), col("embedding").as("ce"))
+        val asg = c.join(broadcast(seeds), lit(true))
+          .withColumn("dot", dot("se", "ce"))
+          .groupBy(col("vec_id"))
+          .agg(max_by(col("sid"), struct(col("dot"), (-col("sid")).as("ns")))
+            .as("cluster_seed"))
+          .join(c, Seq("vec_id"))
+        val a = asg.select(col("cluster_seed"), col("vec_id").as("a_id"), col("ce").as("ae"))
+        val b = asg.select(col("cluster_seed"), col("vec_id").as("b_id"), col("ce").as("be"))
+        val dup = a.join(b, Seq("cluster_seed"))
+          .filter(col("a_id") < col("b_id"))
+          .filter(cosine("ae", "be") >= 0.2)
+          .select(col("b_id").as("vec_id")).distinct()
+          .withColumn("is_dup", lit(1L))
+        asg.join(dup, Seq("vec_id"), "left")
+          .groupBy(col("cluster_seed"))
+          .agg(
+            count(lit(1)).as("n_vecs"),
+            sum(coalesce(col("is_dup"), lit(0L))).as("n_dropped"),
+            min(when(col("is_dup").isNull, col("vec_id"))).as("first_kept"))
+      },
+      Some("""
+        WITH seeds AS (
+          SELECT vec_id AS sid, embedding::DOUBLE[] AS se
+          FROM embeddings
+          ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 8),
+        c AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings),
+        sd AS (SELECT vec_id, sid, list_dot_product(se, ce) AS dot FROM c, seeds),
+        asg AS (SELECT vec_id, sid AS cluster_seed
+                FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY dot DESC, sid ASC) rn FROM sd) WHERE rn = 1),
+        pairs AS (
+          SELECT b.vec_id AS b_id
+          FROM asg a JOIN asg b ON a.cluster_seed = b.cluster_seed
+                                AND a.vec_id < b.vec_id
+          JOIN c ca ON ca.vec_id = a.vec_id
+          JOIN c cb ON cb.vec_id = b.vec_id
+          WHERE list_dot_product(ca.ce, cb.ce)
+                / (sqrt(list_dot_product(ca.ce, ca.ce))
+                   * sqrt(list_dot_product(cb.ce, cb.ce))) >= 0.2),
+        dup AS (SELECT DISTINCT b_id FROM pairs)
+        SELECT g.cluster_seed, count(*) AS n_vecs,
+               CAST(sum(CASE WHEN dup.b_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dropped,
+               min(CASE WHEN dup.b_id IS NULL THEN g.vec_id END) AS first_kept
+        FROM asg g LEFT JOIN dup ON dup.b_id = g.vec_id
+        GROUP BY 1"""))
   )
 
   /** Random-hyperplane LSH near-dup pairing at a given code width:
