@@ -278,26 +278,48 @@ object VectorOps {
             md5(col("vec_id").cast("string")).as("h"))
           .orderBy(col("h").asc, col("sid").asc).limit(8)
           .select(col("sid"), col("se"))
+        // vec_id.isNotNull is explicit (it is never null in the data)
+        // so constraint inference from the pair join's a_id < b_id
+        // can't add it to only two of the three consumer branches and
+        // break exchange-subplan identity.
         val c = e.select(col("vec_id"), col("embedding").as("ce"))
+          .filter(col("vec_id").isNotNull)
+        // The assignment frame feeds three consumers (both pair-join
+        // sides + the final rollup). first(ce) carries the embedding
+        // through the argmax agg (ce is functionally dependent on the
+        // group key, so "first" is deterministic here) instead of
+        // re-joining the corpus, and the trailing repartition on the
+        // pair-join key is the AQE exchange-reuse point — without it
+        // the alias projections on each side defeat ReusedExchange and
+        // the corpus x seeds assignment would run three times (the j08
+        // rename lesson; same trick as TextOps.signatures).
         val asg = c.join(broadcast(seeds), lit(true))
           .withColumn("dot", dot("se", "ce"))
           .groupBy(col("vec_id"))
-          .agg(max_by(col("sid"), struct(col("dot"), (-col("sid")).as("ns")))
-            .as("cluster_seed"))
-          .join(c, Seq("vec_id"))
+          .agg(
+            max_by(col("sid"), struct(col("dot"), (-col("sid")).as("ns")))
+              .as("cluster_seed"),
+            first(col("ce")).as("ce"))
+          .filter(col("cluster_seed").isNotNull)
+          .repartition(col("cluster_seed"))
         val a = asg.select(col("cluster_seed"), col("vec_id").as("a_id"), col("ce").as("ae"))
         val b = asg.select(col("cluster_seed"), col("vec_id").as("b_id"), col("ce").as("be"))
-        val dup = a.join(b, Seq("cluster_seed"))
+        val dropped = a.join(b, Seq("cluster_seed"))
           .filter(col("a_id") < col("b_id"))
           .filter(cosine("ae", "be") >= 0.2)
-          .select(col("b_id").as("vec_id")).distinct()
-          .withColumn("is_dup", lit(1L))
-        asg.join(dup, Seq("vec_id"), "left")
-          .groupBy(col("cluster_seed"))
-          .agg(
-            count(lit(1)).as("n_vecs"),
-            sum(coalesce(col("is_dup"), lit(0L))).as("n_dropped"),
-            min(when(col("is_dup").isNull, col("vec_id"))).as("first_kept"))
+          .select(col("cluster_seed"), col("b_id")).distinct()
+          .groupBy(col("cluster_seed")).agg(count(lit(1)).as("n_dropped"))
+        // first_kept == min(vec_id): the cluster min has no smaller
+        // in-cluster partner, so it can never appear as a dropped b_id.
+        // Rolling totals and drop counts up separately (two 8-row
+        // aggregates joined at the end) replaces a corpus-wide outer
+        // join, and both rollups group on the repartition key so they
+        // reuse the cluster exchange with no further shuffle.
+        val totals = asg.groupBy(col("cluster_seed"))
+          .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("first_kept"))
+        totals.join(dropped, Seq("cluster_seed"), "left")
+          .select(col("cluster_seed"), col("n_vecs"),
+            coalesce(col("n_dropped"), lit(0L)).as("n_dropped"), col("first_kept"))
       },
       Some("""
         WITH seeds AS (

@@ -53,6 +53,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReusedExchange"), p.take(3000))
   }
 
+  test("v07 semantic dedup reuses the cluster-assignment exchange across consumers") {
+    // Three consumers (both pair-join sides + the totals rollup) hang
+    // off the repartition(cluster_seed) exchange; the corpus x seeds
+    // assignment must be computed once, not three times.
+    val df = SparkEntry.queries("v07_semantic_dedup")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p.take(300))
+    assert(p.contains("ReusedExchange"), p.take(3000))
+  }
+
   test("t09 repetition scoring is pure per-row compute — no exchange at all") {
     val p = planOf("t09_repetition")
     assert(!p.contains("Exchange"), p)
