@@ -82,6 +82,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("t14/t15 cap and shard rollups move data through exactly one exchange") {
+    // t14's window and final agg share the source key; t15's shard agg
+    // partial-aggregates map-side — in both, one data-sized shuffle.
+    Seq("t14_source_cap", "t15_corpus_shard").foreach { q =>
+      val p = planOf(q)
+      val n = "(?<!Broadcast|Reused)Exchange".r.findAllIn(p).size
+      assert(n == 1, s"$q should have exactly 1 shuffle exchange, got $n:\n$p")
+    }
+  }
+
   test("no query in SparkEntry plans a cartesian product") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
       planOf(name).contains("CartesianProduct")
