@@ -748,6 +748,77 @@ object TextOps {
                min_by(doc_id, h) AS head_doc, max_by(doc_id, h) AS tail_doc
         FROM h GROUP BY 1""")),
 
+    // ----- composed quality gate ------------------------------------------------
+    Q(
+      "t16_quality_gate",
+      "The composed corpus keep/drop decision (C4/Gopher-style filter " +
+        "cascade): a doc is dropped if too short (<16 ws tokens), mean " +
+        "word length outside [4.2,5.0], stopword ratio <1%, or " +
+        "duplicate word-3-gram fraction >2% — per-language kept/reason " +
+        "counts out. Thresholds are config constants, pinned here to " +
+        "values that exercise EVERY branch on the test corpus; each " +
+        "ratio is an integer cross-multiplication (no float " +
+        "thresholds), so both engines decide identically. Pure per-row " +
+        "projection + one tiny per-lang rollup; a doc counts once per " +
+        "reason it trips.",
+      (s, d) => {
+        val stopArr = StopWords.map(w => s"'$w'").mkString("array(", ", ", ")")
+        Tables.documents(s, d)
+          .select(col("lang"), split(col("text"), " ").as("ws"))
+          .select(col("lang"), size(col("ws")).cast("long").as("toks"),
+            expr("aggregate(transform(ws, w -> length(w)), 0L, (a, v) -> a + v)")
+              .as("chars"),
+            expr(s"size(filter(ws, w -> array_contains($stopArr, w)))")
+              .cast("long").as("stops"),
+            // 3-gram count is toks-2 by construction (no array needed);
+            // the distinct count guards toks<3 where sequence() would
+            // produce a descending range instead of an empty one
+            greatest(size(col("ws")) - 2, lit(0)).cast("long").as("g_total"),
+            expr("CASE WHEN size(ws) >= 3 THEN " +
+              "size(array_distinct(transform(sequence(0, size(ws) - 3), " +
+              "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))) ELSE 0 END")
+              .cast("long").as("g_dist"))
+          .select(col("lang"),
+            (col("toks") < 16).as("f_short"),
+            (col("chars") * 10 < col("toks") * 42 || col("chars") * 10 > col("toks") * 50)
+              .as("f_wlen"),
+            (col("stops") * 100 < col("toks")).as("f_stop"),
+            ((col("g_total") - col("g_dist")) * 50 > col("g_total")).as("f_rep"))
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(!col("f_short") && !col("f_wlen") && !col("f_stop")
+              && !col("f_rep"), 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("f_short"), 1L).otherwise(0L)).as("n_short"),
+            sum(when(col("f_wlen"), 1L).otherwise(0L)).as("n_wordlen"),
+            sum(when(col("f_stop"), 1L).otherwise(0L)).as("n_stopword"),
+            sum(when(col("f_rep"), 1L).otherwise(0L)).as("n_repetitive"))
+      },
+      Some(s"""
+        WITH w AS (SELECT lang, string_split(text, ' ') AS ws FROM documents),
+        m AS (SELECT lang,
+                     CAST(len(ws) AS BIGINT) AS toks,
+                     CAST(list_sum(list_transform(ws, x -> len(x))) AS BIGINT) AS chars,
+                     CAST(len(list_filter(ws, x -> x IN (${StopWords.map(w => s"'$w'").mkString(", ")}))) AS BIGINT) AS stops,
+                     CAST(greatest(len(ws) - 2, 0) AS BIGINT) AS g_total,
+                     CAST(len(list_distinct(list_transform(range(greatest(len(ws) - 2, 0)),
+                       i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))) AS BIGINT) AS g_dist
+              FROM w),
+        f AS (SELECT lang,
+                     toks < 16 AS f_short,
+                     chars * 10 < toks * 42 OR chars * 10 > toks * 50 AS f_wlen,
+                     stops * 100 < toks AS f_stop,
+                     (g_total - g_dist) * 50 > g_total AS f_rep
+              FROM m)
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(CASE WHEN NOT f_short AND NOT f_wlen AND NOT f_stop
+                             AND NOT f_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN f_short THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+               CAST(sum(CASE WHEN f_wlen THEN 1 ELSE 0 END) AS BIGINT) AS n_wordlen,
+               CAST(sum(CASE WHEN f_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_stopword,
+               CAST(sum(CASE WHEN f_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
+        FROM f GROUP BY 1""")),
+
     // ----- exact dedup ---------------------------------------------------------
     Q(
       "d01_exact_dedup",
