@@ -477,6 +477,31 @@ object Windows {
         FROM events v JOIN events c
           ON v.user_id = c.user_id
          AND v.event_type = 'view' AND c.event_type = 'click'
-         AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR"""))
+         AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR""")),
+
+    Q(
+      "st04_stream_static_enrich",
+      "Stream-static enrichment (§2.10): the event stream joined to a " +
+        "broadcast customer-segment dim, then aggregated per (segment, " +
+        "event_type) — the canonical enrich-then-aggregate micro-batch " +
+        "shape. No streaming state: only the stream side is unbounded, " +
+        "and the dim broadcast is re-planned per micro-batch, so at " +
+        "100 TB/day the stream never shuffles for the join. The SAME " +
+        "EventStream.enrich call runs on a readStream frame " +
+        "(parity-tested in EventStreamSpec).",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val dim = Tables.customer(s, d)
+          .select(col("c_custkey").as("user_id"),
+            col("c_mktsegment").as("segment"))
+        graft.streaming.EventStream.enrich(e, dim, "user_id")
+          .groupBy(col("segment"), col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      },
+      Some("""
+        SELECT c.c_mktsegment AS segment, e.event_type,
+               count(*) AS n, round(sum(e.value), 2) AS total
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1, 2"""))
   )
 }

@@ -47,6 +47,14 @@ object EventStream {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Stream-static enrichment: join a (possibly streaming) event frame
+    * against a static dimension on `key`. In Structured Streaming the
+    * static side is planned per micro-batch and broadcast when small —
+    * the canonical "enrich the stream with a dim table" shape; no
+    * streaming state at all, because only the stream side is unbounded. */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key))
+
   /** Event-time interval join ("clicks within `window` after a view"):
     * same-key right rows inside [l.ts, l.ts + window]. The SAME call
     * works on batch frames and on watermarked streaming frames — for

@@ -39,6 +39,34 @@ class EventStreamSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("enrich over a stream joins the static dim per micro-batch, equal to batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dim = Seq((1L, "AUTO"), (2L, "HOME")).toDF("user_id", "segment")
+    val rows = Seq((1L, "click", 1.0), (2L, "view", 2.0), (1L, "view", 3.0),
+      (3L, "click", 9.0)) // user 3 has no dim row -> dropped by the inner join
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      EventStream.enrich(df, dim, "user_id")
+        .groupBy(col("segment"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+    def toDf(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("_1").as("user_id"), col("_2").as("event_type"),
+        col("_3").as("value"))
+
+    val batch = agg(toDf(rows.toDF())).collect().toSet
+    val mem = MemoryStream[(Long, String, Double)]
+    mem.addData(rows: _*)
+    val q = agg(toDf(mem.toDF()))
+      .writeStream.format("memory").queryName("enrich")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    val streamed = s.table("enrich").collect().toSet
+    q.stop()
+    assert(streamed == batch)
+    assert(batch.size == 3 && !batch.exists(_.getString(1) == null))
+  }
+
   test("file-source stream: windowAggStreaming over NDJSON files arriving in a directory") {
     val s = spark
     import s.implicits._
