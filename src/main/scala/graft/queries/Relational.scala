@@ -449,6 +449,28 @@ object Relational {
         FROM lineitem
         GROUP BY CUBE (l_returnflag, l_linestatus)""")),
 
+    Q(
+      "u06_rollup",
+      "ROLLUP aggregation (u05's hierarchical twin): nation → nation+" +
+        "segment subtotals → grand total in one pass, the drill-down " +
+        "report shape. Like cube, one shuffle keyed on the full " +
+        "grouping-set expansion — subtotals are computed by the " +
+        "aggregate itself, never by re-scanning per level.",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        c.rollup(col("c_nationkey"), col("c_mktsegment"))
+          .agg(
+            count(lit(1)).as("n"),
+            round(sum(col("c_acctbal")), 2).as("bal"),
+            grouping_id(col("c_nationkey"), col("c_mktsegment")).as("gid"))
+      },
+      Some("""
+        SELECT c_nationkey, c_mktsegment, count(*) AS n,
+               round(sum(c_acctbal), 2) AS bal,
+               CAST(GROUPING(c_nationkey) * 2 + GROUPING(c_mktsegment) AS BIGINT) AS gid
+        FROM customer
+        GROUP BY ROLLUP (c_nationkey, c_mktsegment)""")),
+
     // ----- U3: set difference -----------------------------------------------
     Q(
       "u03_except",
