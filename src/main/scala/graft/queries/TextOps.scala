@@ -927,6 +927,50 @@ object TextOps {
         FROM documents dd LEFT JOIN comp c ON c.doc_id = dd.doc_id
         GROUP BY 1""")),
 
+    // ----- line-level boilerplate dedup -----------------------------------------
+    Q(
+      "d07_line_dedup",
+      "Line-level boilerplate removal (the CCNet/RefinedWeb pass that " +
+        "strips headers/footers repeated across a crawl): documents " +
+        "segment into fixed 3-word windows (the line proxy — the test " +
+        "corpus has no newlines), a segment seen in >= 3 DISTINCT docs " +
+        "is boilerplate, and each doc reports total vs boilerplate " +
+        "segment counts. Two-pass corpus-stats-then-annotate shape " +
+        "(same as t11): the boilerplate set is bounded by repetition, " +
+        "not corpus size, so the annotate join broadcasts; segment " +
+        "explode is corpus-linear, never pairwise.",
+      (s, d) => {
+        val W = 3
+        val segs = Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+          .select(col("doc_id"), explode(expr(
+            s"transform(sequence(0, CAST(floor((size(ws) - 1) / $W) AS INT)), " +
+              s"i -> concat_ws(' ', slice(ws, i * $W + 1, $W)))")).as("seg"))
+        val boiler = segs.select(col("doc_id"), col("seg")).distinct()
+          .groupBy(col("seg")).agg(count(lit(1)).as("nd"))
+          .filter(col("nd") >= 3).select(col("seg"))
+        val total = segs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_segs"))
+        val flagged = segs.join(boiler, Seq("seg"), "left_semi")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boiler"))
+        total.join(flagged, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_segs"),
+            coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
+      },
+      Some("""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        segs AS (SELECT doc_id, array_to_string(ws[i*3+1 : i*3+3], ' ') AS seg
+                 FROM (SELECT doc_id, ws,
+                              unnest(range(CAST(floor((len(ws) - 1) / 3) AS BIGINT) + 1)) AS i
+                       FROM w)),
+        boiler AS (SELECT seg FROM (SELECT DISTINCT doc_id, seg FROM segs)
+                   GROUP BY seg HAVING count(*) >= 3),
+        tot AS (SELECT doc_id, count(*) AS n_segs FROM segs GROUP BY 1),
+        nb AS (SELECT doc_id, count(*) AS n_boiler
+               FROM segs SEMI JOIN boiler USING (seg) GROUP BY 1)
+        SELECT t.doc_id, t.n_segs,
+               CAST(coalesce(nb.n_boiler, 0) AS BIGINT) AS n_boiler
+        FROM tot t LEFT JOIN nb ON t.doc_id = nb.doc_id""")),
+
     // ----- exact n-gram Jaccard verification -------------------------------------
     Q(
       "d04_ngram_jaccard",
