@@ -473,6 +473,34 @@ object DomainOps {
               FROM p)
         SELECT doc_id, byte_len, width, height, n_frames, payload_md5,
                frame0_md5, frame_last_md5
-        FROM f"""))
+        FROM f""")),
+
+    Q(
+      "m02_multimodal_features",
+      "The mapPartitions feature-extraction path (MediaOps." +
+        "extractFeatures): payload bytes -> fixed-width Float feature " +
+        "per doc, one (stub) codec init per partition — the same batch " +
+        "shape a real decode-and-embed pipeline uses. Gated by scaling " +
+        "the float lanes back to their exact integer byte sums " +
+        "(accumulated f32 error << 0.5 at test payload sizes), which " +
+        "the oracle recomputes per mod-8 byte lane; the corpus is " +
+        "ASCII so byte == codepoint.",
+      (s, d) => {
+        import s.implicits._
+        val media = MediaOps.withPayload(Tables.documents(s, d))
+          .select(col("doc_id"), col("payload")).as[MediaOps.MediaIn]
+        val lanes = (0 until 8).map(j =>
+          round(element_at(col("feature"), j + 1) * 255.0, 0).cast("long")
+            .as(s"lane$j"))
+        MediaOps.extractFeatures(media, dim = 8)
+          .select(col("doc_id") +: col("byte_len").cast("long").as("byte_len") +: lanes: _*)
+      },
+      Some(s"""
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS byte_len,
+               ${(0 until 8).map(j =>
+                  s"CAST(coalesce(list_sum(list_transform(range($j, length(text), 8), " +
+                  s"i -> ascii(substr(text, CAST(i AS INT) + 1, 1)))), 0) AS BIGINT) AS lane$j")
+                  .mkString(",\n               ")}
+        FROM documents"""))
   )
 }
