@@ -15,9 +15,10 @@ import org.apache.spark.sql.SparkSession
   *   capture window that stores it is 2000 chars (every BENCH_r*.json
   *   through r5 shows a tail-truncated line and parsed:null), so the
   *   stdout line keys each query by its unique operator-id prefix
-  *   ("j01" for j01_broadcast_chain; verified collision-free) and
-  *   omits the spread object — ~1.3k chars for 96 queries, leaving
-  *   headroom for growth. Full names, medians, spreads, and every
+  *   ("j01" for j01_broadcast_chain; uniqueness enforced by a require
+  *   below) and omits the spread object — ~1.45k chars for 108
+  *   queries, ~30 more queries of headroom. Full names, medians,
+  *   spreads, and every
   *   per-pass sample go to SPARK_GRAFT_BENCH_OUT (default
   *   bench_out.json) for post-hoc analysis.
   */
@@ -60,6 +61,8 @@ object Bench {
     }
     // short stdout key: the operator-id prefix, unique across queries
     def tag(name: String): String = name.takeWhile(_ != '_')
+    require(results.map(t => tag(t._1)).distinct.size == results.size,
+      "duplicate operator-id prefixes would silently drop a query from the stdout JSON")
     val qs = results.map { case (k, m, _, _) => "\"" + tag(k) + "\":" + ms(m) }
       .mkString("{", ",", "}")
     val total = ms(results.map(_._2).sum)

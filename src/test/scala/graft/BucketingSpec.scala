@@ -12,6 +12,17 @@ import graft.sources.{LakeIO, Tables}
 class BucketingSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
+  // DROP TABLE removes only the catalog entry for these external
+  // tables; the parquet trees under the temp root must go too
+  private def deleteRecursively(path: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val p = Paths.get(path)
+    if (Files.exists(p))
+      Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => Files.deleteIfExists(f))
+  }
+
   test("same-key bucketed facts sort-merge-join with zero exchanges") {
     val s = spark
     val root = java.nio.file.Files.createTempDirectory("graft-bkt").toString
@@ -53,6 +64,7 @@ class BucketingSpec extends SparkSpec {
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       s.sql("DROP TABLE IF EXISTS bkt_orders")
       s.sql("DROP TABLE IF EXISTS bkt_lineitem")
+      deleteRecursively(root)
     }
   }
 
@@ -70,6 +82,9 @@ class BucketingSpec extends SparkSpec {
       val p = agg.queryExecution.executedPlan.toString
       assert(!p.contains("Exchange"),
         s"bucketed groupBy must not shuffle:\n${p.take(3000)}")
-    } finally s.sql("DROP TABLE IF EXISTS bkt_li2")
+    } finally {
+      s.sql("DROP TABLE IF EXISTS bkt_li2")
+      deleteRecursively(root)
+    }
   }
 }

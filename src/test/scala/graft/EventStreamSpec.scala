@@ -64,7 +64,9 @@ class EventStreamSpec extends SparkSpec {
     val streamed = s.table("enrich").collect().toSet
     q.stop()
     assert(streamed == batch)
-    assert(batch.size == 3 && !batch.exists(_.getString(1) == null))
+    // segment is column 0 of the agg output; a left-join regression
+    // would surface user 3 with a null segment
+    assert(batch.size == 3 && !batch.exists(_.isNullAt(0)))
   }
 
   test("file-source stream: windowAggStreaming over NDJSON files arriving in a directory") {
