@@ -1,0 +1,123 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, GraftPlanBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Whole-operator Catalyst extension (the (c) tier of the build brief's
+  * custom-operator ladder: LogicalPlan + Strategy + SparkPlan): per-key
+  * top-k via bounded heaps.
+  *
+  * Why not a window? `row_number().over(partitionBy(key).orderBy(o))
+  * .filter(rn <= k)` SORTS every row of every key group and shuffles
+  * the ENTIRE input — at 100 TB that is a full-data exchange plus an
+  * O(n log n) sort per key, to keep k rows. This operator keeps a
+  * k-bounded heap per key and plans as partial → exchange → final, so
+  * the map side emits at most k rows per (key, input partition): the
+  * shuffle carries k·parts rows per key instead of all of them, and
+  * nothing is ever fully sorted. The same partial/final split Spark
+  * gives hash aggregates, applied to an operator Catalyst doesn't have.
+  *
+  * State per task is k rows per distinct key in that task's input —
+  * strictly smaller than the window form's sort buffer for the same
+  * partition.
+  */
+case class TopKPerKeyNode(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
+    copy(child = newChild)
+}
+
+/** Physical operator; `partial = true` runs before the exchange (map-
+  * side combine), `partial = false` after it. Both phases run the same
+  * kernel — top-k of a union of per-partition top-k's is the global
+  * per-key top-k. */
+case class TopKPerKeyExec(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    partial: Boolean,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(keys) :: Nil
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val kLocal = k
+    val keyExprs = keys
+    val orderExprs = order
+    val childOutput = child.output
+    child.execute().mapPartitions { it =>
+      val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      val ord = RowOrdering.create(orderExprs, childOutput)
+      // heap head = the WORST retained row, so peek/poll evicts right
+      val worstFirst = new java.util.Comparator[UnsafeRow] {
+        override def compare(a: UnsafeRow, b: UnsafeRow): Int = ord.compare(b, a)
+      }
+      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]
+      it.foreach { r =>
+        val u = toUnsafe(r)
+        var q = heaps.get(keyProj(u))
+        if (q == null) {
+          q = new java.util.PriorityQueue[UnsafeRow](kLocal, worstFirst)
+          heaps.put(keyProj(u).copy(), q)
+        }
+        if (q.size < kLocal) q.add(u.copy())
+        else if (ord.compare(u, q.peek) < 0) { q.poll(); q.add(u.copy()) }
+      }
+      import scala.jdk.CollectionConverters._
+      heaps.values.asScala.iterator.flatMap(_.iterator.asScala)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+}
+
+/** Plans the logical node as final(exchange(partial(child))) — the
+  * exchange is inserted by EnsureRequirements from the final phase's
+  * ClusteredDistribution requirement. */
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyNode(keys, order, k, child) =>
+      TopKPerKeyExec(keys, order, k, partial = false,
+        TopKPerKeyExec(keys, order, k, partial = true, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+object TopKPerKey {
+  /** Top `k` rows per key group under `orderBy` (e.g. `col("v").desc,
+    * col("id").asc` — include a unique tiebreak for determinism).
+    * Output rows keep the input schema; row order across groups is
+    * unspecified. */
+  def topK(df: DataFrame, keyCols: Seq[String], orderBy: Seq[Column], k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
+    val keys: Seq[Expression] =
+      keyCols.map(n => GraftPlanBridge.expr(org.apache.spark.sql.functions.col(n)))
+    val order: Seq[SortOrder] = orderBy.map { c =>
+      GraftPlanBridge.expr(c) match {
+        case so: SortOrder => so
+        case e => SortOrder(e, org.apache.spark.sql.catalyst.expressions.Ascending)
+      }
+    }
+    GraftPlanBridge.ofRows(spark,
+      TopKPerKeyNode(keys, order, k, df.queryExecution.analyzed))
+  }
+}

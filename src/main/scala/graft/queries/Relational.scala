@@ -504,6 +504,28 @@ object Relational {
         FROM orders GROUP BY 1
         ORDER BY spend DESC, o_custkey ASC LIMIT 10""")),
 
+    Q(
+      "o06_topk_per_key",
+      "Per-key top-k via the custom whole-operator extension (TopKPerKeyNode " +
+        "+ TopKStrategy + TopKPerKeyExec, graft.plans.TopKPerKey): top 3 " +
+        "events per user by value. The window row_number form shuffles and " +
+        "SORTS the entire input; this operator keeps a k-bounded heap per " +
+        "key and plans partial -> exchange -> final like a hash aggregate, " +
+        "so the shuffle carries at most k rows per (key, map partition). " +
+        "Oracle is the window form — same rows, different physics.",
+      (s, d) => {
+        val e = Tables.events(s, d).select(col("user_id"), col("event_id"), col("value"))
+        graft.plans.TopKPerKey.topK(
+          e, Seq("user_id"), Seq(col("value").desc, col("event_id").asc), 3)
+      },
+      Some("""
+        SELECT user_id, event_id, value FROM (
+          SELECT user_id, event_id, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY value DESC, event_id ASC) AS rn
+          FROM events) t
+        WHERE rn <= 3""")),
+
     // ----- skew handling: two-stage salted aggregation -------------------------
     Q(
       "a16_salted_skew_agg",

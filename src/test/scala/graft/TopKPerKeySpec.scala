@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.plans.TopKPerKey
+import graft.sources.Tables
+
+/** The custom whole-operator extension (TopKPerKeyNode + TopKStrategy +
+  * TopKPerKeyExec): result parity with the window row_number form, and
+  * the partial → exchange → final plan shape.
+  */
+class TopKPerKeySpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("topK equals the window row_number form on events") {
+    val e = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("value"))
+    val got = TopKPerKey.topK(
+      e, Seq("user_id"), Seq(col("value").desc, col("event_id").asc), 3)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("value").desc, col("event_id").asc)
+    val expect = e.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).drop("rn")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    assert(got.collect().map(key).toSet == expect.collect().map(key).toSet)
+    assert(got.count() > 0)
+  }
+
+  test("plans partial -> exchange -> final; both phases present, one shuffle") {
+    val e = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("value"))
+    val got = TopKPerKey.topK(
+      e, Seq("user_id"), Seq(col("value").desc, col("event_id").asc), 2)
+    got.collect()
+    // AQE's toString prints the final AND initial plans; count in the final only
+    val p = got.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("TopKPerKey".r.findAllIn(p).size == 2, p.take(2000))
+    assert("(?<!Broadcast|Reused)Exchange".r.findAllIn(p).size == 1, p.take(2000))
+  }
+
+  test("k larger than the group emits the whole group; ties break on the tiebreak") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 10L, 5.0), (1L, 11L, 5.0), (2L, 12L, 1.0))
+      .toDF("user_id", "event_id", "value")
+    val got = TopKPerKey.topK(
+        df, Seq("user_id"), Seq(col("value").desc, col("event_id").asc), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L), (1L, 11L), (2L, 12L)))
+    val top1 = TopKPerKey.topK(
+        df, Seq("user_id"), Seq(col("value").desc, col("event_id").asc), 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(top1 == Set((1L, 10L), (2L, 12L))) // tie at value=5.0 -> lower event_id
+  }
+}
