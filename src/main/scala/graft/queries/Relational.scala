@@ -526,6 +526,28 @@ object Relational {
           FROM events) t
         WHERE rn <= 3""")),
 
+    Q(
+      "o06b_topk_window",
+      "o06's window twin: the textbook row_number().over(partitionBy)" +
+        ".filter(rn <= k) form, kept as the oracle-parity baseline. This " +
+        "shuffles and sorts EVERY input row; o06's heap operator ships " +
+        "k rows per (key, map partition). Same oracle, different physics " +
+        "— the bench pair quantifies the gap as data grows.",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.events(s, d).select(col("user_id"), col("event_id"), col("value"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("value").desc, col("event_id").asc)
+        e.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3).drop("rn")
+      },
+      Some("""
+        SELECT user_id, event_id, value FROM (
+          SELECT user_id, event_id, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY value DESC, event_id ASC) AS rn
+          FROM events) t
+        WHERE rn <= 3""")),
+
     // ----- skew handling: two-stage salted aggregation -------------------------
     Q(
       "a16_salted_skew_agg",

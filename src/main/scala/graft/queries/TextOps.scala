@@ -819,6 +819,90 @@ object TextOps {
                CAST(sum(CASE WHEN f_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
         FROM f GROUP BY 1""")),
 
+    // ----- unigram LM quality score ---------------------------------------------
+    Q(
+      "t17_unigram_logprob",
+      "CCNet-style LM quality score, unigram flavor: pass 1 builds the " +
+        "corpus unigram model (token counts + corpus total), pass 2 " +
+        "scores every document by its mean token log-probability — the " +
+        "perplexity-bucket filter shape (CCNet buckets docs by LM score " +
+        "and keeps the low-perplexity head). Same two-pass corpus-" +
+        "stats-then-annotate shape as t11; the model join is a plain " +
+        "token equi-join so AQE picks broadcast vs shuffle by the " +
+        "measured vocab size (Heap's-law-bounded, not corpus-bounded). " +
+        "No OOV branch needed: the model is fit on the corpus it " +
+        "scores, so every token is in-vocab by construction.",
+      (s, d) => {
+        // aggregate to (doc, token, tf) BEFORE the model join: the join and
+        // everything after carry distinct pairs (map-side combined), not
+        // every token occurrence; mean log-prob is the tf-weighted mean
+        val tf = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as("tf"))
+        val freq = tf.groupBy(col("tok")).agg(sum(col("tf")).as("cnt"))
+        val tot = tf.agg(sum(col("tf")).as("total"))
+        tf.join(freq, Seq("tok"))
+          .crossJoin(broadcast(tot))
+          .groupBy(col("doc_id"))
+          .agg(
+            sum(col("tf")).as("n_tokens"),
+            round(
+              sum(col("tf") * log(col("cnt").cast("double") / col("total")))
+                / sum(col("tf")), 4)
+              .as("avg_logprob"))
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                      FROM documents),
+        freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+        tot AS (SELECT count(*) AS total FROM toks)
+        SELECT t.doc_id, count(*) AS n_tokens,
+               round(avg(ln(CAST(f.cnt AS DOUBLE) / tot.total)), 4) AS avg_logprob
+        FROM toks t JOIN freq f USING (tok) CROSS JOIN tot
+        GROUP BY 1""")),
+
+    // ----- TF-IDF top terms (dogfoods the TopKPerKey operator) ------------------
+    Q(
+      "t18_tfidf_topterms",
+      "TF-IDF keyword extraction: per-document term frequency x corpus " +
+        "inverse document frequency, top 3 terms per doc — the keyword/" +
+        "topic-tagging pass over a training corpus. The per-key top-k " +
+        "runs through the custom TopKPerKey operator (o06's heap " +
+        "partial -> exchange -> final plan), so the rank step ships 3 " +
+        "rows per (doc, map partition) instead of window-sorting every " +
+        "scored term; the oracle is the window row_number form.",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val tf = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val scored = tf.join(dfreq, Seq("tok"))
+          .crossJoin(broadcast(n))
+          .select(col("doc_id"), col("tok"),
+            (col("tf") * log(col("n_docs").cast("double") / col("df"))).as("score"))
+        graft.plans.TopKPerKey.topK(
+            scored, Seq("doc_id"), Seq(col("score").desc, col("tok").asc), 3)
+          .select(col("doc_id"), col("tok"), round(col("score"), 4).as("score"))
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                      FROM documents),
+        tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (SELECT t.doc_id, t.tok,
+                          t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df) AS score
+                   FROM tf t JOIN df d USING (tok) CROSS JOIN n),
+        r AS (SELECT doc_id, tok, score,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, tok ASC) AS rn
+              FROM scored)
+        SELECT doc_id, tok, round(score, 4) AS score FROM r WHERE rn <= 3""")),
+
     // ----- exact dedup ---------------------------------------------------------
     Q(
       "d01_exact_dedup",
