@@ -89,12 +89,5 @@ object CosineSimilarity {
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)))
 }
 
-/** `spark.sql.extensions=graft.plans.GraftExtensions` injects the
-  * function at session build time — the SparkSessionExtensions path. */
-class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction((
-      FunctionIdentifier("cosine_sim"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
-}
+// session-build-time injection lives in graft.plans.GraftExtensions,
+// the single spark.sql.extensions entry point for all graft extensions
