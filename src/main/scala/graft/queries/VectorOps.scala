@@ -346,7 +346,107 @@ object VectorOps {
                  AS n_dropped,
                min(CASE WHEN dup.b_id IS NULL THEN g.vec_id END) AS first_kept
         FROM asg g LEFT JOIN dup ON dup.b_id = g.vec_id
-        GROUP BY 1"""))
+        GROUP BY 1""")),
+
+    // ----- IVF + int8 quantized scoring (the IVF-PQ serving shape) --------------
+    Q(
+      "v08_ivf_pq",
+      "IVF probe with int8 quantized scoring (the IVF-PQ serving " +
+        "pattern, scalar-quantization flavor: coarse centroids route " +
+        "the query, candidates are scored on 4x-compressed codes): " +
+        "v02's float centroid probe picks the cluster, then candidates " +
+        "rank by the QUANTIZED inner product idot(qa,qb) * scale_a * " +
+        "scale_b using v06's symmetric int8 codes. The integer dot is " +
+        "exact in both engines (no float summation order), so scores " +
+        "are bit-identical cross-engine; at scale the scored payload " +
+        "is a quarter of the float corpus and the probe reads " +
+        "~1/n_clusters of it.",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        // v06's quantization: per-vector absmax scale, q in [-127, 127]
+        val quant = e.select(col("vec_id"), col("label"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("de"))
+          .select(col("vec_id"), col("label"),
+            expr("greatest(array_max(transform(de, x -> abs(x))), 1e-30d) / 127.0d")
+              .as("scale"),
+            col("de"))
+          .select(col("vec_id"), col("label"), col("scale"),
+            expr("transform(de, x -> CAST(least(greatest(floor(x / scale + 0.5d), " +
+              "-127.0d), 127.0d) AS BIGINT))").as("q"))
+        // v02's float coarse probe: per-label centroids, argmax by dot
+        val long = e.select(col("vec_id"), col("label"),
+            posexplode(col("embedding")))
+          .select(col("vec_id"), col("label"), col("pos"),
+            col("col").cast("double").as("v"))
+        val cent = long.groupBy(col("label").as("c_label"), col("pos"))
+          .agg(avg(col("v")).as("cv"))
+        val qlong = long.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("pos"), col("v").as("qv"))
+        val assignW = Window.partitionBy(col("qid"))
+          .orderBy(col("dot").desc, col("c_label").asc)
+        val probe = qlong.join(cent, Seq("pos"))
+          .groupBy(col("qid"), col("c_label"))
+          .agg(sum(col("qv") * col("cv")).as("dot"))
+          .withColumn("rn", row_number().over(assignW))
+          .filter(col("rn") === 1)
+          .select(col("qid"), col("c_label").as("probe_label"))
+        val qq = quant.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("scale").as("q_scale"),
+            col("q").as("qa"))
+        val cq = quant.select(col("vec_id").as("cid"), col("label").as("c_lab"),
+          col("scale").as("c_scale"), col("q").as("qb"))
+        val rankW = Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("cid").asc)
+        cq.join(broadcast(probe.join(qq, Seq("qid"))),
+            col("c_lab") === col("probe_label") && col("cid") =!= col("qid"))
+          .withColumn("idot",
+            expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+          .withColumn("score", col("idot") * col("q_scale") * col("c_scale"))
+          .withColumn("rank", row_number().over(rankW))
+          .filter(col("rank") <= 3)
+          .select(col("qid").as("query_id"), col("probe_label"), col("rank"),
+            col("cid").as("neighbor_id"), col("idot"),
+            round(col("score"), 6).as("approx_ip"))
+      },
+      Some("""
+        WITH sc AS (SELECT vec_id, label, embedding::DOUBLE[] AS de,
+                           greatest(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))), 1e-30)
+                             / 127.0 AS scale
+                    FROM embeddings),
+        quant AS (SELECT vec_id, label, scale,
+                         list_transform(de, x ->
+                           CAST(least(greatest(floor(x / scale + 0.5), -127.0), 127.0) AS BIGINT)) AS q
+                  FROM sc),
+        long AS (SELECT vec_id, label, unnest(embedding)::DOUBLE AS v,
+                        unnest(range(len(embedding))) AS pos
+                 FROM embeddings),
+        cent AS (SELECT label AS c_label, pos, avg(v) AS cv
+                 FROM long GROUP BY 1, 2),
+        qlong AS (SELECT vec_id AS qid, pos, v AS qv FROM long WHERE vec_id < 20),
+        assign AS (SELECT qid, c_label, sum(qv * cv) AS dot
+                   FROM qlong JOIN cent USING (pos) GROUP BY 1, 2),
+        probe AS (SELECT qid, c_label AS probe_label
+                  FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                          ORDER BY dot DESC, c_label ASC) rn FROM assign)
+                  WHERE rn = 1),
+        qq AS (SELECT vec_id AS qid, scale AS q_scale, q AS qa
+               FROM quant WHERE vec_id < 20),
+        cq AS (SELECT vec_id AS cid, label AS c_lab, scale AS c_scale, q AS qb
+               FROM quant),
+        cand AS (SELECT p.qid, p.probe_label, c.cid,
+                        CAST(list_sum(list_transform(range(len(q.qa)), i ->
+                          q.qa[i + 1] * c.qb[i + 1])) AS BIGINT) AS idot,
+                        q.q_scale, c.c_scale
+                 FROM probe p JOIN qq q ON p.qid = q.qid
+                 JOIN cq c ON c.c_lab = p.probe_label AND c.cid <> p.qid),
+        scored AS (SELECT qid, probe_label, cid, idot,
+                          idot * q_scale * c_scale AS score
+                   FROM cand)
+        SELECT qid AS query_id, probe_label, CAST(rn AS INT) AS rank,
+               cid AS neighbor_id, idot, round(score, 6) AS approx_ip
+        FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                ORDER BY score DESC, cid ASC) rn FROM scored)
+        WHERE rn <= 3"""))
   )
 
   /** Random-hyperplane LSH near-dup pairing at a given code width:

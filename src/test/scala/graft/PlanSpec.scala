@@ -92,6 +92,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("t18 ranks through the TopKPerKey heap operator, not a window sort") {
+    val p = planOf("t18_tfidf_topterms")
+    assert("TopKPerKey".r.findAllIn(p).size == 2,
+      s"expected partial+final TopKPerKey phases:\n$p")
+    assert(!p.contains("Window "), s"t18's rank step must not be a window:\n$p")
+  }
+
+  test("v08 broadcasts the probed query set; candidate scoring never shuffles the corpus twice") {
+    val p = planOf("v08_ivf_pq")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("no query in SparkEntry plans a cartesian product") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
       planOf(name).contains("CartesianProduct")
