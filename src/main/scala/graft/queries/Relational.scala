@@ -582,6 +582,40 @@ object Relational {
                round(max(value), 4) AS max_value
         FROM events GROUP BY 1""")),
 
+    Q(
+      "j12_salted_skew_join",
+      "Skew-safe shuffle JOIN (a16's join counterpart): events' 5-value " +
+        "event_type key means a plain shuffle join lands each hot key " +
+        "on ONE reducer at 100 TB. The fact side salts with " +
+        "hash(event_id) % 16; the dim side replicates 16x with an " +
+        "explicit salt column; the join runs on (key, salt) spreading " +
+        "each hot key over 16 reducers, then the rollup merges salts. " +
+        "SHUFFLE_HASH hint models production where the dim outgrows " +
+        "broadcast; result is provably identical to the unsalted join " +
+        "— the oracle is the plain join.",
+      (s, d) => {
+        val SALT = 16
+        val e = Tables.events(s, d)
+        val dim = e.select(col("event_type")).distinct()
+          .withColumn("weight", length(col("event_type")).cast("double"))
+        val saltedDim = dim.crossJoin(
+          s.range(SALT).select(col("id").cast("int").as("__salt")))
+        e.withColumn("__salt", pmod(hash(col("event_id")), lit(SALT)))
+          .join(saltedDim.hint("SHUFFLE_HASH"), Seq("event_type", "__salt"))
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            round(sum(col("value") * col("weight")), 2).as("weighted_sum"))
+      },
+      Some("""
+        WITH dim AS (SELECT DISTINCT event_type,
+                            CAST(len(event_type) AS DOUBLE) AS weight
+                     FROM events)
+        SELECT e.event_type, count(*) AS n,
+               round(sum(e.value * d.weight), 2) AS weighted_sum
+        FROM events e JOIN dim d USING (event_type)
+        GROUP BY 1""")),
+
     // ----- P2/P3: filter + projection pushdown (TPC-H Q6 shape) ---------------
     Q(
       "p02_pushdown_agg",

@@ -502,6 +502,37 @@ object Windows {
         SELECT c.c_mktsegment AS segment, e.event_type,
                count(*) AS n, round(sum(e.value), 2) AS total
         FROM events e JOIN customer c ON e.user_id = c.c_custkey
-        GROUP BY 1, 2"""))
+        GROUP BY 1, 2""")),
+
+    Q(
+      "st05_incremental_upsert",
+      "Exactly-once incremental aggregate maintenance (§2.10, " +
+        "IncrementalAggregate): the event table replayed as 3 " +
+        "micro-batches (event_id % 3) through the SAME foreachBatch " +
+        "merge the streaming query runs — per-batch partials union " +
+        "into the key-sized running table under an atomic " +
+        "data+batch-id rename. Oracle is the one-shot GROUP BY: the " +
+        "merged table must equal aggregating all events at once " +
+        "regardless of batch boundaries. Crash-replay idempotency and " +
+        "checkpoint-restart parity are spec-tested " +
+        "(IncrementalAggregateSpec).",
+      (s, d) => {
+        val dir = java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), "graft_st05_" + s.hashCode.toHexString)
+        org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+        val e = Tables.events(s, d)
+        (0 until 3).foreach { b =>
+          graft.streaming.IncrementalAggregate.applyBatch(
+            e.filter(pmod(col("event_id"), lit(3)) === b)
+              .select(col("event_type"), col("value")),
+            b.toLong, "event_type", "value", dir.toString)
+        }
+        graft.streaming.IncrementalAggregate.read(s, dir.toString)
+          .select(col("event_type"), col("n"),
+            round(col("total"), 2).as("total"))
+      },
+      Some("""
+        SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+        FROM events GROUP BY 1"""))
   )
 }
