@@ -58,6 +58,21 @@ case class TopKPerKeyExec(
     val keyExprs = keys
     val orderExprs = order
     val childOutput = child.output
+    val isPartial = partial
+    // The partial phase's heap map grows with the partition's DISTINCT
+    // key count — unbounded on an all-unique-key input. Past this cap,
+    // rows for keys not already tracked pass through unaggregated:
+    // correct (the final phase prunes them) with bounded memory, the
+    // same degrade-to-passthrough a map-side combine makes. The final
+    // phase is exact and never overflows (its per-partition key set is
+    // the shuffle target, the same sizing assumption hash aggregation
+    // makes).
+    val maxKeys =
+      if (isPartial)
+        session.sessionState.conf
+          .getConfString("spark.graft.topk.maxPartialKeys", (1 << 20).toString)
+          .toInt
+      else Int.MaxValue
     child.execute().mapPartitions { it =>
       val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
@@ -67,18 +82,38 @@ case class TopKPerKeyExec(
         override def compare(a: UnsafeRow, b: UnsafeRow): Int = ord.compare(b, a)
       }
       val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]
-      it.foreach { r =>
-        val u = toUnsafe(r)
-        var q = heaps.get(keyProj(u))
-        if (q == null) {
-          q = new java.util.PriorityQueue[UnsafeRow](kLocal, worstFirst)
-          heaps.put(keyProj(u).copy(), q)
-        }
-        if (q.size < kLocal) q.add(u.copy())
-        else if (ord.compare(u, q.peek) < 0) { q.poll(); q.add(u.copy()) }
-      }
       import scala.jdk.CollectionConverters._
-      heaps.values.asScala.iterator.flatMap(_.iterator.asScala)
+      new Iterator[InternalRow] {
+        private var pending: UnsafeRow = null
+        private var tail: Iterator[UnsafeRow] = null
+        private def advance(): Unit = {
+          while (pending == null && it.hasNext) {
+            val u = toUnsafe(it.next())
+            val key = keyProj(u)
+            var q = heaps.get(key)
+            if (q == null) {
+              if (heaps.size >= maxKeys) pending = u // passthrough overflow
+              else {
+                q = new java.util.PriorityQueue[UnsafeRow](kLocal, worstFirst)
+                heaps.put(key.copy(), q)
+                q.add(u.copy())
+              }
+            } else if (q.size < kLocal) q.add(u.copy())
+            else if (ord.compare(u, q.peek) < 0) { q.poll(); q.add(u.copy()) }
+          }
+          if (pending == null && tail == null)
+            tail = heaps.values.asScala.iterator.flatMap(_.iterator.asScala)
+        }
+        override def hasNext: Boolean = {
+          if (pending == null && tail == null) advance()
+          pending != null || (tail != null && tail.hasNext)
+        }
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException
+          if (pending != null) { val r = pending; pending = null; r }
+          else tail.next()
+        }
+      }
     }
   }
 

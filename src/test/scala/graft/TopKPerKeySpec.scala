@@ -39,6 +39,23 @@ class TopKPerKeySpec extends SparkSpec {
     assert("(?<!Broadcast|Reused)Exchange".r.findAllIn(p).size == 1, p.take(2000))
   }
 
+  test("partial-phase key overflow degrades to passthrough, result stays exact") {
+    val e = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("value").desc, col("event_id").asc)
+    val expect = e.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).drop("rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    spark.conf.set("spark.graft.topk.maxPartialKeys", "2") // force overflow
+    try {
+      val got = TopKPerKey.topK(
+          e, Seq("user_id"), Seq(col("value").desc, col("event_id").asc), 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == expect)
+    } finally spark.conf.unset("spark.graft.topk.maxPartialKeys")
+  }
+
   test("k larger than the group emits the whole group; ties break on the tiebreak") {
     val s = spark
     import s.implicits._
