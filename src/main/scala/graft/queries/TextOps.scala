@@ -26,6 +26,18 @@ object TextOps {
 
   private val StopWords = Seq("the", "a", "of", "and", "to", "in", "is")
 
+  /** Shared by t17 (composed) and t17b (native token_freqs) — the twins
+    * must hash against the identical oracle. */
+  private val UnigramLogprobSql = """
+        WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                      FROM documents),
+        freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+        tot AS (SELECT count(*) AS total FROM toks)
+        SELECT t.doc_id, count(*) AS n_tokens,
+               round(avg(ln(CAST(f.cnt AS DOUBLE) / tot.total)), 4) AS avg_logprob
+        FROM toks t JOIN freq f USING (tok) CROSS JOIN tot
+        GROUP BY 1"""
+
   /** Number of minhash components / bands (4 bands x 3 rows). */
   private val K = 12
   private val Bands = 4
@@ -852,15 +864,34 @@ object TextOps {
                 / sum(col("tf")), 4)
               .as("avg_logprob"))
       },
-      Some("""
-        WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-                      FROM documents),
-        freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
-        tot AS (SELECT count(*) AS total FROM toks)
-        SELECT t.doc_id, count(*) AS n_tokens,
-               round(avg(ln(CAST(f.cnt AS DOUBLE) / tot.total)), 4) AS avg_logprob
-        FROM toks t JOIN freq f USING (tok) CROSS JOIN tot
-        GROUP BY 1""")),
+      Some(UnigramLogprobSql)),
+
+    Q(
+      "t17b_unigram_logprob_native",
+      "t17's native twin (the t01b/t04b pattern): the (doc, token, tf) " +
+        "stage computed by the token_freqs expression — one hash pass " +
+        "per row, ZERO shuffle — instead of explode -> groupBy over " +
+        "every token occurrence. Model join and tf-weighted mean " +
+        "unchanged; same oracle hash. At 100 TB the removed exchange " +
+        "is the corpus's entire token stream.",
+      (s, d) => {
+        graft.plans.TokenFreqs.register(s)
+        val tf = Tables.documents(s, d)
+          .select(col("doc_id"), explode(expr("token_freqs(text)")).as("kv"))
+          .select(col("doc_id"), col("kv.tok").as("tok"), col("kv.tf").as("tf"))
+        val freq = tf.groupBy(col("tok")).agg(sum(col("tf")).as("cnt"))
+        val tot = tf.agg(sum(col("tf")).as("total"))
+        tf.join(freq, Seq("tok"))
+          .crossJoin(broadcast(tot))
+          .groupBy(col("doc_id"))
+          .agg(
+            sum(col("tf")).as("n_tokens"),
+            round(
+              sum(col("tf") * log(col("cnt").cast("double") / col("total")))
+                / sum(col("tf")), 4)
+              .as("avg_logprob"))
+      },
+      Some(UnigramLogprobSql)),
 
     // ----- TF-IDF top terms (dogfoods the TopKPerKey operator) ------------------
     Q(
@@ -871,13 +902,15 @@ object TextOps {
         "runs through the custom TopKPerKey operator (o06's heap " +
         "partial -> exchange -> final plan), so the rank step ships 3 " +
         "rows per (doc, map partition) instead of window-sorting every " +
-        "scored term; the oracle is the window row_number form.",
+        "scored term; the tf stage is the shuffle-free token_freqs " +
+        "expression (t17b's win applied). Oracle is the window " +
+        "row_number form.",
       (s, d) => {
+        graft.plans.TokenFreqs.register(s)
         val docs = Tables.documents(s, d)
         val tf = docs
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-          .groupBy(col("doc_id"), col("tok"))
-          .agg(count(lit(1)).as("tf"))
+          .select(col("doc_id"), explode(expr("token_freqs(text)")).as("kv"))
+          .select(col("doc_id"), col("kv.tok").as("tok"), col("kv.tf").as("tf"))
         val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
         val n = docs.agg(count(lit(1)).as("n_docs"))
         val scored = tf.join(dfreq, Seq("tok"))
