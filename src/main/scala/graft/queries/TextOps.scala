@@ -936,6 +936,51 @@ object TextOps {
               FROM scored)
         SELECT doc_id, tok, round(score, 4) AS score FROM r WHERE rn <= 3""")),
 
+    // ----- BPE pair statistics --------------------------------------------------
+    Q(
+      "t19_bpe_pair_step",
+      "The statistic one BPE-training iteration computes (tokenizer " +
+        "vocab build): word frequencies -> adjacent character-pair " +
+        "counts weighted by word count -> top-10 merge candidates " +
+        "(count desc, pair asc). Pairs come from substring positions " +
+        "(overlaps counted, the standard pair-count), n_words counts " +
+        "distinct words containing the pair. Integer outputs only; " +
+        "TakeOrderedAndProject for the top-10. The full merge LOOP is " +
+        "procedural (each merge rewrites the symbol inventory — the " +
+        "dm10/v05 carve-out class); this gates the step it iterates.",
+      (s, d) => {
+        val words = Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")) >= 2)
+          .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+        words.select(col("w"), col("wc"),
+            explode(expr(
+              "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+              .as("pair"))
+          .groupBy(col("pair"))
+          .agg(
+            sum(col("wc")).as("n_occurrences"),
+            countDistinct(col("w")).as("n_words"))
+          .orderBy(col("n_occurrences").desc, col("pair").asc)
+          .limit(10)
+      },
+      Some("""
+        WITH w AS (
+          SELECT tok AS w, count(*) AS wc
+          FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+          WHERE length(tok) >= 2
+          GROUP BY 1),
+        p AS (
+          SELECT w, wc,
+                 unnest(list_transform(range(length(w) - 1),
+                                       i -> substr(w, i + 1, 2))) AS pair
+          FROM w)
+        SELECT pair,
+               CAST(sum(wc) AS BIGINT) AS n_occurrences,
+               CAST(count(DISTINCT w) AS BIGINT) AS n_words
+        FROM p GROUP BY 1
+        ORDER BY n_occurrences DESC, pair ASC LIMIT 10""")),
+
     // ----- exact dedup ---------------------------------------------------------
     Q(
       "d01_exact_dedup",
