@@ -40,9 +40,18 @@ object Bench {
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     val warmDir = "/root/testdata/sf0.001"
+    // noop sink, NOT count(): count() lets Catalyst PRUNE unreferenced
+    // output expressions — a query ending in an aggregate of expensive
+    // per-row metrics (t16, t01, ...) would be timed on a plan that never
+    // evaluates them (caught in round 6: t16's "0.33 s" at 100x was a
+    // scan + empty group-by; the real cascade is ~85x that). The noop
+    // write evaluates EVERY output column and ships nothing to the
+    // driver.
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
       queries.foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        try run(fn(spark, warmDir)) catch { case _: Throwable => () }
       }
     }
     val samples = scala.collection.mutable.LinkedHashMap(
@@ -50,7 +59,7 @@ object Bench {
     (1 to runs).foreach { _ =>
       queries.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        try run(fn(spark, sfDir)) catch { case _: Throwable => () }
         samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
       }
     }

@@ -26,6 +26,33 @@ object TextOps {
 
   private val StopWords = Seq("the", "a", "of", "and", "to", "in", "is")
 
+  /** Shared by t16 (composed) and t16b (native token_stats+gram_stats)
+    * — the twins must hash against the identical oracle. */
+  private lazy val QualityGateSql = s"""
+        WITH w AS (SELECT lang, string_split(text, ' ') AS ws FROM documents),
+        m AS (SELECT lang,
+                     CAST(len(ws) AS BIGINT) AS toks,
+                     CAST(list_sum(list_transform(ws, x -> len(x))) AS BIGINT) AS chars,
+                     CAST(len(list_filter(ws, x -> x IN (${StopWords.map(w => s"'$w'").mkString(", ")}))) AS BIGINT) AS stops,
+                     CAST(greatest(len(ws) - 2, 0) AS BIGINT) AS g_total,
+                     CAST(len(list_distinct(list_transform(range(greatest(len(ws) - 2, 0)),
+                       i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))) AS BIGINT) AS g_dist
+              FROM w),
+        f AS (SELECT lang,
+                     toks < 16 AS f_short,
+                     chars * 10 < toks * 42 OR chars * 10 > toks * 50 AS f_wlen,
+                     stops * 100 < toks AS f_stop,
+                     (g_total - g_dist) * 50 > g_total AS f_rep
+              FROM m)
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(CASE WHEN NOT f_short AND NOT f_wlen AND NOT f_stop
+                             AND NOT f_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN f_short THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+               CAST(sum(CASE WHEN f_wlen THEN 1 ELSE 0 END) AS BIGINT) AS n_wordlen,
+               CAST(sum(CASE WHEN f_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_stopword,
+               CAST(sum(CASE WHEN f_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
+        FROM f GROUP BY 1"""
+
   /** Shared by t17 (composed) and t17b (native token_freqs) — the twins
     * must hash against the identical oracle. */
   private val UnigramLogprobSql = """
@@ -806,30 +833,47 @@ object TextOps {
             sum(when(col("f_stop"), 1L).otherwise(0L)).as("n_stopword"),
             sum(when(col("f_rep"), 1L).otherwise(0L)).as("n_repetitive"))
       },
-      Some(s"""
-        WITH w AS (SELECT lang, string_split(text, ' ') AS ws FROM documents),
-        m AS (SELECT lang,
-                     CAST(len(ws) AS BIGINT) AS toks,
-                     CAST(list_sum(list_transform(ws, x -> len(x))) AS BIGINT) AS chars,
-                     CAST(len(list_filter(ws, x -> x IN (${StopWords.map(w => s"'$w'").mkString(", ")}))) AS BIGINT) AS stops,
-                     CAST(greatest(len(ws) - 2, 0) AS BIGINT) AS g_total,
-                     CAST(len(list_distinct(list_transform(range(greatest(len(ws) - 2, 0)),
-                       i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))) AS BIGINT) AS g_dist
-              FROM w),
-        f AS (SELECT lang,
-                     toks < 16 AS f_short,
-                     chars * 10 < toks * 42 OR chars * 10 > toks * 50 AS f_wlen,
-                     stops * 100 < toks AS f_stop,
-                     (g_total - g_dist) * 50 > g_total AS f_rep
-              FROM m)
-        SELECT lang, count(*) AS n_docs,
-               CAST(sum(CASE WHEN NOT f_short AND NOT f_wlen AND NOT f_stop
-                             AND NOT f_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-               CAST(sum(CASE WHEN f_short THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
-               CAST(sum(CASE WHEN f_wlen THEN 1 ELSE 0 END) AS BIGINT) AS n_wordlen,
-               CAST(sum(CASE WHEN f_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_stopword,
-               CAST(sum(CASE WHEN f_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
-        FROM f GROUP BY 1""")),
+      Some(QualityGateSql)),
+
+    Q(
+      "t16b_quality_gate_native",
+      "t16's native twin: toks/chars/stops from the token_stats " +
+        "expression and the 3-gram totals from gram_stats (one HashSet " +
+        "pass) instead of transform -> array_distinct, whose pairwise " +
+        "string comparison over ~1k grams per document was measured at " +
+        "~75% of the whole cascade. Flags, rollup, and oracle are " +
+        "identical to t16 — same hash, a fraction of the CPU.",
+      (s, d) => {
+        graft.plans.TokenStats.register(s)
+        graft.plans.GramStats.register(s)
+        val stopCsv = StopWords.mkString(",")
+        Tables.documents(s, d)
+          .select(col("lang"),
+            expr(s"token_stats(text, '$stopCsv')").as("ts"),
+            expr("gram_stats(text)").as("gs"))
+          .select(col("lang"),
+            col("ts.n_tokens").as("toks"),
+            col("ts.sum_wlen").as("chars"),
+            col("ts.n_stop").as("stops"),
+            col("gs.g_total").as("g_total"),
+            col("gs.g_dist").as("g_dist"))
+          .select(col("lang"),
+            (col("toks") < 16).as("f_short"),
+            (col("chars") * 10 < col("toks") * 42 || col("chars") * 10 > col("toks") * 50)
+              .as("f_wlen"),
+            (col("stops") * 100 < col("toks")).as("f_stop"),
+            ((col("g_total") - col("g_dist")) * 50 > col("g_total")).as("f_rep"))
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(!col("f_short") && !col("f_wlen") && !col("f_stop")
+              && !col("f_rep"), 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("f_short"), 1L).otherwise(0L)).as("n_short"),
+            sum(when(col("f_wlen"), 1L).otherwise(0L)).as("n_wordlen"),
+            sum(when(col("f_stop"), 1L).otherwise(0L)).as("n_stopword"),
+            sum(when(col("f_rep"), 1L).otherwise(0L)).as("n_repetitive"))
+      },
+      Some(QualityGateSql)),
 
     // ----- unigram LM quality score ---------------------------------------------
     Q(
@@ -980,6 +1024,103 @@ object TextOps {
                CAST(count(DISTINCT w) AS BIGINT) AS n_words
         FROM p GROUP BY 1
         ORDER BY n_occurrences DESC, pair ASC LIMIT 10""")),
+
+    // ----- the composed corpus-prep pipeline ------------------------------------
+    Q(
+      "t20_corpus_pipeline",
+      "The END-TO-END corpus-prep DAG in one gated query: t16's quality " +
+        "cascade -> d01's exact dedup (keep the min-id doc per " +
+        "normalized hash) -> t05's deterministic split -> per (split, " +
+        "lang) doc/token counts. Each stage reuses the EXACT recipe its " +
+        "standalone query gates, so this proves the operators compose " +
+        "— the thing a real pipeline does — under one cross-engine " +
+        "hash. All integer outputs; the only shuffles are the dedup " +
+        "groupBy and the final rollup.",
+      (s, d) => {
+        val stopArr = StopWords.map(w => s"'$w'").mkString("array(", ", ", ")")
+        val m = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("text"),
+            split(col("text"), " ").as("ws"))
+          .select(col("doc_id"), col("lang"), col("text"),
+            size(col("ws")).cast("long").as("toks"),
+            expr("aggregate(transform(ws, w -> length(w)), 0L, (a, v) -> a + v)")
+              .as("chars"),
+            expr(s"size(filter(ws, w -> array_contains($stopArr, w)))")
+              .cast("long").as("stops"),
+            greatest(size(col("ws")) - 2, lit(0)).cast("long").as("g_total"),
+            expr("CASE WHEN size(ws) >= 3 THEN " +
+              "size(array_distinct(transform(sequence(0, size(ws) - 3), " +
+              "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))) ELSE 0 END")
+              .cast("long").as("g_dist"))
+        // No filter below the window: a Filter over computed columns gets
+        // its projection INLINED (the metric exprs are interpreted
+        // higher-order functions — no codegen CSE — so each conjunct
+        // would re-split the text; measured 8x on this query). Instead
+        // the keep decision is a COLUMN, dedup picks the min KEPT id per
+        // hash inside the window frame, and the only filter sits above
+        // the Window — a barrier predicate pushdown cannot penetrate.
+        // Also: window-min instead of a groupBy+join-back, so the
+        // cascade subtree exists once in the plan (the j08 lesson).
+        val flagged = m.select(col("doc_id"), col("lang"), col("text"), col("toks"),
+          (!(col("toks") < 16) &&
+           !(col("chars") * 10 < col("toks") * 42 || col("chars") * 10 > col("toks") * 50) &&
+           !(col("stops") * 100 < col("toks")) &&
+           !((col("g_total") - col("g_dist")) * 50 > col("g_total"))).as("kept"))
+        // Dropped docs skip the regexp+md5 AND get a UNIQUE h ("d:" + id):
+        // a shared null/constant h would funnel every dropped doc into ONE
+        // hash partition — a single-task window sort at exactly the scale
+        // where the gate drops most of the corpus. kept is referenced
+        // twice, which stops CollapseProject from inlining the metric
+        // cascade into the when.
+        val scored = flagged.select(col("doc_id"), col("lang"), col("toks"),
+          when(col("kept"),
+            concat(lit("k:"),
+              md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))))
+            .otherwise(concat(lit("d:"), col("doc_id").cast("string"))).as("h"),
+          col("kept"))
+        val survivors = scored
+          .withColumn("__min",
+            min(when(col("kept"), col("doc_id")))
+              .over(Window.partitionBy(col("h"))))
+          .filter(col("kept") && col("doc_id") === col("__min"))
+        val b = substring(md5(col("doc_id").cast("string")), 1, 2)
+        survivors
+          .select(col("lang"), col("toks"),
+            when(b < "e6", "train").when(b < "f6", "val")
+              .otherwise("test").as("split"))
+          .groupBy(col("split"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+      },
+      Some(s"""
+        WITH w AS (SELECT doc_id, lang, text, string_split(text, ' ') AS ws
+                   FROM documents),
+        m AS (SELECT doc_id, lang, text,
+                     CAST(len(ws) AS BIGINT) AS toks,
+                     CAST(list_sum(list_transform(ws, x -> len(x))) AS BIGINT) AS chars,
+                     CAST(len(list_filter(ws, x -> x IN (${StopWords.map(w => s"'$w'").mkString(", ")}))) AS BIGINT) AS stops,
+                     CAST(greatest(len(ws) - 2, 0) AS BIGINT) AS g_total,
+                     CAST(len(list_distinct(list_transform(range(greatest(len(ws) - 2, 0)),
+                       i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))) AS BIGINT) AS g_dist
+              FROM w),
+        kept AS (SELECT doc_id, lang, text, toks FROM m
+                 WHERE NOT (toks < 16)
+                   AND NOT (chars * 10 < toks * 42 OR chars * 10 > toks * 50)
+                   AND NOT (stops * 100 < toks)
+                   AND NOT ((g_total - g_dist) * 50 > g_total)),
+        hs AS (SELECT doc_id, lang, toks,
+                      md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
+               FROM kept),
+        canon AS (SELECT h, min(doc_id) AS doc_id FROM hs GROUP BY 1),
+        surv AS (SELECT x.doc_id, x.lang, x.toks
+                 FROM hs x JOIN canon c ON x.h = c.h AND x.doc_id = c.doc_id),
+        sp AS (SELECT lang, toks,
+                      CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+                           WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f6' THEN 'val'
+                           ELSE 'test' END AS split
+               FROM surv)
+        SELECT split, lang, count(*) AS n_docs,
+               CAST(sum(toks) AS BIGINT) AS n_tokens
+        FROM sp GROUP BY 1, 2""")),
 
     // ----- exact dedup ---------------------------------------------------------
     Q(
