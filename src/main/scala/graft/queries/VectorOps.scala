@@ -93,9 +93,10 @@ object VectorOps {
           col("embedding").as("ce"))
         val rankW = Window.partitionBy(col("qid"))
           .orderBy(col("cos").desc, col("cid").asc)
+        graft.plans.CosineSimilarity.register(s)
         c.join(broadcast(probe.join(q, Seq("qid"))),
             col("c_lab") === col("probe_label") && col("cid") =!= col("qid"))
-          .withColumn("cos", cosine("qe", "ce"))
+          .withColumn("cos", expr("cosine_sim(qe, ce)"))
           .withColumn("rank", row_number().over(rankW))
           .filter(col("rank") <= 3)
           .select(col("qid").as("query_id"), col("probe_label"),
@@ -304,9 +305,10 @@ object VectorOps {
           .repartition(col("cluster_seed"))
         val a = asg.select(col("cluster_seed"), col("vec_id").as("a_id"), col("ce").as("ae"))
         val b = asg.select(col("cluster_seed"), col("vec_id").as("b_id"), col("ce").as("be"))
+        graft.plans.CosineSimilarity.register(s)
         val dropped = a.join(b, Seq("cluster_seed"))
           .filter(col("a_id") < col("b_id"))
-          .filter(cosine("ae", "be") >= 0.2)
+          .filter(expr("cosine_sim(ae, be)") >= 0.2)
           .select(col("cluster_seed"), col("b_id")).distinct()
           .groupBy(col("cluster_seed")).agg(count(lit(1)).as("n_dropped"))
         // first_kept == min(vec_id): the cluster min has no smaller
@@ -476,8 +478,9 @@ object VectorOps {
         col("x.code").as("code"))
     val ea = e.select(col("vec_id").as("vec_a"), col("embedding").as("va"))
     val eb = e.select(col("vec_id").as("vec_b"), col("embedding").as("vb"))
+    graft.plans.CosineSimilarity.register(s)
     pairs.join(ea, Seq("vec_a")).join(eb, Seq("vec_b"))
-      .withColumn("cos", cosine("va", "vb"))
+      .withColumn("cos", expr("cosine_sim(va, vb)"))
       .filter(col("cos") >= 0.2)
       .select(col("vec_a"), col("vec_b"), col("code"),
         round(col("cos"), 4).as("cosine"))
