@@ -486,6 +486,22 @@ object Relational {
         EXCEPT
         SELECT s_nationkey AS nationkey FROM supplier""")),
 
+    Q(
+      "u07_intersect",
+      "Set intersection (u03's complement, completing the §2.7 set-op " +
+        "family): nations that have BOTH customers and suppliers. " +
+        "Distinct set semantics on each side; Spark plans a left-semi " +
+        "over pre-distincted inputs.",
+      (s, d) => {
+        val c = Tables.customer(s, d).select(col("c_nationkey").cast("int").as("nationkey"))
+        val sup = Tables.supplier(s, d).select(col("s_nationkey").cast("int").as("nationkey"))
+        c.intersect(sup)
+      },
+      Some("""
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey AS nationkey FROM supplier""")),
+
     // ----- O4: top-k ----------------------------------------------------------
     Q(
       "o04_topk",

@@ -115,6 +115,21 @@ class PlanSpec extends SparkSpec {
     assert(pt.contains("token_freqs"), pt.take(3000))
   }
 
+  test("t20 evaluates each quality metric once and scans the corpus once") {
+    val p = planOf("t20_corpus_pipeline")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 parquet scan, got $scans:\n${p.take(2000)}")
+    // the inlined-filter disease: predicate pushdown re-splitting the
+    // text per conjunct shows up as multiple copies of the chars metric
+    val evals = "aggregate\\(transform\\(".r.findAllIn(p).size
+    assert(evals == 1, s"expected the chars metric once, got $evals:\n${p.take(2000)}")
+  }
+
+  test("t16b and t17b run their native expressions") {
+    assert(planOf("t16b_quality_gate_native").contains("gram_stats"))
+    assert(planOf("t16b_quality_gate_native").contains("token_stats"))
+  }
+
   test("no query in SparkEntry plans a cartesian product") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
       planOf(name).contains("CartesianProduct")
