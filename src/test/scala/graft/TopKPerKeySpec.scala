@@ -56,6 +56,26 @@ class TopKPerKeySpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.topk.maxPartialKeys")
   }
 
+  test("null keys and null order values match the window form") {
+    val s = spark
+    import s.implicits._
+    val df = Seq[(java.lang.Long, java.lang.Long, java.lang.Double)](
+      (1L, 10L, 5.0), (1L, 11L, null), (null, 12L, 3.0), (null, 13L, 7.0),
+      (null, 14L, null), (2L, 15L, 2.0))
+      .toDF("user_id", "event_id", "value")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("value").desc, col("event_id").asc)
+    def key(r: org.apache.spark.sql.Row) =
+      (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1))
+    val expect = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2).drop("rn").collect().map(key).toSet
+    val got = TopKPerKey.topK(
+        df, Seq("user_id"), Seq(col("value").desc, col("event_id").asc), 2)
+      .collect().map(key).toSet
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
+
   test("k larger than the group emits the whole group; ties break on the tiebreak") {
     val s = spark
     import s.implicits._
