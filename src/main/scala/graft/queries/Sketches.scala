@@ -63,6 +63,37 @@ object Sketches {
         SELECT o_orderpriority,
                round(quantile_cont(o_totalprice, 0.5), 2) AS p50_exact,
                true AS in_band
-        FROM orders GROUP BY 1"""))
+        FROM orders GROUP BY 1""")),
+
+    Q(
+      "sk03_count_min",
+      "Count-Min frequency sketch (seeded, eps 0.1%) vs exact " +
+        "per-event-type counts: the heavy-hitter counter whose build " +
+        "is a distributed treeAggregate merge of per-partition " +
+        "sketches; only the finished O(width x depth) register table " +
+        "reaches the driver. CMS never underestimates and " +
+        "overestimates by at most eps*N w.h.p. — the flag pins " +
+        "0 <= est - exact <= 0.01*N and the oracle sets it true. The " +
+        "per-key probe loops over the 5-value event_type domain on " +
+        "the driver (bounded by key cardinality, the dm10 grid " +
+        "precedent), never over events.",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val cms = e.stat.countMinSketch(col("event_type"),
+          eps = 0.001, confidence = 0.99, seed = 42)
+        val exact = e.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_exact")).collect()
+        val total = exact.map(_.getLong(1)).sum
+        val rows = exact.map { r =>
+          val est = cms.estimateCount(r.getString(0))
+          (r.getString(0), r.getLong(1),
+            est >= r.getLong(1) && est - r.getLong(1) <= 0.01 * total)
+        }.toSeq
+        import s.implicits._
+        rows.toDF("event_type", "n_exact", "within_bound")
+      },
+      Some("""
+        SELECT event_type, count(*) AS n_exact, true AS within_bound
+        FROM events GROUP BY 1"""))
   )
 }
