@@ -476,6 +476,43 @@ object DomainOps {
         FROM f""")),
 
     Q(
+      "m03_frame_dedup",
+      "Cross-media duplicate-frame detection (the dedup family applied " +
+        "to the multimodal surface — the intro/outro/black-frame drop " +
+        "every video curation pipeline runs): explode m01's per-frame " +
+        "fingerprints, group by hash, keep frames appearing in 2+ " +
+        "distinct media with occurrence/doc counts and the canonical " +
+        "(min) doc. One explode + one hash-keyed aggregation: shuffle " +
+        "carries (hash, doc) pairs, never payload bytes.",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        MediaOps.withFrameHashes(MediaOps.withMeta(MediaOps.withPayload(docs)))
+          .select(col("doc_id"), explode(col("frame_hashes")).as("fh"))
+          .groupBy(col("fh"))
+          .agg(
+            count(lit(1)).as("n_occurrences"),
+            countDistinct(col("doc_id")).as("n_docs"),
+            min(col("doc_id")).as("canonical_doc"))
+          .filter(col("n_docs") >= 2)
+      },
+      Some(s"""
+        WITH p AS (SELECT doc_id, length(text) AS byte_len,
+                          upper(to_hex(text::BLOB)) AS hx
+                   FROM documents),
+        n AS (SELECT doc_id, hx,
+                     CAST(ceil(byte_len / ${MediaOps.FrameBytes}.0) AS BIGINT) AS n_frames
+              FROM p),
+        fr AS (SELECT doc_id,
+                      md5(substr(hx, CAST(fi AS BIGINT) * ${MediaOps.FrameBytes * 2} + 1,
+                                 ${MediaOps.FrameBytes * 2})) AS fh
+               FROM (SELECT doc_id, hx, unnest(range(n_frames)) AS fi FROM n))
+        SELECT fh, count(*) AS n_occurrences,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               min(doc_id) AS canonical_doc
+        FROM fr GROUP BY 1
+        HAVING count(DISTINCT doc_id) >= 2""")),
+
+    Q(
       "m02_multimodal_features",
       "The mapPartitions feature-extraction path (MediaOps." +
         "extractFeatures): payload bytes -> fixed-width Float feature " +
