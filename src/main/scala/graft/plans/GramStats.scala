@@ -51,7 +51,9 @@ object GramStats {
     val toks = text.toString.split(" ", -1)
     val total = math.max(toks.length - 2, 0).toLong
     if (toks.length < 3) return InternalRow(total, 0L)
-    val seen = new java.util.HashSet[String]((total * 2).toInt + 16)
+    // capacity hint clamped: total*2+16 overflows Int for ~1B-token docs,
+    // and the set grows itself past the hint anyway
+    val seen = new java.util.HashSet[String](math.min(total * 2 + 16, 1L << 26).toInt)
     val sb = new java.lang.StringBuilder
     var i = 0
     while (i <= toks.length - 3) {

@@ -141,9 +141,14 @@ object TopKPerKey {
   def topK(df: DataFrame, keyCols: Seq[String], orderBy: Seq[Column], k: Int): DataFrame = {
     require(k > 0, "k must be positive")
     val spark = df.sparkSession
-    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ TopKStrategy
+    // synchronized check-then-act, and skip when GraftExtensions already
+    // injected the strategy via extraPlanningStrategies (else it plans twice)
+    TopKPerKey.synchronized {
+      if (!spark.sessionState.planner.extraPlanningStrategies.contains(TopKStrategy) &&
+          !spark.experimental.extraStrategies.contains(TopKStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ TopKStrategy
+    }
     val keys: Seq[Expression] =
       keyCols.map(n => GraftPlanBridge.expr(org.apache.spark.sql.functions.col(n)))
     val order: Seq[SortOrder] = orderBy.map { c =>

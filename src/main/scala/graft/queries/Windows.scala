@@ -517,9 +517,10 @@ object Windows {
         "checkpoint-restart parity are spec-tested " +
         "(IncrementalAggregateSpec).",
       (s, d) => {
-        val dir = java.nio.file.Paths.get(
-          sys.props("java.io.tmpdir"), "graft_st05_" + s.hashCode.toHexString)
-        org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+        // unique per invocation (concurrent JVMs/sessions never collide)
+        // and removed at JVM exit rather than leaked
+        val dir = java.nio.file.Files.createTempDirectory("graft_st05_")
+        org.apache.commons.io.FileUtils.forceDeleteOnExit(dir.toFile)
         val e = Tables.events(s, d)
         (0 until 3).foreach { b =>
           graft.streaming.IncrementalAggregate.applyBatch(

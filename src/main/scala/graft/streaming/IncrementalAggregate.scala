@@ -1,7 +1,7 @@
 package graft.streaming
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
@@ -11,15 +11,19 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * "gold table kept current by a stream" shape the reference approximates
   * with its rolling 7-day batch re-pull, orchestrate.py:366-379):
   * each micro-batch's per-key partials merge into a parquet running
-  * table via read → union → re-aggregate → write-then-rename.
+  * table via read → union → re-aggregate → write-to-versioned-dir →
+  * atomic pointer swap.
   *
   * Exactly-once: foreachBatch MAY redeliver the last batch after a
-  * crash/restart, so the applied batch id is committed ATOMICALLY with
-  * the data — a `_batch_id` marker written inside the temp dir before
-  * the single rename that publishes it. A replayed batch sees
-  * `batchId <= lastApplied` and no-ops; a crash before the rename
-  * leaves the old table + old marker, and the redelivered batch
-  * applies cleanly. There is no window where data and marker disagree.
+  * crash/restart, so each batch publishes into its OWN version dir
+  * (`v<batchId>`) and a single pointer file (`_current`) names the live
+  * version; the pointer is replaced with an ATOMIC_MOVE rename, so
+  * readers see either the old version or the new one — never a gap.
+  * A crash at any point before the pointer swap leaves the old pointer
+  * intact (a half-written `v<batchId>` dir is inert garbage that the
+  * redelivered batch overwrites); a replayed batch sees
+  * `batchId <= lastApplied` and no-ops. There is no window where the
+  * table loses already-applied batches.
   *
   * Scale: the running table is key-cardinality-sized (never
   * event-sized), each micro-batch aggregates map-side before touching
@@ -40,12 +44,16 @@ object IncrementalAggregate {
 
   /** The maintained table: (key, n, total). */
   def read(spark: SparkSession, tableDir: String): DataFrame =
-    spark.read.parquet(dataPath(tableDir))
+    spark.read.parquet(versionPath(tableDir, lastApplied(tableDir)))
 
-  private def dataPath(tableDir: String) = tableDir + "/data"
+  private def versionPath(tableDir: String, batchId: Long) =
+    tableDir + "/v" + batchId
 
+  /** Live version = pointer file content; -1 before the first publish.
+    * Version dirs not named by the pointer are crash leftovers and are
+    * never read. */
   private[graft] def lastApplied(tableDir: String): Long = {
-    val m = Paths.get(dataPath(tableDir), "_batch_id")
+    val m = Paths.get(tableDir, "_current")
     if (Files.exists(m))
       new String(Files.readAllBytes(m), StandardCharsets.UTF_8).trim.toLong
     else -1L
@@ -53,28 +61,26 @@ object IncrementalAggregate {
 
   private[graft] def applyBatch(batch: DataFrame, batchId: Long,
       key: String, valueCol: String, tableDir: String): Unit = {
-    if (batchId <= lastApplied(tableDir)) return // redelivery after restart
+    val applied = lastApplied(tableDir)
+    if (batchId <= applied) return // redelivery after restart
     val spark = batch.sparkSession
     val partial = batch.groupBy(col(key))
       .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total"))
-    val data = dataPath(tableDir)
-    val existing =
-      try Some(spark.read.parquet(data)) catch { case _: Throwable => None }
-    val merged = existing match {
-      case Some(cur) => cur.unionByName(partial)
+    val merged =
+      if (applied < 0) partial
+      else spark.read.parquet(versionPath(tableDir, applied))
+        .unionByName(partial)
         .groupBy(col(key))
         .agg(sum(col("n")).as("n"), sum(col("total")).as("total"))
-      case None => partial
-    }
-    val tmp = data + "__tmp"
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    // marker joins the data inside tmp, then ONE rename publishes both
-    Files.write(Paths.get(tmp, "_batch_id"),
-      batchId.toString.getBytes(StandardCharsets.UTF_8))
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(data)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    merged.write.mode(SaveMode.Overwrite).parquet(versionPath(tableDir, batchId))
+    // publish: replace the pointer in one atomic rename
+    val tmp = Paths.get(tableDir, s"_current__tmp$batchId")
+    Files.write(tmp, batchId.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(tableDir, "_current"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // best-effort GC of superseded versions (never the live one)
+    if (applied >= 0)
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        Paths.get(versionPath(tableDir, applied)).toFile)
   }
 }

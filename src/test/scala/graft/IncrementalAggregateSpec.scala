@@ -57,6 +57,23 @@ class IncrementalAggregateSpec extends SparkSpec {
     assert(snapshot(tbl) == Map("a" -> ((2L, 6.0)), "b" -> ((1L, 2.0))))
   }
 
+  test("crash between data write and pointer swap loses nothing") {
+    val s = spark
+    import s.implicits._
+    val (tbl, _) = freshDirs()
+    IncrementalAggregate.applyBatch(Seq(("a", 1.0)).toDF("k", "v"), 0L, "k", "v", tbl)
+    IncrementalAggregate.applyBatch(Seq(("b", 2.0)).toDF("k", "v"), 1L, "k", "v", tbl)
+    // simulate a crash mid-publish of batch 2: a (possibly partial)
+    // version dir exists but the pointer was never swapped
+    Files.createDirectories(java.nio.file.Paths.get(tbl, "v2"))
+    Files.write(java.nio.file.Paths.get(tbl, "v2", "junk"), Array[Byte](1, 2, 3))
+    assert(IncrementalAggregate.lastApplied(tbl) == 1L)
+    assert(snapshot(tbl) == Map("a" -> ((1L, 1.0)), "b" -> ((1L, 2.0)))) // nothing lost
+    // the redelivered batch overwrites the leftover and publishes cleanly
+    IncrementalAggregate.applyBatch(Seq(("a", 5.0)).toDF("k", "v"), 2L, "k", "v", tbl)
+    assert(snapshot(tbl) == Map("a" -> ((2L, 6.0)), "b" -> ((1L, 2.0))))
+  }
+
   test("restart from the same checkpoint continues without double counting") {
     val s = spark
     import s.implicits._
