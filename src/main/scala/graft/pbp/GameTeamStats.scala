@@ -1,6 +1,7 @@
 package graft.pbp
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Enriched plays → per-(game, team) box stats with opponent context
@@ -88,5 +89,35 @@ object GameTeamStats {
             * (lit(40.0) / col("game_minutes"))))
       .withColumn("is_home_team", col("__is_home") === 1)
       .drop("__opp_tid", "__is_home")
+  }
+
+  /** Per-game garbage-time minutes (SURVEY W7; semantics per
+    * /root/reference/scripts/build_pbp_game_teams_flat.py:301-314):
+    * collapse plays to distinct (game, period, secondsRemaining) clock
+    * instants with an OR over the garbage flag, then integrate the
+    * clock — each flagged instant contributes `sec - next_sec` seconds,
+    * where next_sec is the next smaller distinct sec in that period
+    * (0 after the last instant).
+    *
+    * Spark shape: one hash agg to the clock grid (distinct instants per
+    * game — bounded by clock resolution, never play-count-sized), a
+    * per-(game, period) lag window over it, one more agg to game grain.
+    * Both shuffles are on game keys; the window partition is a single
+    * game-period — no global window, safe at any game count.
+    */
+  def garbageMinutes(enriched: DataFrame): DataFrame = {
+    val clock = enriched
+      .filter(col("period").isNotNull && col("secondsRemaining").isNotNull)
+      .groupBy(col("gameId"), col("period"),
+        col("secondsRemaining").as("sec"))
+      .agg(max(col("garbage_time").cast("int")).as("g"))
+    val w = Window.partitionBy(col("gameId"), col("period"))
+      .orderBy(col("sec").desc)
+    clock
+      .withColumn("next_sec", coalesce(lead(col("sec"), 1).over(w), lit(0L)))
+      .groupBy(col("gameId"))
+      .agg((sum(when(col("g") === 1,
+          greatest(col("sec") - col("next_sec"), lit(0L))).otherwise(0L))
+        / 60.0).as("garbage_time_minutes"))
   }
 }

@@ -610,6 +610,107 @@ object CarveOutGate {
                END AS pace
         FROM j""")),
 
+    // ----- the garbage-removed variant of the game-team table ---------------------
+    Q(
+      "pbp06_garbage_removed",
+      "The garbage-removed PBP aggregate table (build_pbp_game_teams_" +
+        "flat.py:185-186 exclude-garbage filter + :301-314 clock-" +
+        "segment garbage-minutes integration): GameTeamStats.build with " +
+        "excludeGarbage=true — every box stat recomputed over non-" +
+        "garbage plays only — joined to the per-game garbage_time_" +
+        "minutes integral (distinct clock instants OR-flagged, each " +
+        "flagged instant contributing sec - next_sec). Oracle extends " +
+        "the pbp04 CTEs with the garbage filter and the same lag-window " +
+        "integration in SQL. Covers SURVEY P5 + W7's un-gated variant.",
+      (s, d) => {
+        val enriched =
+          graft.pbp.PossessionEngine.enrich(pbpPlays(s, d)).toDF()
+        val stats = graft.pbp.GameTeamStats.build(enriched,
+          excludeGarbage = true)
+        val gm = graft.pbp.GameTeamStats.garbageMinutes(enriched)
+        stats.join(gm, Seq("gameId"), "left")
+          .withColumn("garbage_time_minutes",
+            coalesce(col("garbage_time_minutes"), lit(0.0)))
+          .select(col("gameId"), col("teamId"), col("opponentId"),
+            col("is_home_team"), col("fga"), col("fgm"), col("fg3m"),
+            col("fta"), col("ftm"), col("tov"), col("dreb"), col("oreb"),
+            col("pts"), col("max_period"), col("possessions_event"),
+            col("possessions_formula"), col("opp_pts"),
+            col("opp_poss_formula"), col("opp_dreb"), col("opp_fga"),
+            col("game_minutes"), col("efg_pct"), col("ts_pct"),
+            col("ft_rate"), col("tov_ratio"), col("oreb_pct"),
+            col("pace"), col("garbage_time_minutes"))
+      },
+      Some(s"""${pbpChainCtes(FoulPlaysSelect)},
+        enrx AS (SELECT * FROM enr WHERE NOT garbage_time),
+        stats AS (
+          SELECT game_id, team_id,
+                 CAST(sum(CASE WHEN is_fga THEN 1 ELSE 0 END) AS BIGINT) AS fga,
+                 CAST(sum(CASE WHEN is_fga AND scoring THEN 1 ELSE 0 END) AS BIGINT) AS fgm,
+                 CAST(sum(CASE WHEN is_fga AND scoring AND sv = 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS fg3m,
+                 CAST(sum(CASE WHEN is_ft THEN 1 ELSE 0 END) AS BIGINT) AS fta,
+                 CAST(sum(CASE WHEN is_ft AND scoring THEN 1 ELSE 0 END) AS BIGINT) AS ftm,
+                 CAST(sum(CASE WHEN is_to THEN 1 ELSE 0 END) AS BIGINT) AS tov,
+                 CAST(sum(CASE WHEN is_dr THEN 1 ELSE 0 END) AS BIGINT) AS dreb,
+                 CAST(0 AS BIGINT) AS oreb,
+                 sum(CASE WHEN scoring THEN sv ELSE CAST(0.0 AS DOUBLE) END) AS pts,
+                 CAST(max(coalesce(period, 1)) AS INT) AS max_period
+          FROM enrx GROUP BY 1, 2),
+        poss AS (
+          SELECT game_id, offense_team_id AS team_id,
+                 CAST(count(*) AS BIGINT) AS possessions_event
+          FROM enrx WHERE possession_end AND offense_team_id IS NOT NULL
+          GROUP BY 1, 2),
+        t AS (
+          SELECT s.*,
+                 CAST(coalesce(p.possessions_event, 0) AS BIGINT) AS possessions_event,
+                 s.fga - s.oreb + s.tov + CAST(0.44 AS DOUBLE) * s.fta AS possessions_formula
+          FROM stats s LEFT JOIN poss p
+            ON s.game_id = p.game_id AND s.team_id = p.team_id),
+        j AS (
+          SELECT t1.*, t2.team_id AS opp_tid, t2.pts AS opp_pts,
+                 t2.possessions_formula AS opp_poss_formula,
+                 t2.dreb AS opp_dreb, t2.fga AS opp_fga
+          FROM t t1 JOIN t t2
+            ON t1.game_id = t2.game_id AND t1.team_id <> t2.team_id),
+        clock AS (
+          SELECT game_id, period, sec,
+                 max(CASE WHEN garbage_time THEN 1 ELSE 0 END) AS g
+          FROM enr WHERE period IS NOT NULL AND sec IS NOT NULL
+          GROUP BY 1, 2, 3),
+        seg AS (
+          SELECT *, coalesce(lead(sec) OVER (PARTITION BY game_id, period
+                      ORDER BY sec DESC), 0) AS next_sec
+          FROM clock),
+        gm AS (
+          SELECT game_id,
+                 sum(CASE WHEN g = 1 THEN greatest(sec - next_sec, 0)
+                          ELSE 0 END) / 60.0 AS garbage_time_minutes
+          FROM seg GROUP BY 1)
+        SELECT j.game_id AS gameId, team_id AS teamId, opp_tid AS opponentId,
+               team_id = 1 AS is_home_team,
+               fga, fgm, fg3m, fta, ftm, tov, dreb, oreb, pts, max_period,
+               possessions_event, possessions_formula,
+               opp_pts, opp_poss_formula, opp_dreb, opp_fga,
+               CAST(40 + 5 * greatest(max_period - 2, 0) AS DOUBLE) AS game_minutes,
+               CASE WHEN fga > 0
+                    THEN (fgm + CAST(0.5 AS DOUBLE) * fg3m) / fga END AS efg_pct,
+               CASE WHEN fga + CAST(0.44 AS DOUBLE) * fta > 0
+                    THEN pts / (CAST(2.0 AS DOUBLE) * (fga + CAST(0.44 AS DOUBLE) * fta))
+               END AS ts_pct,
+               CASE WHEN fga > 0 THEN CAST(fta AS DOUBLE) / fga END AS ft_rate,
+               CASE WHEN possessions_formula > 0
+                    THEN tov / possessions_formula END AS tov_ratio,
+               CASE WHEN oreb + opp_dreb > 0
+                    THEN CAST(oreb AS DOUBLE) / (oreb + opp_dreb) END AS oreb_pct,
+               CASE WHEN CAST(40 + 5 * greatest(max_period - 2, 0) AS DOUBLE) > 0
+                    THEN (possessions_formula + opp_poss_formula) / 2.0
+                         * (CAST(40.0 AS DOUBLE)
+                            / CAST(40 + 5 * greatest(max_period - 2, 0) AS DOUBLE))
+               END AS pace,
+               coalesce(gm.garbage_time_minutes, 0.0) AS garbage_time_minutes
+        FROM j LEFT JOIN gm ON j.game_id = gm.game_id""")),
+
     // ----- the pbp01 stream itself under the chain gate ----------------------------
     Q(
       "pbp05_nofoul_chain",

@@ -123,6 +123,38 @@ class PossessionEngineSpec extends SparkSpec {
     assert(dist == local)
   }
 
+  test("garbage-removed variant: excluded plays drop from stats; minutes integrate the clock") {
+    val s = spark
+    import s.implicits._
+    nextId = 300
+    val ps = Seq(
+      play(T1, 1, 1180, "JumpShot", scoring = true, value = Some(2.0), hs = 10, as = 8),
+      play(T2, 1, 1160, "Lost Ball Turnover", hs = 10, as = 8),
+      play(T1, 2, 700, "JumpShot", scoring = true, value = Some(2.0), hs = 80, as = 55), // margin 25, >600s: kept
+      play(T1, 2, 590, "JumpShot", scoring = true, value = Some(2.0), hs = 80, as = 58), // garbage
+      play(T2, 2, 550, "Lost Ball Turnover", hs = 80, as = 60),                          // garbage
+      play(T1, 2, 500, "JumpShot", scoring = false, hs = 80, as = 65),                   // margin 15, >300s: kept
+      play(T2, 2, 290, "JumpShot", scoring = true, value = Some(2.0), hs = 80, as = 64)) // garbage
+    val enriched = PossessionEngine.enrich(ps.toDS()).toDF()
+    def byTeam(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("teamId") -> r).toMap
+    val full = byTeam(GameTeamStats.build(enriched))
+    val clean = byTeam(GameTeamStats.build(enriched, excludeGarbage = true))
+
+    assert(full(1L).getAs[Long]("fga") == 4L && clean(1L).getAs[Long]("fga") == 3L)
+    assert(full(1L).getAs[Double]("pts") == 6.0 && clean(1L).getAs[Double]("pts") == 4.0)
+    assert(full(2L).getAs[Long]("tov") == 2L && clean(2L).getAs[Long]("tov") == 1L)
+    assert(full(2L).getAs[Double]("pts") == 2.0 && clean(2L).getAs[Double]("pts") == 0.0)
+    // opponent context reflects the filtered table too
+    assert(clean(2L).getAs[Double]("opp_pts") == 4.0)
+
+    // clock integration (reference :301-314): period-2 distinct instants
+    // 700(n) 590(g) 550(g) 500(n) 290(g) → 590-550 + 550-500 + 290-0 = 380 s
+    val gm = GameTeamStats.garbageMinutes(enriched).collect()
+    assert(gm.length == 1)
+    assert(gm(0).getAs[Double]("garbage_time_minutes") == 380.0 / 60.0)
+  }
+
   test("game-team stats: conditional aggs, possessions, opponent join, OT minutes") {
     val s = spark
     import s.implicits._
