@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output passes straight through: stdout stays bare (no
+// "[info] " prefix mangling Bench's one-line JSON contract) and the
+// forked JVM's stderr (Spark log4j) goes to real stderr instead of
+// being re-logged as "[error]" lines on stdout.
+run / outputStrategy := Some(StdoutOutput)
+// No trailing "[success] Total time" after the JSON line.
+ThisBuild / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -33,6 +33,11 @@ case class KgramFingerprint(child: Expression, k: Int)
   override def dataType: DataType = StructType(Seq(
     StructField("fp", StringType),
     StructField("n_kgrams", LongType)))
+  // compute() returns null for texts shorter than k even when the child
+  // is non-nullable; without this override codegen treats ev.isNull as a
+  // constant and the `ev.isNull = true` branch fails janino compilation
+  // (silent whole-stage fallback to interpreted eval).
+  override def nullable: Boolean = true
   override def prettyName: String = "kgram_fingerprint"
 
   override protected def nullSafeEval(input: Any): Any =

@@ -29,6 +29,11 @@ case class MinHashSignature(child: Expression, k: Int)
       s"minhash_sigs expects (string, k>0), got ${child.dataType.catalogString}, k=$k")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  // compute() returns null for docs with fewer than 4 words even when the
+  // child is non-nullable; without this override codegen treats ev.isNull
+  // as a constant and the `ev.isNull = true` branch fails janino
+  // compilation (silent whole-stage fallback to interpreted eval).
+  override def nullable: Boolean = true
   override def prettyName: String = "minhash_sigs"
 
   override protected def nullSafeEval(input: Any): Any =
