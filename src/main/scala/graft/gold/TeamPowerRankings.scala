@@ -21,14 +21,18 @@ object TeamPowerRankings {
 
   import IoHelpers.colOrNull
 
-  /** Percentile over distinct values of `metric`, joined back as `out`. */
+  /** Percentile over distinct values of `metric`, joined back as `out`.
+    * Rank via the two-stage GlobalRank (range partition + local rank +
+    * offsets) and n via a scalar agg — no single-partition window even
+    * when the distinct metric set grows with the data (a11's pattern). */
   private def withDistinctPercentile(df: DataFrame, metric: String, out: String): DataFrame = {
     val dv = df.filter(col(metric).isNotNull).select(col(metric).as("__v")).distinct()
-    val w = Window.orderBy(col("__v").asc)
-    val n = count(lit(1)).over(Window.partitionBy())
-    val ranks = dv.select(col("__v"),
-      when(n > 1, (row_number().over(w) - 1) * lit(100.0) / (n - 1))
-        .otherwise(lit(50.0)).as(out))
+    val n = dv.agg(count(lit(1)).as("__n"))
+    val ranks = graft.operators.GlobalRank.zeroBasedIndex(dv, "__v")
+      .crossJoin(broadcast(n))
+      .select(col("__v"),
+        when(col("__n") > 1, col("idx") * lit(100.0) / (col("__n") - 1))
+          .otherwise(lit(50.0)).as(out))
     df.join(broadcast(ranks), df(metric) === ranks("__v"), "left").drop("__v")
   }
 

@@ -130,6 +130,22 @@ class PlanSpec extends SparkSpec {
     assert(planOf("t16b_quality_gate_native").contains("token_stats"))
   }
 
+  test("no query plans an unpartitioned window outside documented bounded sites") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // Bounded-by-construction exemption: GlobalRank's offsets window runs
+    // over the per-partition COUNT table (≤ `partitions` rows, bounded by
+    // config not data) — recognizable by its `__pid` child column. The only
+    // other allowed site is w08's documented nation-bounded rank.
+    def bounded(w: LWindow): Boolean = w.child.output.exists(_.name == "__pid")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
+      plan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty && !bounded(w) => w
+      }.nonEmpty
+    }
+    assert(offenders == Seq("w08_rank"), s"unpartitioned Window in: $offenders")
+  }
+
   test("no query in SparkEntry plans a cartesian product") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
       planOf(name).contains("CartesianProduct")
