@@ -422,6 +422,103 @@ object CarveOutGate {
         FROM s1 s JOIN init i ON s.team = i.team
                   JOIN sos so ON s.team = so.team, lt""")),
 
+    // ----- the convergence TEST itself under the hash gate ------------------------
+    Q(
+      "dm10d_converged_solve",
+      "The early-stop convergence path of IterativeRatings.solve " +
+        "(reference adjusted_efficiencies.py:592-597 logs iterations-to-" +
+        "convergence; iterative_ratings.py:225-297 the max-|Δ| test): " +
+        "maxIter=50 with tol=0.45 on the dm10 fixture, where the per-" +
+        "sweep deltas (0.67 after sweep 1, 0.16 after sweep 2 at the " +
+        "gate SF — measured, bracketing the tolerance with >0.2 margin " +
+        "on both sides) make the solver STOP at exactly 2 sweeps. The " +
+        "oracle replays init -> sweep -> sweep and pins iterations=2, " +
+        "so the convergence test, not a pinned sweep count, produces " +
+        "the hash-matched result.",
+      (s, d) => {
+        import s.implicits._
+        val rows = Tables.orders(s, d).select(
+            (col("o_orderkey") % 40).as("home"),
+            ((col("o_orderkey") % 40) + 1 + (col("o_custkey") % 39)).mod(40).as("away"),
+            (lit(60) + col("o_orderkey") % 40).cast("double").as("home_pts"),
+            (lit(60) + col("o_custkey") % 40).cast("double").as("away_pts"),
+            (lit(65) + col("o_orderkey") % 10).cast("double").as("poss"))
+          .filter(col("home") =!= col("away"))
+          .groupBy(col("home"), col("away"))
+          .agg(count(lit(1)).as("n"), sum(col("home_pts")).as("shp"),
+            sum(col("away_pts")).as("sap"), sum(col("poss")).as("sps"))
+          .collect()
+        val games = rows.iterator.flatMap { r =>
+          val (h, a) = (r.getLong(0), r.getLong(1))
+          val n = r.getLong(2).toDouble
+          val (hp, ap, ps) =
+            (r.getDouble(3) / n, r.getDouble(4) / n, r.getDouble(5) / n)
+          Iterator(
+            graft.ratings.IterativeRatings.GameObs(h, a, hp, ps, ap, ps, n,
+              isHome = true, neutral = false),
+            graft.ratings.IterativeRatings.GameObs(a, h, ap, ps, hp, ps, n,
+              isHome = false, neutral = false))
+        }.toSeq
+        val ratings = graft.ratings.IterativeRatings.solve(games,
+          graft.ratings.IterativeRatings.Config(maxIter = 50, tol = 0.45))
+        ratings.map(r => (r.team, r.adjOe, r.adjDe, r.games, r.iterations))
+          .toDF("team", "adj_oe", "adj_de", "games", "iterations")
+          .select(col("team"),
+            round(col("adj_oe"), 3).as("adj_oe"),
+            round(col("adj_de"), 3).as("adj_de"),
+            col("games"), col("iterations"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT o_orderkey % 40 AS home,
+                 ((o_orderkey % 40) + 1 + (o_custkey % 39)) % 40 AS away,
+                 CAST(60 + o_orderkey % 40 AS DOUBLE) AS home_pts,
+                 CAST(60 + o_custkey % 40 AS DOUBLE) AS away_pts,
+                 CAST(65 + o_orderkey % 10 AS DOUBLE) AS poss
+          FROM orders
+          WHERE (o_orderkey % 40) <> ((o_orderkey % 40) + 1 + (o_custkey % 39)) % 40),
+        grid AS (
+          SELECT home, away, CAST(count(*) AS DOUBLE) AS w,
+                 sum(home_pts) / count(*) AS hp,
+                 sum(away_pts) / count(*) AS ap,
+                 sum(poss) / count(*) AS ps
+          FROM base GROUP BY 1, 2),
+        obs AS (
+          SELECT home AS team, away AS opp, hp AS pts, ap AS opp_pts,
+                 ps AS poss, w, true AS is_home FROM grid
+          UNION ALL
+          SELECT away, home, ap, hp, ps, w, false FROM grid),
+        eff AS (
+          SELECT *,
+                 pts / poss * 100.0 + CASE WHEN is_home THEN -4.0266 ELSE 4.0266 END AS go,
+                 opp_pts / poss * 100.0 + CASE WHEN is_home THEN 4.0266 ELSE -4.0266 END AS gd
+          FROM obs),
+        lg AS (SELECT sum(w * pts) / sum(w * poss) * 100.0 AS league FROM eff),
+        init AS (
+          SELECT team,
+                 least(greatest(sum(w * go) / sum(w), 40.0), 200.0) AS oe0,
+                 least(greatest(sum(w * gd) / sum(w), 40.0), 200.0) AS de0
+          FROM eff GROUP BY 1),
+        s1 AS (
+          SELECT e.team,
+                 least(greatest(sum(e.w * e.go * pow(league / i.de0, 0.85)) / sum(e.w),
+                                40.0), 200.0) AS oe1,
+                 least(greatest(sum(e.w * e.gd * pow(league / i.oe0, 0.85)) / sum(e.w),
+                                40.0), 200.0) AS de1
+          FROM eff e JOIN init i ON e.opp = i.team, lg
+          GROUP BY e.team),
+        s2 AS (
+          SELECT e.team, CAST(count(*) AS INT) AS games,
+                 least(greatest(sum(e.w * e.go * pow(league / s.de1, 0.85)) / sum(e.w),
+                                40.0), 200.0) AS oe2,
+                 least(greatest(sum(e.w * e.gd * pow(league / s.oe1, 0.85)) / sum(e.w),
+                                40.0), 200.0) AS de2
+          FROM eff e JOIN s1 s ON e.opp = s.team, lg
+          GROUP BY e.team)
+        SELECT team, round(oe2, 3) AS adj_oe, round(de2, 3) AS adj_de,
+               games, CAST(2 AS INT) AS iterations
+        FROM s2""")),
+
     // ----- one Lloyd assignment step ---------------------------------------------
     Q(
       "v05b_lloyd_assign",

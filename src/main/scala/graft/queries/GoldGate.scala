@@ -735,21 +735,22 @@ object GoldGate {
       "g07_gold_adjeff_timeseries",
       "The per-date warm-start solver loop of gold team_adjusted_" +
         "efficiencies (reference adjusted_efficiencies.py:525-637) — the " +
-        "REAL AdjustedEfficiencies.build, pinned to the 2 earliest game " +
+        "REAL AdjustedEfficiencies.build, pinned to the 3 earliest game " +
         "dates x exactly 2 solver sweeps (maxIter=2, tol<0) so the loop " +
         "becomes SQL-composable: the oracle replays init -> sweep -> " +
-        "sweep per date over strictly-dated game windows, carrying " +
-        "date-1's final ratings into date-2's init (warm start, raw-init " +
-        "fallback for new teams). Gates the warm-start/leakage wiring of " +
-        "the flagship product itself, not just its stages.",
+        "sweep per date over strictly-dated game windows, carrying each " +
+        "date's final ratings into the next date's init (warm start " +
+        "applied TWICE, raw-init fallback for new teams). Gates the " +
+        "warm-start/leakage wiring of the flagship product itself, not " +
+        "just its stages.",
       (s, d) => {
         val g = games(s, d)
-        // collect the 2-date window up front (2 tiny values) so the
+        // collect the 3-date window up front (3 tiny values) so the
         // derived fixture frame is scanned once, not once per branch
-        val dates2 = g.select(substring(col("startDate"), 1, 10).as("gd"))
-          .distinct().orderBy(col("gd").asc).limit(2)
+        val dates3 = g.select(substring(col("startDate"), 1, 10).as("gd"))
+          .distinct().orderBy(col("gd").asc).limit(3)
           .collect().map(_.getString(0)).toSeq
-        val g2 = g.filter(substring(col("startDate"), 1, 10).isin(dates2: _*))
+        val g2 = g.filter(substring(col("startDate"), 1, 10).isin(dates3: _*))
         AdjustedEfficiencies.build(s, gameTeams(s, d), g2, dimD1(s, d), Season,
             IterativeRatings.Config(maxIter = 2, tol = -1.0))
           .select(col("teamId"), col("rating_date"),
@@ -759,8 +760,9 @@ object GoldGate {
       },
       Some(s"""
         WITH $FixtureSql,
-        d2win AS (SELECT DISTINCT substr(startDate, 1, 10) AS gd
-                  FROM fx_games ORDER BY 1 LIMIT 2),
+        d3win AS (SELECT gd, row_number() OVER (ORDER BY gd) AS rn
+                  FROM (SELECT DISTINCT substr(startDate, 1, 10) AS gd
+                        FROM fx_games ORDER BY 1 LIMIT 3) x),
         parsed AS (
           SELECT gameId, teamId,
                  coalesce(
@@ -795,7 +797,7 @@ object GoldGate {
                  p.teamId = g.homeTeamId AS is_home
           FROM parsed p
           JOIN fx_games g ON p.gameId = g.gameId
-          JOIN d2win w ON substr(g.startDate, 1, 10) = w.gd
+          JOIN d3win w ON substr(g.startDate, 1, 10) = w.gd
           WHERE p.poss IS NOT NULL AND p.poss > 0
             AND p.opp_poss IS NOT NULL AND p.opp_poss > 0
             AND p.pts IS NOT NULL AND p.opp_pts IS NOT NULL
@@ -814,9 +816,13 @@ object GoldGate {
                    + CASE WHEN neutral THEN 0.0
                           WHEN is_home THEN 4.0266 ELSE -4.0266 END AS gd
           FROM obs),
-        dmin AS (SELECT min(game_date) AS d1 FROM eff),
-        dmax AS (SELECT max(game_date) AS d2 FROM eff),
-        e1 AS (SELECT e.* FROM eff e, dmin WHERE e.game_date <= dmin.d1),
+        dk AS (SELECT max(CASE WHEN rn = 1 THEN gd END) AS d1,
+                      max(CASE WHEN rn = 2 THEN gd END) AS d2,
+                      max(CASE WHEN rn = 3 THEN gd END) AS d3,
+                      count(*) AS nd
+               FROM d3win),
+        e1 AS (SELECT e.* FROM eff e, dk WHERE e.game_date <= dk.d1),
+        e2 AS (SELECT e.* FROM eff e, dk WHERE dk.nd >= 2 AND e.game_date <= dk.d2),
         lg1 AS (SELECT sum(pts) / sum(poss) * 100.0 AS league FROM e1),
         i1 AS (
           SELECT team,
@@ -837,10 +843,10 @@ object GoldGate {
                  least(greatest(sum(e.gd * pow(lg1.league / s.oe1, 0.85))
                                 / count(*), 40.0), 200.0) AS de2
           FROM e1 e JOIN s1a s ON e.opp = s.team, lg1 GROUP BY e.team),
-        lg2 AS (SELECT sum(pts) / sum(poss) * 100.0 AS league FROM eff),
+        lg2 AS (SELECT sum(pts) / sum(poss) * 100.0 AS league FROM e2),
         raw2 AS (
           SELECT team, sum(go) / count(*) AS roe, sum(gd) / count(*) AS rde
-          FROM eff GROUP BY 1),
+          FROM e2 GROUP BY 1),
         i2 AS (
           SELECT r.team,
                  least(greatest(coalesce(w.oe2, r.roe), 40.0), 200.0) AS oe0,
@@ -852,22 +858,48 @@ object GoldGate {
                                 / count(*), 40.0), 200.0) AS oe1,
                  least(greatest(sum(e.gd * pow(lg2.league / i.oe0, 0.85))
                                 / count(*), 40.0), 200.0) AS de1
-          FROM eff e JOIN i2 i ON e.opp = i.team, lg2 GROUP BY e.team),
+          FROM e2 e JOIN i2 i ON e.opp = i.team, lg2 GROUP BY e.team),
         s2b AS (
           SELECT e.team, count(*) AS n,
                  least(greatest(sum(e.go * pow(lg2.league / s.de1, 0.85))
                                 / count(*), 40.0), 200.0) AS oe2,
                  least(greatest(sum(e.gd * pow(lg2.league / s.oe1, 0.85))
                                 / count(*), 40.0), 200.0) AS de2
-          FROM eff e JOIN s2a s ON e.opp = s.team, lg2 GROUP BY e.team)
-        SELECT team AS teamId, (SELECT d1 FROM dmin) AS rating_date,
+          FROM e2 e JOIN s2a s ON e.opp = s.team, lg2 GROUP BY e.team),
+        lg3 AS (SELECT sum(pts) / sum(poss) * 100.0 AS league FROM eff),
+        raw3 AS (
+          SELECT team, sum(go) / count(*) AS roe, sum(gd) / count(*) AS rde
+          FROM eff GROUP BY 1),
+        i3 AS (
+          SELECT r.team,
+                 least(greatest(coalesce(w.oe2, r.roe), 40.0), 200.0) AS oe0,
+                 least(greatest(coalesce(w.de2, r.rde), 40.0), 200.0) AS de0
+          FROM raw3 r LEFT JOIN s2b w ON r.team = w.team),
+        s3a AS (
+          SELECT e.team,
+                 least(greatest(sum(e.go * pow(lg3.league / i.de0, 0.85))
+                                / count(*), 40.0), 200.0) AS oe1,
+                 least(greatest(sum(e.gd * pow(lg3.league / i.oe0, 0.85))
+                                / count(*), 40.0), 200.0) AS de1
+          FROM eff e JOIN i3 i ON e.opp = i.team, lg3 GROUP BY e.team),
+        s3b AS (
+          SELECT e.team, count(*) AS n,
+                 least(greatest(sum(e.go * pow(lg3.league / s.de1, 0.85))
+                                / count(*), 40.0), 200.0) AS oe2,
+                 least(greatest(sum(e.gd * pow(lg3.league / s.oe1, 0.85))
+                                / count(*), 40.0), 200.0) AS de2
+          FROM eff e JOIN s3a s ON e.opp = s.team, lg3 GROUP BY e.team)
+        SELECT team AS teamId, (SELECT d1 FROM dk) AS rating_date,
                round(oe2, 3) AS adj_oe, round(de2, 3) AS adj_de,
                CAST(n AS INT) AS games_played, CAST(2 AS INT) AS iterations
         FROM s1b
         UNION ALL
-        SELECT team, (SELECT d2 FROM dmax), round(oe2, 3), round(de2, 3),
+        SELECT team, (SELECT d2 FROM dk), round(oe2, 3), round(de2, 3),
                CAST(n AS INT), CAST(2 AS INT)
-        FROM s2b
-        WHERE (SELECT d2 FROM dmax) <> (SELECT d1 FROM dmin)"""))
+        FROM s2b WHERE (SELECT nd FROM dk) >= 2
+        UNION ALL
+        SELECT team, (SELECT d3 FROM dk), round(oe2, 3), round(de2, 3),
+               CAST(n AS INT), CAST(2 AS INT)
+        FROM s3b WHERE (SELECT nd FROM dk) >= 3"""))
   )
 }

@@ -70,6 +70,28 @@ class RatingsPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("early stop: a converged solve equals the fixed-sweep solve at its iteration count") {
+    forAllSeeds(genGames, n = 60) { games =>
+      val conv = IterativeRatings.solve(games, Config(maxIter = 50, tol = 0.45))
+      val k = conv.head.iterations
+      assert(k < 50, "tolerance must engage before maxIter for this fixture family")
+      assert(conv.forall(_.iterations == k))
+      // replaying exactly k pinned sweeps reproduces the converged state
+      assert(conv == IterativeRatings.solve(games, Config(maxIter = k, tol = -1.0))
+        .map(_.copy(iterations = k)))
+      // and one fewer sweep would not have satisfied the tolerance
+      if (k > 1) {
+        val prev = IterativeRatings.solve(games, Config(maxIter = k - 1, tol = -1.0))
+          .map(r => r.team -> ((r.adjOe, r.adjDe))).toMap
+        val maxDelta = conv.map { r =>
+          math.max(math.abs(r.adjOe - prev(r.team)._1),
+            math.abs(r.adjDe - prev(r.team)._2))
+        }.max
+        assert(maxDelta <= 0.45, s"stop-sweep delta $maxDelta must be within tol")
+      }
+    }
+  }
+
   test("property: solver is invariant to input order") {
     forAllSeeds(Gen.zip(genGames, Gen.long), n = 60) { case (games, seed) =>
       val shuffled = new scala.util.Random(seed).shuffle(games)
