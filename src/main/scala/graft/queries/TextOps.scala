@@ -1025,6 +1025,78 @@ object TextOps {
         FROM p GROUP BY 1
         ORDER BY n_occurrences DESC, pair ASC LIMIT 10""")),
 
+    // ----- the BPE merge LOOP itself (the v05c precedent) ------------------------
+    Q(
+      "t19b_bpe_merge_loop",
+      "The REAL BpeTrainer.fit at 2 iterations — count pairs, pick the " +
+        "top merge (count desc, pair asc), APPLY it (left-to-right " +
+        "non-overlapping, whole-symbol anchored), recount, merge again " +
+        "— then the recounted top-10 pair table over the merged " +
+        "inventory, hash-matched against a full SQL replay of both " +
+        "iterations. Gates the iterative WIRING of the tokenizer build " +
+        "(what t19's single step couldn't) — the v05c precedent. Each " +
+        "iteration is one vocabulary-sized hash agg + a one-row driver " +
+        "collect; the corpus is touched once (the word-frequency " +
+        "groupBy).",
+      (s, d) => {
+        val words = Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")) >= 2)
+          .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+        val (encoded, _) = graft.operators.BpeTrainer.fit(words, iterations = 2)
+        graft.operators.BpeTrainer.pairCounts(encoded)
+          .orderBy(col("n_occurrences").desc, col("pair").asc)
+          .limit(10)
+      },
+      Some("""
+        WITH w AS (
+          SELECT tok AS w, count(*) AS wc
+          FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+          WHERE length(tok) >= 2
+          GROUP BY 1),
+        e0 AS (
+          SELECT w, wc,
+                 array_to_string(list_transform(regexp_extract_all(w, '.'),
+                                 c -> chr(1) || c || chr(2)), '') AS enc
+          FROM w),
+        p1 AS (
+          SELECT pair, sum(wc) AS cnt FROM (
+            SELECT wc, unnest(list_transform(range(len(syms) - 1),
+                              i -> syms[i + 1] || ' ' || syms[i + 2])) AS pair
+            FROM (SELECT wc, string_split(substr(enc, 2, length(enc) - 2),
+                                          chr(2) || chr(1)) AS syms FROM e0))
+          GROUP BY 1),
+        m1 AS (SELECT split_part(pair, ' ', 1) AS x, split_part(pair, ' ', 2) AS y
+               FROM p1 ORDER BY cnt DESC, pair ASC LIMIT 1),
+        e1 AS (
+          SELECT w, wc,
+                 replace(enc, chr(1) || m1.x || chr(2) || chr(1) || m1.y || chr(2),
+                         chr(1) || m1.x || m1.y || chr(2)) AS enc
+          FROM e0, m1),
+        p2 AS (
+          SELECT pair, sum(wc) AS cnt FROM (
+            SELECT wc, unnest(list_transform(range(len(syms) - 1),
+                              i -> syms[i + 1] || ' ' || syms[i + 2])) AS pair
+            FROM (SELECT wc, string_split(substr(enc, 2, length(enc) - 2),
+                                          chr(2) || chr(1)) AS syms FROM e1))
+          GROUP BY 1),
+        m2 AS (SELECT split_part(pair, ' ', 1) AS x, split_part(pair, ' ', 2) AS y
+               FROM p2 ORDER BY cnt DESC, pair ASC LIMIT 1),
+        e2 AS (
+          SELECT w, wc,
+                 replace(enc, chr(1) || m2.x || chr(2) || chr(1) || m2.y || chr(2),
+                         chr(1) || m2.x || m2.y || chr(2)) AS enc
+          FROM e1, m2),
+        p3 AS (
+          SELECT pair, sum(wc) AS cnt FROM (
+            SELECT wc, unnest(list_transform(range(len(syms) - 1),
+                              i -> syms[i + 1] || ' ' || syms[i + 2])) AS pair
+            FROM (SELECT wc, string_split(substr(enc, 2, length(enc) - 2),
+                                          chr(2) || chr(1)) AS syms FROM e2))
+          GROUP BY 1)
+        SELECT pair, CAST(cnt AS BIGINT) AS n_occurrences
+        FROM p3 ORDER BY n_occurrences DESC, pair ASC LIMIT 10""")),
+
     // ----- the composed corpus-prep pipeline ------------------------------------
     Q(
       "t20_corpus_pipeline",
