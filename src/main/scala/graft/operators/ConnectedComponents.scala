@@ -3,40 +3,59 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Connected components over an undirected edge list by iterative
-  * min-label propagation — the CLUSTERING stage of the near-dup dedup
-  * cascade (LSH candidate pairs → duplicate GROUPS → keep one doc per
-  * group), the piece that turns pairwise similarity into an actual
-  * dedup decision at corpus scale.
+/** Connected components over an undirected edge list — the CLUSTERING
+  * stage of the near-dup dedup cascade (LSH candidate pairs → duplicate
+  * GROUPS → keep one doc per group), the piece that turns pairwise
+  * similarity into an actual dedup decision at corpus scale.
   *
-  * Shape per round: one join (neighbor labels) + one keyed min — two
-  * shuffles, no driver state; rounds = component diameter. Near-dup
-  * clusters are shallow and small, so propagation converges in a few
-  * rounds; for adversarially deep graphs the upgrade path is
-  * large-star/small-star (same join primitives). Each round EAGERLY
-  * localCheckpoints its label frame and drops the previous round's
-  * blocks: a plain persist is NOT enough for iterative DataFrames —
-  * the logical plan doubles per round (labels feed both the next
-  * round and the convergence check) and the planner itself OOMs
-  * around a dozen rounds. Checkpointing truncates the lineage, so
-  * plan size and storage stay O(1) per round; the returned frame is
-  * one (id, component) row per node — tiny relative to the corpus.
+  * Hybrid kernel (round-7 A/B, BENCH_SCALE.md):
+  *
+  *  1. MIN-LABEL PROPAGATION for up to 8 rounds — one join + one keyed
+  *     min per round, the cheapest per-round shape. Near-dup clusters
+  *     are shallow (diameter ≤ a few), so the common case converges
+  *     here and pays nothing more. Measured 3x faster than the star
+  *     kernel on 2M 5-node clusters (22 s vs 65 s).
+  *  2. If not converged, CONTRACT the graph by the partial labels
+  *     (quotient edges between label groups) and finish with
+  *     alternating LARGE-STAR/SMALL-STAR (Kiveris et al., "Connected
+  *     Components in MapReduce and Beyond", SoCC'14), which collapses
+  *     any remaining structure in O(log² n) rounds REGARDLESS of
+  *     diameter. Propagation alone is diameter-bound: on a 100k-node
+  *     chain it silently bails at maxRounds with 99,950 bogus
+  *     components; the hybrid returns the single true component.
+  *
+  * Correctness of the contraction: after r propagation rounds each
+  * label is the min node id within r hops, so label groups are
+  * connected subsets; the quotient graph has the same component
+  * structure, and the min over a quotient component's labels is the
+  * original component's min node id (the global min labels itself).
+  *
+  * Every round EAGERLY localCheckpoints its frame and drops the
+  * previous round's blocks: a plain persist is NOT enough for
+  * iterative DataFrames — the logical plan doubles per round and the
+  * planner itself OOMs around a dozen rounds. Checkpointing truncates
+  * the lineage, so plan size and storage stay O(1) per round; the
+  * returned frame is one (id, component) row per node — tiny relative
+  * to the corpus.
   *
   * Determinism: labels are mins over node ids — no RNG, no
-  * order-dependence.
+  * order-dependence. Skew note: the star joins key on hub nodes; AQE
+  * skew-join splitting handles it (the aggregates are partial/final
+  * and immune).
   */
 object ConnectedComponents {
+
+  /** Propagation rounds before contracting to the star kernel. */
+  private val PropagationBudget = 8
 
   /** @param edges DataFrame with two node-id columns (undirected)
     * @return (id, component) for every node appearing in `edges`,
     *         component = min node id in the component */
   def minLabel(edges: DataFrame, src: String = "src", dst: String = "dst",
       maxRounds: Int = 50): DataFrame = {
-    // materialize the edge list ONCE, BEFORE symmetrizing: the loop
-    // touches it twice per round and the union reads it twice, so an
-    // unmaterialized lineage (e.g. a full LSH candidate pipeline)
-    // would otherwise re-execute end-to-end 2x at build + 2x per
-    // round — measured 26s -> ~3s on the d05 dedup-cluster query
+    // materialize the edge list ONCE: an unmaterialized lineage (e.g. a
+    // full LSH candidate pipeline) would re-execute end-to-end for each
+    // loop touch — measured 26s -> ~3s on the d05 dedup-cluster query
     val e0 = edges.select(col(src).as("s"), col(dst).as("d"))
       .localCheckpoint(true)
     val sym = e0.union(e0.select(col("d").as("s"), col("s").as("d")))
@@ -46,10 +65,9 @@ object ConnectedComponents {
       .localCheckpoint(true)
     var round = 0
     var changed = 1L
-    while (changed > 0 && round < maxRounds) {
+    while (changed > 0 && round < math.min(PropagationBudget, maxRounds)) {
       val nbrMin = sym.join(labels, col("d") === col("id"))
         .groupBy(col("s")).agg(min(col("component")).as("__nc"))
-      // eager checkpoint: materialize AND truncate the logical plan
       val next = labels.join(nbrMin, col("id") === col("s"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("__nc"), col("component")))
@@ -58,11 +76,139 @@ object ConnectedComponents {
       changed = next.join(
           labels.withColumnRenamed("component", "__prev"), Seq("id"))
         .filter(col("component") =!= col("__prev")).count()
-      labels.unpersist() // next is materialized; prior blocks can go
+      labels.unpersist()
       labels = next
       round += 1
     }
-    e0.unpersist() // labels is materialized; edge blocks can go
+
+    if (changed > 0) {
+      // deep graph: contract by the partial labels, finish with stars
+      val ls = labels.select(col("id").as("__n"), col("component").as("__c"))
+      val qe = sym
+        .join(ls, col("s") === col("__n"))
+        .select(col("d"), col("__c").as("qs"))
+        .join(ls.withColumnRenamed("__c", "__c2"), col("d") === col("__n"))
+        .select(col("qs"), col("__c2").as("qd"))
+        .filter(col("qs") =!= col("qd"))
+        .distinct()
+      val roots = starComponents(qe, "qs", "qd", maxRounds)
+        .select(col("id").as("__q"), col("component").as("__root"))
+      val resolved = labels
+        .join(roots, col("component") === col("__q"), "left")
+        .select(col("id"),
+          coalesce(col("__root"), col("component")).as("component"))
+        .localCheckpoint(true)
+      labels.unpersist()
+      labels = resolved
+    }
+    e0.unpersist()
+    labels
+  }
+
+  /** Alternating large-star/small-star to the fixed point. */
+  private def starComponents(edges: DataFrame, src: String, dst: String,
+      maxRounds: Int): DataFrame = {
+    val e0 = edges.select(col(src).as("s"), col(dst).as("d"))
+      .localCheckpoint(true)
+    val nodes = e0.select(col("s").as("id"))
+      .union(e0.select(col("d").as("id"))).distinct()
+      .localCheckpoint(true)
+
+    // canonical working set: (u > v), no self-loops, deduped
+    var cur = e0.filter(col("s") =!= col("d"))
+      .select(greatest(col("s"), col("d")).as("u"),
+        least(col("s"), col("d")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < maxRounds) {
+      // ---- large-star: (b, m(a)) for every neighbor b > a, where
+      // m(a) = min(Γ(a) ∪ {a}) over the SYMMETRIZED neighborhood
+      val nbrs = cur.select(col("u").as("a"), col("v").as("b"))
+        .union(cur.select(col("v").as("a"), col("u").as("b")))
+      val lsMin = nbrs.groupBy(col("a"))
+        .agg(min(col("b")).as("mb"))
+        .select(col("a"), least(col("a"), col("mb")).as("m"))
+      val ls = nbrs.join(lsMin, Seq("a"))
+        .filter(col("b") > col("a"))
+        .select(col("b").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint(true)
+
+      // ---- small-star on the (u > v) orientation: hang every smaller
+      // neighbor (and u itself) off the min smaller neighbor
+      val ssMin = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val next = ls.join(ssMin, Seq("u"))
+        .select(col("v").as("nu"), col("m").as("nv"))
+        .union(ssMin.select(col("u").as("nu"), col("m").as("nv")))
+        .filter(col("nu") =!= col("nv"))
+        .select(col("nu").as("u"), col("nv").as("v"))
+        .distinct()
+        .localCheckpoint(true)
+
+      // fixed point: the canonical edge set stopped changing
+      changed = next.join(cur, Seq("u", "v"), "left_anti").count() +
+        cur.join(next, Seq("u", "v"), "left_anti").count()
+      ls.unpersist()
+      cur.unpersist()
+      cur = next
+      round += 1
+    }
+
+    // at the fixed point `cur` is a union of stars (v -> component min);
+    // nodes never appearing as a star leaf are their own component
+    val out = nodes
+      .join(cur.withColumnRenamed("u", "id"), Seq("id"), "left")
+      .groupBy(col("id"))
+      .agg(min(coalesce(col("v"), col("id"))).as("component"))
+      .localCheckpoint(true)
+    cur.unpersist()
+    nodes.unpersist()
+    e0.unpersist()
+    out
+  }
+
+  /** The star kernel standalone (A/B surface for graft.tools.CcBench). */
+  private[graft] def minLabelStar(edges: DataFrame,
+      src: String = "src", dst: String = "dst",
+      maxRounds: Int = 50): DataFrame =
+    starComponents(edges, src, dst, maxRounds)
+
+  /** The pre-r7 min-label PROPAGATION variant, kept for A/B comparison
+    * (graft.tools.CcBench; BENCH_SCALE.md round-7 table). Two shuffles
+    * per round but rounds = component DIAMETER: fine on shallow dup
+    * clusters, non-convergent (capped at maxRounds) on deep graphs —
+    * the reason minLabel is a hybrid. */
+  private[graft] def minLabelPropagation(edges: DataFrame,
+      src: String = "src", dst: String = "dst",
+      maxRounds: Int = 50): DataFrame = {
+    val e0 = edges.select(col(src).as("s"), col(dst).as("d"))
+      .localCheckpoint(true)
+    val sym = e0.union(e0.select(col("d").as("s"), col("s").as("d")))
+    var labels = sym.select(col("s").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < maxRounds) {
+      val nbrMin = sym.join(labels, col("d") === col("id"))
+        .groupBy(col("s")).agg(min(col("component")).as("__nc"))
+      val next = labels.join(nbrMin, col("id") === col("s"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("__nc"), col("component")))
+            .as("component"))
+        .localCheckpoint(true)
+      changed = next.join(
+          labels.withColumnRenamed("component", "__prev"), Seq("id"))
+        .filter(col("component") =!= col("__prev")).count()
+      labels.unpersist()
+      labels = next
+      round += 1
+    }
+    e0.unpersist()
     labels
   }
 }

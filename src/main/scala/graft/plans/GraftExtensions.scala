@@ -1,20 +1,24 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, IntegerLiteral, LessThan, LessThanOrEqual, RowNumber, SpecifiedWindowFrame, WindowExpression, WindowSpecDefinition, CurrentRow, RowFrame, UnboundedPreceding}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, CurrentRow, DenseRank, IntegerLiteral, LessThan, LessThanOrEqual, Rank, RowFrame, RowNumber, SpecifiedWindowFrame, UnboundedPreceding, WindowExpression, WindowSpecDefinition}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 
-/** Optimizer rule: rewrite the textbook per-key top-k window idiom
+/** Optimizer rule: rewrite the textbook per-key top-k window idioms
   *
   *   Project(p, Filter(rn <= k, Window(rn = row_number() over (key, ord))))
+  *   Project(p, Filter(r  <= k, Window(r  = rank()       over (key, ord))))
+  *   Project(p, Filter(d  <= k, Window(d  = dense_rank() over (key, ord))))
   *
-  * into the heap operator `TopKPerKeyNode(key, ord, k)` whenever the
-  * rank column is dropped by the projection (the operator emits rows,
-  * not ranks). Users keep writing the idiomatic window form; the plan
-  * they get ships k rows per (key, map partition) instead of sorting
-  * and shuffling every row (Spark's own InferWindowGroupLimit bounds
-  * the shuffle the same way but still pays the per-key sort + window
+  * into the heap operator `TopKPerKeyNode(key, ord, k, mode)` whenever
+  * the rank column is dropped by the projection (the operator emits
+  * rows, not ranks). The mode carries each function's tie semantics:
+  * rank keeps boundary ties, dense_rank keeps the top-k distinct order
+  * values. Users keep writing the idiomatic window form; the plan they
+  * get ships ~k rows per (key, map partition) instead of sorting and
+  * shuffling every row (Spark's own InferWindowGroupLimit bounds the
+  * shuffle the same way but still pays the per-key sort + window
   * machinery after it — measured 3.4x slower at 10M rows, BENCH_SCALE
   * round-6 table).
   *
@@ -25,6 +29,24 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * wiring a cluster needs.
   */
 object TopKFromWindowRule extends Rule[LogicalPlan] {
+
+  /** The rewritable rank functions, each with its canonical frame. */
+  private def modeOf(fn: Any, frame: Any): Option[String] = (fn, frame) match {
+    case (RowNumber(),
+          SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow)) =>
+      Some(TopKPerKeyNode.RowNumberMode)
+    // rank/dense_rank values don't depend on the frame; Spark attaches a
+    // Row frame to them (RowFrame in 4.x) — accept any unbounded-to-
+    // current frame shape
+    case (_: Rank,
+          SpecifiedWindowFrame(_, UnboundedPreceding, CurrentRow)) =>
+      Some(TopKPerKeyNode.RankMode)
+    case (_: DenseRank,
+          SpecifiedWindowFrame(_, UnboundedPreceding, CurrentRow)) =>
+      Some(TopKPerKeyNode.DenseRankMode)
+    case _ => None
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case p @ Project(
           projectList,
@@ -32,10 +54,7 @@ object TopKFromWindowRule extends Rule[LogicalPlan] {
             cond,
             Window(
               Seq(alias @ Alias(
-                WindowExpression(
-                  RowNumber(),
-                  WindowSpecDefinition(part, order,
-                    SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))),
+                WindowExpression(fn, WindowSpecDefinition(part, order, frame)),
                 _)),
               part2, order2, child, _))) if part2 == part && order2 == order =>
       val rn = alias.toAttribute
@@ -47,9 +66,9 @@ object TopKFromWindowRule extends Rule[LogicalPlan] {
         case _ => None
       }
       val projectsRank = projectList.exists(_.references.contains(rn))
-      k match {
-        case Some(kv) if kv > 0 && !projectsRank && part.nonEmpty =>
-          Project(projectList, TopKPerKeyNode(part, order, kv, child))
+      (k, modeOf(fn, frame)) match {
+        case (Some(kv), Some(mode)) if kv > 0 && !projectsRank && part.nonEmpty =>
+          Project(projectList, TopKPerKeyNode(part, order, kv, child, mode))
         case _ => p
       }
   }

@@ -22,30 +22,53 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * nothing is ever fully sorted. The same partial/final split Spark
   * gives hash aggregates, applied to an operator Catalyst doesn't have.
   *
-  * State per task is k rows per distinct key in that task's input —
-  * strictly smaller than the window form's sort buffer for the same
-  * partition.
+  * `mode` selects the rank semantics of the k cutoff:
+  *  - `row_number`: exactly k rows per key (heap, ties cut arbitrarily
+  *    unless the ordering includes a tiebreak).
+  *  - `rank`: every row whose rank() ≤ k — boundary TIES are kept, so
+  *    a group can exceed k rows; retained state per key is k plus the
+  *    boundary tie group (worst case all-equal input: the whole group,
+  *    which is also that window's output size — no worse than the
+  *    window form's own result).
+  *  - `dense_rank`: every row among the top-k DISTINCT order values.
+  *
+  * All three compose as partial → final: removing rows never lowers
+  * another row's rank, so a per-partition rank ≤ k pass retains a
+  * superset of the global winners, and the final phase re-ranks the
+  * union exactly.
+  *
+  * State per task is the per-key retained set for each distinct key in
+  * that task's input — strictly smaller than the window form's sort
+  * buffer for the same partition.
   */
 case class TopKPerKeyNode(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
-    child: LogicalPlan) extends UnaryNode {
+    child: LogicalPlan,
+    mode: String = TopKPerKeyNode.RowNumberMode) extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
     copy(child = newChild)
 }
 
+object TopKPerKeyNode {
+  val RowNumberMode = "row_number"
+  val RankMode = "rank"
+  val DenseRankMode = "dense_rank"
+}
+
 /** Physical operator; `partial = true` runs before the exchange (map-
   * side combine), `partial = false` after it. Both phases run the same
   * kernel — top-k of a union of per-partition top-k's is the global
-  * per-key top-k. */
+  * per-key top-k (for every rank mode; see node doc). */
 case class TopKPerKeyExec(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
     partial: Boolean,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    mode: String = TopKPerKeyNode.RowNumberMode) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
@@ -59,7 +82,8 @@ case class TopKPerKeyExec(
     val orderExprs = order
     val childOutput = child.output
     val isPartial = partial
-    // The partial phase's heap map grows with the partition's DISTINCT
+    val modeLocal = mode
+    // The partial phase's buffer map grows with the partition's DISTINCT
     // key count — unbounded on an all-unique-key input. Past this cap,
     // rows for keys not already tracked pass through unaggregated:
     // correct (the final phase prunes them) with bounded memory, the
@@ -77,12 +101,61 @@ case class TopKPerKeyExec(
       val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ord = RowOrdering.create(orderExprs, childOutput)
-      // heap head = the WORST retained row, so peek/poll evicts right
-      val worstFirst = new java.util.Comparator[UnsafeRow] {
-        override def compare(a: UnsafeRow, b: UnsafeRow): Int = ord.compare(b, a)
+
+      // per-key retained set, best row first
+      sealed trait Buf {
+        def insert(u: UnsafeRow): Unit // copies internally
+        def rows: Iterator[UnsafeRow]
       }
-      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]
-      import scala.jdk.CollectionConverters._
+      final class HeapBuf extends Buf { // row_number: exactly k
+        // heap head = the WORST retained row, so peek/poll evicts right
+        private val q = new java.util.PriorityQueue[UnsafeRow](kLocal,
+          new java.util.Comparator[UnsafeRow] {
+            override def compare(a: UnsafeRow, b: UnsafeRow): Int = ord.compare(b, a)
+          })
+        override def insert(u: UnsafeRow): Unit =
+          if (q.size < kLocal) q.add(u.copy())
+          else if (ord.compare(u, q.peek) < 0) { q.poll(); q.add(u.copy()) }
+        override def rows: Iterator[UnsafeRow] = {
+          import scala.jdk.CollectionConverters._
+          q.iterator.asScala
+        }
+      }
+      final class GroupBuf(dense: Boolean) extends Buf { // rank / dense_rank
+        // tie groups keyed by a representative row, best group first
+        private val m = new java.util.TreeMap[UnsafeRow, java.util.ArrayList[UnsafeRow]](
+          new java.util.Comparator[UnsafeRow] {
+            override def compare(a: UnsafeRow, b: UnsafeRow): Int = ord.compare(a, b)
+          })
+        private var total = 0
+        override def insert(u: UnsafeRow): Unit = {
+          val c = u.copy()
+          var g = m.get(c)
+          if (g == null) { g = new java.util.ArrayList[UnsafeRow](); m.put(c, g) }
+          g.add(c); total += 1
+          if (dense) { // keep at most k distinct order values
+            while (m.size > kLocal) total -= m.pollLastEntry().getValue.size
+          } else { // rank: evict tail groups fully outranked by k rows
+            var done = false
+            while (!done && !m.isEmpty) {
+              val lastSize = m.lastEntry().getValue.size
+              if (total - lastSize >= kLocal) { m.pollLastEntry(); total -= lastSize }
+              else done = true
+            }
+          }
+        }
+        override def rows: Iterator[UnsafeRow] = {
+          import scala.jdk.CollectionConverters._
+          m.values.asScala.iterator.flatMap(_.asScala.iterator)
+        }
+      }
+      def newBuf(): Buf = modeLocal match {
+        case TopKPerKeyNode.RowNumberMode => new HeapBuf
+        case TopKPerKeyNode.RankMode => new GroupBuf(dense = false)
+        case TopKPerKeyNode.DenseRankMode => new GroupBuf(dense = true)
+      }
+
+      val bufs = new java.util.HashMap[UnsafeRow, Buf]
       new Iterator[InternalRow] {
         private var pending: UnsafeRow = null
         private var tail: Iterator[UnsafeRow] = null
@@ -90,19 +163,20 @@ case class TopKPerKeyExec(
           while (pending == null && it.hasNext) {
             val u = toUnsafe(it.next())
             val key = keyProj(u)
-            var q = heaps.get(key)
-            if (q == null) {
-              if (heaps.size >= maxKeys) pending = u // passthrough overflow
+            var b = bufs.get(key)
+            if (b == null) {
+              if (bufs.size >= maxKeys) pending = u // passthrough overflow
               else {
-                q = new java.util.PriorityQueue[UnsafeRow](kLocal, worstFirst)
-                heaps.put(key.copy(), q)
-                q.add(u.copy())
+                b = newBuf()
+                bufs.put(key.copy(), b)
+                b.insert(u)
               }
-            } else if (q.size < kLocal) q.add(u.copy())
-            else if (ord.compare(u, q.peek) < 0) { q.poll(); q.add(u.copy()) }
+            } else b.insert(u)
           }
-          if (pending == null && tail == null)
-            tail = heaps.values.asScala.iterator.flatMap(_.iterator.asScala)
+          if (pending == null && tail == null) {
+            import scala.jdk.CollectionConverters._
+            tail = bufs.values.asScala.iterator.flatMap(_.rows)
+          }
         }
         override def hasNext: Boolean = {
           if (pending == null && tail == null) advance()
@@ -126,9 +200,10 @@ case class TopKPerKeyExec(
   * ClusteredDistribution requirement. */
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKeyNode(keys, order, k, child) =>
+    case TopKPerKeyNode(keys, order, k, child, mode) =>
       TopKPerKeyExec(keys, order, k, partial = false,
-        TopKPerKeyExec(keys, order, k, partial = true, planLater(child))) :: Nil
+        TopKPerKeyExec(keys, order, k, partial = true, planLater(child), mode),
+        mode) :: Nil
     case _ => Nil
   }
 }

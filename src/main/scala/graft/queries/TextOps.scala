@@ -725,23 +725,31 @@ object TextOps {
         "any one domain from dominating a pretraining mix): docs are " +
         "ranked within each source by a deterministic md5 lottery (no " +
         "RNG — same winners on any engine or cluster size) and capped " +
-        "at 10; reports per-source total/kept volume. The window is " +
-        "keyed by source, so the cap parallelizes across sources at " +
-        "any corpus size — no global ordering anywhere.",
+        "at 10; reports per-source total/kept volume. The kept set is " +
+        "the textbook row_number-filter idiom, so under GraftExtensions " +
+        "the cap plans as the TopKPerKey heap operator (k rows per " +
+        "source per map task — GraftExtensionsSpec pins this) instead " +
+        "of a full per-source sort+window; totals come from a separate " +
+        "map-side-combined agg. Everything is keyed by source — no " +
+        "global ordering anywhere.",
       (s, d) => {
         val cap = 10
         val docs = Tables.documents(s, d)
+        val hashed = docs.select(col("source"), col("doc_id"), col("n_chars"),
+          md5(concat(col("source"), lit("|"), col("doc_id").cast("string"))).as("h"))
         val w = Window.partitionBy(col("source"))
           .orderBy(col("h").asc, col("doc_id").asc)
-        docs.select(col("source"), col("doc_id"), col("n_chars"),
-            md5(concat(col("source"), lit("|"), col("doc_id").cast("string"))).as("h"))
-          .withColumn("kept", row_number().over(w) <= cap)
-          .groupBy(col("source"))
-          .agg(
-            count(lit(1)).as("n_docs"),
-            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
-            sum(when(col("kept"), col("n_chars")).otherwise(0L)).as("kept_chars"),
-            min(when(col("kept"), col("doc_id"))).as("first_kept"))
+        val kept = hashed.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= cap).drop("rn")
+        val keptAgg = kept.groupBy(col("source")).agg(
+          count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).as("kept_chars"),
+          min(col("doc_id")).as("first_kept"))
+        val totals = hashed.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"))
+        totals.join(keptAgg, Seq("source"))
+          .select(col("source"), col("n_docs"), col("n_kept"),
+            col("kept_chars"), col("first_kept"))
       },
       Some("""
         WITH r AS (

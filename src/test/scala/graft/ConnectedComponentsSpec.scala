@@ -37,4 +37,18 @@ class ConnectedComponentsSpec extends SparkSpec {
     val got = run(Seq((50L, 7L), (50L, 8L), (50L, 9L)))
     assert(got.values.toSet == Set(7L))
   }
+
+  test("deep chain (300 nodes) converges in far fewer rounds than its diameter") {
+    // min-label propagation would need 299 rounds (> maxRounds = 50);
+    // large-star/small-star collapses it within the default budget
+    val chain = (0L until 299L).map(i => (i + 1000L, i + 1001L))
+    val got = run(chain)
+    assert(got.values.toSet == Set(1000L))
+    assert(got.keySet == (1000L to 1299L).toSet)
+  }
+
+  test("self-loops and isolated pairs keep their own components") {
+    val got = run(Seq((4L, 4L), (1L, 2L)))
+    assert(got == Map(4L -> 4L, 1L -> 1L, 2L -> 1L))
+  }
 }

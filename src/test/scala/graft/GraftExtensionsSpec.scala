@@ -57,6 +57,85 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("rank() and dense_rank() idioms rewrite with tie semantics intact") {
+    val base = SparkSpec.session
+    def tied(s: SparkSession) = {
+      import s.implicits._
+      Seq((1L, 10.0, 1L), (1L, 10.0, 2L), (1L, 9.0, 3L), (1L, 8.0, 4L),
+        (2L, 5.0, 5L), (2L, 5.0, 6L), (2L, 5.0, 7L))
+        .toDF("k", "v", "id")
+    }
+    def rankTopK(s: SparkSession) = {
+      val w = Window.partitionBy(col("k")).orderBy(col("v").desc)
+      tied(s).withColumn("r", rank().over(w)).filter(col("r") <= 2).drop("r")
+    }
+    def denseTopK(s: SparkSession) = {
+      val w = Window.partitionBy(col("k")).orderBy(col("v").desc)
+      tied(s).withColumn("r", dense_rank().over(w)).filter(col("r") <= 2).drop("r")
+    }
+    val expRank = rankTopK(base).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    val expDense = denseTopK(base).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    // hand-checked tie semantics the operator must reproduce:
+    // k=1 rank<=2 keeps the two tied 10s; rank of 9.0 is 3 (gap) -> out
+    assert(expRank == Set((1L, 10.0, 1L), (1L, 10.0, 2L),
+      (2L, 5.0, 5L), (2L, 5.0, 6L), (2L, 5.0, 7L)))
+    // dense_rank<=2 keeps the top TWO DISTINCT values per key
+    assert(expDense == Set((1L, 10.0, 1L), (1L, 10.0, 2L), (1L, 9.0, 3L),
+      (2L, 5.0, 5L), (2L, 5.0, 6L), (2L, 5.0, 7L)))
+
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val ext = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-ext-rank")
+      .config("spark.sql.shuffle.partitions", "4")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    try {
+      for ((mk, exp) <- Seq(
+          (rankTopK _, expRank), (denseTopK _, expDense))) {
+        val df = mk(ext)
+        val got = df.collect()
+          .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+        assert(got == exp)
+        val plan = df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==")(0)
+        assert(plan.contains("TopKPerKey"), plan.take(2000))
+        assert(!plan.contains("Window"), plan.take(2000))
+      }
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
+  test("t14's per-source cap plans as TopKPerKey under the extensions session") {
+    val base = SparkSpec.session
+    val expected = SparkEntry.queries("t14_source_cap")(base, sf).collect()
+      .map(_.toSeq).toSet
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val ext = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-ext-t14")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    try {
+      val df = SparkEntry.queries("t14_source_cap")(ext, sf)
+      assert(df.collect().map(_.toSeq).toSet == expected)
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(plan.contains("TopKPerKey"), plan.take(3000))
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
   test("rank-projecting and unpartitioned windows are left alone") {
     val base = SparkSpec.session
     SparkSession.clearActiveSession()

@@ -82,13 +82,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("t14/t15 cap and shard rollups move data through exactly one exchange") {
-    // t14's window and final agg share the source key; t15's shard agg
-    // partial-aggregates map-side — in both, one data-sized shuffle.
-    Seq("t14_source_cap", "t15_corpus_shard").foreach { q =>
+  test("t14/t15 cap and shard rollups stay within their expected exchange budget") {
+    // t15's shard agg partial-aggregates map-side: one data-sized
+    // shuffle. t14 (since the r7 idiom restructure) has two keyed
+    // shuffles — the cap path and the map-side-combined totals agg —
+    // joined broadcast; under GraftExtensions the cap path's shuffle
+    // carries only ~k rows per (source, map task) via TopKPerKey.
+    Seq("t15_corpus_shard" -> 1, "t14_source_cap" -> 2).foreach { case (q, want) =>
       val p = planOf(q)
       val n = "(?<!Broadcast|Reused)Exchange".r.findAllIn(p).size
-      assert(n == 1, s"$q should have exactly 1 shuffle exchange, got $n:\n$p")
+      assert(n == want, s"$q should have exactly $want shuffle exchange(s), got $n:\n$p")
     }
   }
 
