@@ -54,15 +54,34 @@ object Bench {
         try run(fn(spark, warmDir)) catch { case _: Throwable => () }
       }
     }
+    // contention reference (VERDICT r6 #8): a fixed simple agg timed at
+    // the start of every pass. Host contention moves the reference and
+    // the suite together, so per-query medians NORMALIZED by the ref
+    // median (the `ratios` object in the detail file) are comparable
+    // across rounds even when wall times aren't.
+    def refQuery(): Unit = run {
+      val l = org.apache.spark.sql.functions
+      graft.sources.Tables.lineitem(spark, sfDir)
+        .groupBy(l.col("l_returnflag"), l.col("l_linestatus"))
+        .agg(l.sum(l.col("l_quantity")).as("q"),
+          l.sum(l.col("l_extendedprice")).as("p"),
+          l.count(l.lit(1)).as("n"))
+    }
+    try refQuery() catch { case _: Throwable => () } // warm the reference too
+    val refSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
     val samples = scala.collection.mutable.LinkedHashMap(
       queries.map { case (n, _) => n -> Vector.empty[Double] }: _*)
     (1 to runs).foreach { _ =>
+      val r0 = System.nanoTime()
+      try refQuery() catch { case _: Throwable => () }
+      refSamples += (System.nanoTime() - r0) / 1e9
       queries.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         try run(fn(spark, sfDir)) catch { case _: Throwable => () }
         samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
       }
     }
+    val refMedian = { val s = refSamples.sorted; s(s.size / 2) }
     def ms(x: Double): Double = math.rint(x * 1000) / 1000
     val results = samples.toSeq.map { case (name, ts) =>
       val s = ts.sorted
@@ -87,8 +106,13 @@ object Bench {
     }.mkString("{", ",", "}")
     val medians = results.map { case (k, m, _, _) => "\"" + k + "\":" + ms(m) }
       .mkString("{", ",", "}")
+    // contention-normalized view: query median over reference median
+    val ratios = results.map { case (k, m, _, _) =>
+      "\"" + k + "\":" + (if (refMedian > 0) ms(m / refMedian) else -1)
+    }.mkString("{", ",", "}")
+    val refJson = refSamples.map(ms).mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$medians,"spread":$spreads,"names":$names,"samples":$perRun,"runs":$runs,"order":"pass-major","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$medians,"spread":$spreads,"names":$names,"samples":$perRun,"ref_samples":$refJson,"ref_median":${ms(refMedian)},"ratios":$ratios,"runs":$runs,"order":"pass-major","sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       full.getBytes("UTF-8"))
     catch { case _: Throwable => () } // bench must still print if cwd is read-only
