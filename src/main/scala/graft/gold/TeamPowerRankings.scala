@@ -102,16 +102,25 @@ object TeamPowerRankings {
       .withColumn("pbp_net_eff",
         when(col("pbp_off_eff").isNotNull && col("pbp_def_eff").isNotNull,
           col("pbp_off_eff") - col("pbp_def_eff")))
+      // __gp > 0 guard matters: this column is materialized standalone by
+      // the spine checkpoint below, so it can no longer rely on being
+      // inlined under pbp_pace's own __gp > 0 branch (ANSI divide-by-zero)
       .withColumn("__avg_mins",
-        when(col("__mins") > 0, col("__mins") / col("__gp")).otherwise(lit(40.0)))
+        when(col("__mins") > 0 && col("__gp") > 0, col("__mins") / col("__gp"))
+          .otherwise(lit(40.0)))
       .withColumn("pbp_pace",
         when(col("__gp") > 0 && col("__tposs").isNotNull,
           col("__tposs") / col("__gp") * (lit(40.0) / col("__avg_mins"))))
       .withColumn("games_played", col("__gp").cast("int"))
 
+    // materialize the spine ONCE (team-cardinality — tiny): each of the
+    // three percentile tables takes a distinct() over it, and an
+    // unmaterialized lineage would re-run the whole join chain per metric
+    val spine5 = joined.localCheckpoint(true)
+
     val ranked = withDistinctPercentile(
       withDistinctPercentile(
-        withDistinctPercentile(joined, "adj_net_rating", "__p_adj"),
+        withDistinctPercentile(spine5, "adj_net_rating", "__p_adj"),
         "pbp_adj_net_eff", "__p_pbp"),
       "srs_rating", "__p_srs")
 
