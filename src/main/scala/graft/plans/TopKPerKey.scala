@@ -212,8 +212,10 @@ object TopKPerKey {
   /** Top `k` rows per key group under `orderBy` (e.g. `col("v").desc,
     * col("id").asc` — include a unique tiebreak for determinism).
     * Output rows keep the input schema; row order across groups is
-    * unspecified. */
-  def topK(df: DataFrame, keyCols: Seq[String], orderBy: Seq[Column], k: Int): DataFrame = {
+    * unspecified. `mode` selects row_number/rank/dense_rank cutoff
+    * semantics (see TopKPerKeyNode). */
+  def topK(df: DataFrame, keyCols: Seq[String], orderBy: Seq[Column], k: Int,
+      mode: String = TopKPerKeyNode.RowNumberMode): DataFrame = {
     require(k > 0, "k must be positive")
     val spark = df.sparkSession
     // synchronized check-then-act, and skip when GraftExtensions already
@@ -233,6 +235,6 @@ object TopKPerKey {
       }
     }
     GraftPlanBridge.ofRows(spark,
-      TopKPerKeyNode(keys, order, k, df.queryExecution.analyzed))
+      TopKPerKeyNode(keys, order, k, df.queryExecution.analyzed, mode))
   }
 }

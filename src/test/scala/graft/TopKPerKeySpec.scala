@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.plans.TopKPerKey
+import graft.plans.{TopKPerKey, TopKPerKeyNode}
 import graft.sources.Tables
 
 /** The custom whole-operator extension (TopKPerKeyNode + TopKStrategy +
@@ -54,6 +54,36 @@ class TopKPerKeySpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       assert(got == expect)
     } finally spark.conf.unset("spark.graft.topk.maxPartialKeys")
+  }
+
+  test("rank and dense_rank modes match their window forms on tie-rich data") {
+    // 10k rows, 50 keys, 8-value domain -> ~25-row tie groups per
+    // (key, value): heavy GroupBuf eviction in the partial phase, and
+    // boundary ties that row_number semantics would cut
+    val df = spark.range(10000).select(
+      (col("id") % 50).as("k"),
+      pmod(col("id") * 2654435761L, lit(8)).cast("double").as("v"),
+      col("id").as("rid"))
+    def keyOf(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getDouble(1), r.getLong(2))
+    for ((mode, wfn) <- Seq(
+        (TopKPerKeyNode.RankMode, rank()),
+        (TopKPerKeyNode.DenseRankMode, dense_rank()))) {
+      val w = Window.partitionBy(col("k")).orderBy(col("v").desc)
+      val expect = df.withColumn("r", wfn.over(w))
+        .filter(col("r") <= 3).drop("r").collect().map(keyOf).toSet
+      val got = TopKPerKey.topK(df, Seq("k"), Seq(col("v").desc), 3, mode)
+        .collect().map(keyOf).toSet
+      assert(got == expect, s"mode $mode diverged from its window form")
+      assert(got.size > 150) // ties genuinely exceeded k rows per key
+      // partial-phase key overflow stays exact in the rank modes too
+      spark.conf.set("spark.graft.topk.maxPartialKeys", "3")
+      try {
+        val got2 = TopKPerKey.topK(df, Seq("k"), Seq(col("v").desc), 3, mode)
+          .collect().map(keyOf).toSet
+        assert(got2 == expect, s"mode $mode overflow path diverged")
+      } finally spark.conf.unset("spark.graft.topk.maxPartialKeys")
+    }
   }
 
   test("null keys and null order values match the window form") {
