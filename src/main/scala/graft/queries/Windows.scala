@@ -505,6 +505,36 @@ object Windows {
         GROUP BY 1, 2""")),
 
     Q(
+      "st06_interval_join_outer",
+      "Left-outer event-time interval join (§2.10 stream-stream OUTER " +
+        "join: every view attributed to a click within 1h OR kept " +
+        "null-padded — on streams the null rows emit when the " +
+        "watermark passes the view's window, the hard state-eviction " +
+        "case of Structured Streaming). The SAME " +
+        "EventStream.intervalJoinLeftOuter runs on watermarked streams " +
+        "with bounded state; streaming-vs-batch parity is pinned in " +
+        "EventStreamSpec.",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val v = e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id"), col("ts"))
+        val c = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id"), col("ts"))
+        graft.streaming.EventStream.intervalJoinLeftOuter(v, c, "1 hour")
+          .select(col("l.user_id").as("user_id"),
+            col("l.event_id").as("view_id"),
+            col("r.event_id").as("click_id"),
+            (unix_micros(col("r.ts")) - unix_micros(col("l.ts"))).as("lag_us"))
+      },
+      Some("""
+        SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+               epoch_us(c.ts) - epoch_us(v.ts) AS lag_us
+        FROM (SELECT * FROM events WHERE event_type = 'view') v
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON v.user_id = c.user_id
+         AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR""")),
+
+    Q(
       "st05_incremental_upsert",
       "Exactly-once incremental aggregate maintenance (§2.10, " +
         "IncrementalAggregate): the event table replayed as 3 " +

@@ -67,6 +67,20 @@ object EventStream {
     left.alias("l").join(right.alias("r"), expr(
       s"l.user_id = r.user_id AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL $window"))
 
+  /** Left-outer event-time interval join — every left row survives,
+    * null-padded when no right row lands in its window. On watermarked
+    * streams this is the hard state-eviction case of stream-stream
+    * joins: an unmatched left row emits its null-padded result only
+    * once the watermark passes `l.ts + window` (until then a match
+    * could still arrive), so both the buffered state AND the result
+    * latency are bounded by watermark + window — never unbounded.
+    * Parity with the batch left join is EventStreamSpec-pinned. */
+  def intervalJoinLeftOuter(left: DataFrame, right: DataFrame,
+      window: String = "1 hour"): DataFrame =
+    left.alias("l").join(right.alias("r"), expr(
+      s"l.user_id = r.user_id AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL $window"),
+      "left_outer")
+
   final case class Ev(user_id: Long, event_id: Long, ms: Long, value: Double)
   final case class SessionState(
       sessionId: Long,
