@@ -1478,6 +1478,59 @@ object TextOps {
         f AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM v)
         SELECT simhash, count(*) AS n_docs, min(doc_id) AS canonical_doc
         FROM f GROUP BY 1"""
-      })
+      }),
+
+    // ----- training-sample provenance / lineage ----------------------------------
+    Q(
+      "t21_sample_provenance",
+      "Training-sample provenance (the data-governance op behind " +
+        "'which document produced this sample?'): every chunk from " +
+        "t12's window recipe carries a deterministic sample_id = " +
+        "sha256(doc_id:chunk_idx), and the audit proves the id space " +
+        "is collision-free (n_samples == n_unique_samples) per " +
+        "(source, lang) with doc-level lineage counts. At 100 TB the " +
+        "(doc_id, chunk_idx, sample_id) mapping is a write-once " +
+        "partitioned table; this query gates the id math and the " +
+        "rollup — chunk expansion is zero-shuffle, the audit is one " +
+        "map-side-combined agg over ids, never payload bytes.",
+      (s, d) => {
+        val W = 120
+        val S = 90
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("lang"),
+            greatest(ceil((length(col("text")) - W) / lit(S.toDouble)), lit(0))
+              .cast("int").as("last_idx"))
+          .select(col("doc_id"), col("source"), col("lang"),
+            explode(expr("sequence(0, last_idx)")).as("chunk_idx"))
+          .select(col("source"), col("lang"), col("doc_id"),
+            sha2(concat(col("doc_id").cast("string"), lit(":"),
+              col("chunk_idx").cast("string")), 256).as("sample_id"))
+          .groupBy(col("source"), col("lang"))
+          .agg(
+            count(lit(1)).as("n_samples"),
+            countDistinct(col("doc_id")).as("n_docs"),
+            countDistinct(col("sample_id")).as("n_unique_samples"),
+            min(col("sample_id")).as("first_sample_id"))
+      },
+      Some("""
+        WITH idx AS (
+          SELECT doc_id, source, lang,
+                 greatest(CAST(ceil((length(text) - 120) / 90.0) AS BIGINT), 0) AS last_idx
+          FROM documents),
+        ch AS (
+          SELECT doc_id, source, lang,
+                 unnest(range(last_idx + 1)) AS chunk_idx
+          FROM idx),
+        ids AS (
+          SELECT source, lang, doc_id,
+                 sha256(CAST(doc_id AS VARCHAR) || ':' ||
+                        CAST(chunk_idx AS VARCHAR)) AS sample_id
+          FROM ch)
+        SELECT source, lang,
+               CAST(count(*) AS BIGINT) AS n_samples,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT sample_id) AS BIGINT) AS n_unique_samples,
+               min(sample_id) AS first_sample_id
+        FROM ids GROUP BY 1, 2"""))
   )
 }
