@@ -54,7 +54,7 @@ object BpeTrainer {
   def fit(words: DataFrame, iterations: Int): (DataFrame, Seq[(String, String)]) = {
     var enc = words.select(col("w"), col("wc"), encode(col("w")).as("enc"))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val top = pairCounts(enc)
         .orderBy(col("n_occurrences").desc, col("pair").asc)
         .limit(1)
@@ -65,6 +65,11 @@ object BpeTrainer {
         enc = enc.withColumn("enc",
           replace(col("enc"), lit(L + x + R + L + y + R), lit(L + x + y + R)))
       }
+      // real vocab builds run tens of thousands of merges: without a
+      // periodic lineage cut the plan nests one replace() per merge and
+      // the PLANNER dies long before the data does (the CC lesson) —
+      // checkpoint the vocabulary-sized table every 25 merges
+      if (i % 25 == 0) enc = enc.localCheckpoint(true)
     }
     (enc.withColumn("syms", symbols(col("enc"))), merges.toSeq)
   }

@@ -59,5 +59,21 @@ class BpeTrainerSpec extends SparkSpec {
     assert(e3.select(col("syms")).collect().head.getSeq[String](0) == Seq("xa"))
   }
 
+  test("deep merge runs cross the lineage-checkpoint boundary and exhaust cleanly") {
+    val s = spark
+    import s.implicits._
+    val words = Seq(("low", 5L), ("lower", 2L), ("lowest", 3L)).toDF("w", "wc")
+    // far more iterations than available merges AND past the 25-merge
+    // checkpoint cut: the loop must no-op once pairs run out
+    val (encoded, merges) = BpeTrainer.fit(words, iterations = 30)
+    val syms = encoded.select(col("w"), col("syms")).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(syms.values.forall(_.size == 1), s"all words fully merged: $syms")
+    assert(syms("lowest") == Seq("lowest"))
+    // merge count = total pair-merge steps to collapse the three words
+    assert(merges.size < 30 && merges.take(2) == Seq(("l", "o"), ("lo", "w")))
+    assert(BpeTrainer.pairCounts(encoded).count() == 0)
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }
