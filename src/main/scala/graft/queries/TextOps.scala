@@ -53,6 +53,32 @@ object TextOps {
                CAST(sum(CASE WHEN f_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
         FROM f GROUP BY 1"""
 
+  /** Per-doc DISTINCT word-8-gram md5s — shared by the t10/t10b
+    * decontamination twins so both probe the identical gram space. */
+  private def word8Grams(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 8)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, size(ws) - 8), i -> md5(concat_ws(' ', " +
+          (1 to 8).map(k => s"element_at(ws, i + $k)").mkString(", ") +
+          ")))"))).as("gh"))
+
+  /** Shared by t10 (raw-set broadcast) and t10b (bloom prefilter + exact
+    * verify) — the twins must hash against the identical oracle. */
+  private val ContaminationSql = """
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        g AS (SELECT doc_id,
+                     list_distinct(list_transform(range(len(ws) - 7), i ->
+                       md5(ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' ||
+                           ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' ||
+                           ws[i+7] || ' ' || ws[i+8]))) AS gs
+              FROM w WHERE len(ws) >= 8),
+        bench AS (SELECT DISTINCT unnest(gs) AS gh FROM g WHERE doc_id % 5 = 0),
+        corpus AS (SELECT doc_id, unnest(gs) AS gh FROM g WHERE doc_id % 5 <> 0)
+        SELECT c.doc_id, count(*) AS n_shared
+        FROM corpus c JOIN bench b USING (gh)
+        GROUP BY 1"""
+
   /** Shared by t17 (composed) and t17b (native token_freqs) — the twins
     * must hash against the identical oracle. */
   private val UnigramLogprobSql = """
@@ -571,33 +597,41 @@ object TextOps {
         "per-doc DISTINCT grams, equi-join on the hash — never n².",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        def grams(df: org.apache.spark.sql.DataFrame) =
-          df.select(col("doc_id"), split(col("text"), " ").as("ws"))
-            .filter(size(col("ws")) >= 8)
-            .select(col("doc_id"), explode(array_distinct(expr(
-              "transform(sequence(0, size(ws) - 8), i -> md5(concat_ws(' ', " +
-                (1 to 8).map(k => s"element_at(ws, i + $k)").mkString(", ") +
-                ")))"))).as("gh"))
-        val bench = grams(docs.filter(col("doc_id") % 5 === 0))
+        val bench = word8Grams(docs.filter(col("doc_id") % 5 === 0))
           .select(col("gh")).distinct()
-        grams(docs.filter(col("doc_id") % 5 =!= 0))
+        word8Grams(docs.filter(col("doc_id") % 5 =!= 0))
           .join(broadcast(bench), Seq("gh"))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_shared"))
       },
-      Some("""
-        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        g AS (SELECT doc_id,
-                     list_distinct(list_transform(range(len(ws) - 7), i ->
-                       md5(ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' ||
-                           ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' ||
-                           ws[i+7] || ' ' || ws[i+8]))) AS gs
-              FROM w WHERE len(ws) >= 8),
-        bench AS (SELECT DISTINCT unnest(gs) AS gh FROM g WHERE doc_id % 5 = 0),
-        corpus AS (SELECT doc_id, unnest(gs) AS gh FROM g WHERE doc_id % 5 <> 0)
-        SELECT c.doc_id, count(*) AS n_shared
-        FROM corpus c JOIN bench b USING (gh)
-        GROUP BY 1""")),
+      Some(ContaminationSql)),
+
+    Q(
+      "t10b_contamination_bloom",
+      "The 100-TB decontamination shape, same answer as t10: build a " +
+        "Bloom filter over the benchmark gram set in one distributed " +
+        "aggregate (~1.2 MB/1M grams vs gigabytes for the raw set t10 " +
+        "broadcasts), prefilter corpus grams executor-side with the " +
+        "codegen'd might_contain BEFORE any shuffle, then exact-verify " +
+        "only the bloom survivors against the gram set with a plain " +
+        "equi-join (NO broadcast hint — at scale the survivor side is " +
+        "tiny, so the verify shuffle is bounded by true-contamination + " +
+        "fpp volume, and the bench side no longer needs to fit in " +
+        "driver/executor broadcast memory as raw strings). The verify " +
+        "join removes bloom false positives, so the output is exact and " +
+        "hash-gates against t10's oracle.",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val bench = word8Grams(docs.filter(col("doc_id") % 5 === 0))
+          .select(col("gh")).distinct()
+        val bloom = graft.plans.BloomSketch.build(bench, col("gh"), 1L << 20)
+        word8Grams(docs.filter(col("doc_id") % 5 =!= 0))
+          .filter(graft.plans.BloomSketch.mightContain(bloom, col("gh")))
+          .join(bench, Seq("gh"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shared"))
+      },
+      Some(ContaminationSql)),
 
     Q(
       "t11_oov_rate",

@@ -19,4 +19,9 @@ object GraftPlanBridge {
     * executor unconverted and fail task serialization). */
   def expr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** catalyst Expression -> Column, for expressions Spark ships but does
+    * not expose through `functions` (e.g. the runtime-filter bloom pair). */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
 }
