@@ -75,6 +75,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("t10b prefilters with the bloom probe and never FORCES a bench broadcast") {
+    val p = planOf("t10b_contamination_bloom")
+    assert(p.contains("might_contain"), s"bloom prefilter optimized away:\n${p.take(3000)}")
+    // At tiny SF Catalyst legitimately size-picks broadcast for the verify
+    // join; the 100-TB contract is only that t10b carries no broadcast
+    // HINT, so when the bench side outgrows the threshold the planner is
+    // free to fall back to a shuffle join. Prove it by re-planning with
+    // size-based broadcast disabled: a hinted join would still broadcast.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val p2 = planOf("t10b_contamination_bloom")
+      assert(!p2.contains("BroadcastHashJoin"), s"bench broadcast is forced:\n${p2.take(3000)}")
+      assert(p2.contains("might_contain"), p2.take(3000))
+    } finally spark.conf.set(key, prev)
+  }
+
   test("t12/t13/v06 per-row pipeline ops stay shuffle-free") {
     Seq("t12_chunk_windows", "t13_pii_scrub", "v06_quantize_int8").foreach { q =>
       val p = planOf(q)
