@@ -622,8 +622,10 @@ object TextOps {
         "hash-gates against t10's oracle.",
       (s, d) => {
         val docs = Tables.documents(s, d)
+        // two consumers (bloom build + verify join) — materialize the
+        // benchmark-bounded gram set once instead of re-exploding it
         val bench = word8Grams(docs.filter(col("doc_id") % 5 === 0))
-          .select(col("gh")).distinct()
+          .select(col("gh")).distinct().localCheckpoint(true)
         val bloom = graft.plans.BloomSketch.build(bench, col("gh"), 1L << 20)
         word8Grams(docs.filter(col("doc_id") % 5 =!= 0))
           .filter(graft.plans.BloomSketch.mightContain(bloom, col("gh")))
