@@ -1567,6 +1567,62 @@ object TextOps {
                CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
                CAST(count(DISTINCT sample_id) AS BIGINT) AS n_unique_samples,
                min(sample_id) AS first_sample_id
-        FROM ids GROUP BY 1, 2"""))
+        FROM ids GROUP BY 1, 2""")),
+
+    // ----- leakage-safe (cluster-aware) train/val/test split ---------------------
+    Q(
+      "t22_leakage_safe_split",
+      "Dedup-cluster-aware train/val/test split: t05's per-doc hash " +
+        "split leaks — two near-duplicate documents hash to different " +
+        "sides, so eval scores memorization. Here every document " +
+        "resolves to its duplicate-cluster canonical first (LSH " +
+        "candidate pairs → connected components, the d05/d06 stage; " +
+        "unclustered docs are their own canonical) and the md5 split " +
+        "keys on the CANONICAL, pinning whole clusters to one side by " +
+        "construction. Scale shape: cluster state is pair-bounded (LSH " +
+        "candidates only), the canonical resolve is one equi-join on " +
+        "doc_id, and the split itself stays a pure per-row map — the " +
+        "only cost over t05 is the dedup graph the pipeline already " +
+        "builds for d06.",
+      (s, d) => {
+        val pairs = candidatePairsFrom(s, signatures(s, d))
+          .select(col("doc_a"), col("doc_b"))
+        val cc = graft.operators.ConnectedComponents.minLabel(pairs, "doc_a", "doc_b")
+          .select(col("id").as("doc_id"), col("component"))
+        val withCanon = Tables.documents(s, d)
+          .join(cc, Seq("doc_id"), "left")
+          .withColumn("canonical", coalesce(col("component"), col("doc_id")))
+        val b = substring(md5(col("canonical").cast("string")), 1, 2)
+        withCanon
+          .select(col("doc_id"), col("canonical"),
+            when(b < "e6", "train").when(b < "f6", "val")
+              .otherwise("test").as("split"))
+          .groupBy(col("split"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct(col("canonical")).as("n_groups"),
+            sum(when(col("doc_id") =!= col("canonical"), 1L).otherwise(0L))
+              .as("n_dup_members"))
+      },
+      Some(s"""
+        ${oracleLshCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+                  UNION SELECT doc_b, doc_a FROM pairs),
+        reach AS (
+          SELECT s, d FROM edges
+          UNION
+          SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+        comp AS (SELECT s AS doc_id, least(s, min(d)) AS component
+                 FROM reach GROUP BY s),
+        canon AS (SELECT dd.doc_id,
+                         coalesce(c.component, dd.doc_id) AS canonical
+                  FROM documents dd LEFT JOIN comp c ON dd.doc_id = c.doc_id)
+        SELECT CASE WHEN substr(md5(CAST(canonical AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+                    WHEN substr(md5(CAST(canonical AS VARCHAR)), 1, 2) < 'f6' THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*) AS n_docs,
+               CAST(count(DISTINCT canonical) AS BIGINT) AS n_groups,
+               CAST(sum(CASE WHEN doc_id <> canonical THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_members
+        FROM canon GROUP BY 1"""))
   )
 }
