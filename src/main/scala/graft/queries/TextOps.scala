@@ -1623,6 +1623,72 @@ object TextOps {
                count(*) AS n_docs,
                CAST(count(DISTINCT canonical) AS BIGINT) AS n_groups,
                CAST(sum(CASE WHEN doc_id <> canonical THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_members
-        FROM canon GROUP BY 1"""))
+        FROM canon GROUP BY 1""")),
+
+    // ----- temperature-scaled source rebalancing ---------------------------------
+    Q(
+      "t23_temperature_mix",
+      "Temperature-scaled source rebalancing (the DoReMi/multilingual " +
+        "α-sampling op): per-source quotas for a half-corpus budget are " +
+        "proportional to sqrt(count) — α=0.5 flattens the source " +
+        "distribution so head domains shrink and tail domains survive — " +
+        "and each quota is filled by the t14 deterministic md5 lottery. " +
+        "Cross-engine exactness by construction: sqrt is the ONE " +
+        "float op (IEEE-754 correctly rounded, bit-identical in JVM and " +
+        "DuckDB), immediately floored into integer milli-weights, and " +
+        "every downstream step (budget, quota, rank cut) is integer " +
+        "division — no float summation order anywhere. Scale shape: " +
+        "counts/weights/quotas are a source-cardinality dim joined back " +
+        "by broadcast; the lottery is the keyed rank the t14 cap uses — " +
+        "no global ordering.",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_candidates"))
+        val weights = counts.withColumn("w",
+          floor(sqrt(col("n_candidates").cast("double")) * 1000).cast("long"))
+        val tot = weights.agg(
+          sum(col("n_candidates")).as("n_total"), sum(col("w")).as("w_total"))
+        val quota = weights.crossJoin(broadcast(tot))
+          .withColumn("n_quota",
+            least(col("n_candidates"),
+              expr("((n_total div 2) * w) div w_total")))
+          .select(col("source"), col("n_candidates"), col("n_quota"))
+        val lottery = docs.select(col("source"), col("doc_id"),
+          md5(concat(col("source"), lit("|"), col("doc_id").cast("string"))).as("h"))
+        val rankW = Window.partitionBy(col("source"))
+          .orderBy(col("h").asc, col("doc_id").asc)
+        val kept = lottery.withColumn("rn", row_number().over(rankW))
+          .join(broadcast(quota), Seq("source"))
+          .filter(col("rn") <= col("n_quota"))
+        val keptAgg = kept.groupBy(col("source")).agg(
+          count(lit(1)).as("n_kept_raw"), min(col("h")).as("first_kept_hash"))
+        // left join + coalesce(0): a zero-quota source must still report,
+        // matching the oracle's LEFT JOIN (count() = 0, min = NULL)
+        quota.join(keptAgg, Seq("source"), "left")
+          .select(col("source"), col("n_candidates"), col("n_quota"),
+            coalesce(col("n_kept_raw"), lit(0L)).as("n_kept"),
+            col("first_kept_hash"))
+      },
+      Some("""
+        WITH c AS (SELECT source, count(*) AS n_candidates FROM documents GROUP BY 1),
+        w AS (SELECT source, n_candidates,
+                     CAST(floor(sqrt(CAST(n_candidates AS DOUBLE)) * 1000) AS BIGINT) AS w
+              FROM c),
+        t AS (SELECT CAST(sum(n_candidates) AS BIGINT) AS n_total,
+                     CAST(sum(w) AS BIGINT) AS w_total FROM w),
+        q AS (SELECT source, n_candidates,
+                     least(n_candidates, ((t.n_total // 2) * w) // t.w_total) AS n_quota
+              FROM w, t),
+        r AS (SELECT source, doc_id,
+                     md5(source || '|' || CAST(doc_id AS VARCHAR)) AS h,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY md5(source || '|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+              FROM documents),
+        k AS (SELECT r.source, r.h FROM r JOIN q USING (source) WHERE r.rn <= q.n_quota)
+        SELECT q.source, q.n_candidates, q.n_quota,
+               CAST(count(k.h) AS BIGINT) AS n_kept,
+               min(k.h) AS first_kept_hash
+        FROM q LEFT JOIN k ON q.source = k.source
+        GROUP BY 1, 2, 3"""))
   )
 }
