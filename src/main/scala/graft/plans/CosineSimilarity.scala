@@ -84,7 +84,10 @@ object CosineSimilarity {
 
   /** Register on an existing session (idempotent). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
+    // idempotent: query fns re-register per invocation; skip if present
+    // so repeated Verify/Bench passes don't spam 'replaced' warnings
+    if (!spark.sessionState.functionRegistry.functionExists(FunctionIdentifier("cosine_sim")))
+      spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("cosine_sim"), info,
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)))
 }

@@ -66,7 +66,10 @@ object GramStats {
   }
 
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
+    // idempotent: query fns re-register per invocation; skip if present
+    // so repeated Verify/Bench passes don't spam 'replaced' warnings
+    if (!spark.sessionState.functionRegistry.functionExists(FunctionIdentifier("gram_stats")))
+      spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("gram_stats"),
       new ExpressionInfo(classOf[GramStats].getName, "gram_stats"),
       (children: Seq[Expression]) => GramStats(children(0)))

@@ -101,7 +101,10 @@ object KgramFingerprint {
 
   /** Register on an existing session (idempotent); k via int literal. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
+    // idempotent: query fns re-register per invocation; skip if present
+    // so repeated Verify/Bench passes don't spam 'replaced' warnings
+    if (!spark.sessionState.functionRegistry.functionExists(FunctionIdentifier("kgram_fingerprint")))
+      spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("kgram_fingerprint"),
       new ExpressionInfo(classOf[KgramFingerprint].getName, "kgram_fingerprint"),
       (children: Seq[Expression]) => KgramFingerprint(children(0),

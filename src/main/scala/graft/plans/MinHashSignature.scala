@@ -92,7 +92,10 @@ object MinHashSignature {
   }
 
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
+    // idempotent: query fns re-register per invocation; skip if present
+    // so repeated Verify/Bench passes don't spam 'replaced' warnings
+    if (!spark.sessionState.functionRegistry.functionExists(FunctionIdentifier("minhash_sigs")))
+      spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("minhash_sigs"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sigs"),
       (children: Seq[Expression]) => MinHashSignature(children(0),

@@ -74,7 +74,10 @@ object SimHash16 {
   }
 
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
+    // idempotent: query fns re-register per invocation; skip if present
+    // so repeated Verify/Bench passes don't spam 'replaced' warnings
+    if (!spark.sessionState.functionRegistry.functionExists(FunctionIdentifier("simhash16")))
+      spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("simhash16"),
       new ExpressionInfo(classOf[SimHash16].getName, "simhash16"),
       (children: Seq[Expression]) => SimHash16(children(0)))

@@ -68,7 +68,10 @@ object TokenFreqs {
   }
 
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
+    // idempotent: query fns re-register per invocation; skip if present
+    // so repeated Verify/Bench passes don't spam 'replaced' warnings
+    if (!spark.sessionState.functionRegistry.functionExists(FunctionIdentifier("token_freqs")))
+      spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("token_freqs"),
       new ExpressionInfo(classOf[TokenFreqs].getName, "token_freqs"),
       (children: Seq[Expression]) => TokenFreqs(children(0)))

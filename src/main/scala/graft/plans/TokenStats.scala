@@ -73,7 +73,10 @@ object TokenStats {
     * list as one comma-joined string literal (none of ours contain
     * commas). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
+    // idempotent: query fns re-register per invocation; skip if present
+    // so repeated Verify/Bench passes don't spam 'replaced' warnings
+    if (!spark.sessionState.functionRegistry.functionExists(FunctionIdentifier("token_stats")))
+      spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("token_stats"),
       new ExpressionInfo(classOf[TokenStats].getName, "token_stats"),
       (children: Seq[Expression]) => TokenStats(children(0),
