@@ -29,7 +29,12 @@ object BloomSketch {
     * driver-side value (bounded by numBits/8 — ~1.2 MB per 1M expected
     * items — the sanctioned sketch-sized collect class). */
   def build(df: DataFrame, c: Column, expectedItems: Long): Array[Byte] = {
-    val agg = new BloomFilterAggregate(GraftPlanBridge.expr(xxhash64(c)), expectedItems)
+    // clamp into BloomFilterAggregate's accepted range; past the 4M conf
+    // default a real deployment raises
+    // spark.sql.optimizer.runtime.bloomFilter.maxNumItems (and maxNumBits)
+    // rather than silently degrading fpp
+    val sized = math.min(math.max(expectedItems, 1024L), 4000000L)
+    val agg = new BloomFilterAggregate(GraftPlanBridge.expr(xxhash64(c)), sized)
     val row = df.agg(GraftPlanBridge.column(agg.toAggregateExpression()).as("bf")).head()
     if (row.isNullAt(0)) Array.emptyByteArray else row.getAs[Array[Byte]](0)
   }

@@ -626,7 +626,9 @@ object TextOps {
         // benchmark-bounded gram set once instead of re-exploding it
         val bench = word8Grams(docs.filter(col("doc_id") % 5 === 0))
           .select(col("gh")).distinct().localCheckpoint(true)
-        val bloom = graft.plans.BloomSketch.build(bench, col("gh"), 1L << 20)
+        // exact sizing is free: the set is already materialized, and an
+        // undersized filter silently inflates fpp (= verify-join volume)
+        val bloom = graft.plans.BloomSketch.build(bench, col("gh"), bench.count())
         word8Grams(docs.filter(col("doc_id") % 5 =!= 0))
           .filter(graft.plans.BloomSketch.mightContain(bloom, col("gh")))
           .join(bench, Seq("gh"))
