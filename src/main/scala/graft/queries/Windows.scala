@@ -535,6 +535,39 @@ object Windows {
          AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR""")),
 
     Q(
+      "st07_session_window",
+      "Gap sessionization through Spark's BUILT-IN merging " +
+        "session_window (§2.10) — the declarative twin of w06's " +
+        "lag/flag-sum islands and w06b's stateful sessionizer, and the " +
+        "form that runs unchanged as a watermarked streaming agg " +
+        "(EventStream.sessionWindowAggStreaming; state = open sessions " +
+        "only, watermark-evicted). Boundary semantics are identical to " +
+        "w06's diff > gap rule (the exact-gap successor MERGES — " +
+        "inclusive boundary, empirically pinned on a fixture in " +
+        "EventStreamSpec), so the oracle is the same lag/flag-sum " +
+        "replay keyed by session start instead of ordinal id.",
+      (s, d) => graft.streaming.EventStream.sessionWindowAgg(
+        Tables.events(s, d), "30 minutes"),
+      Some("""
+        WITH o AS (
+          SELECT user_id, event_id, value, ts, epoch_ms(ts) AS ms,
+                 lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS prev_ms
+          FROM events),
+        f AS (SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000
+                             THEN 1 ELSE 0 END AS new_sess FROM o),
+        s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+              FROM f)
+        SELECT user_id,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               count(*) AS n_events,
+               min(event_id) AS first_event_id,
+               max(event_id) AS last_event_id,
+               round(sum(value), 2) AS session_value
+        FROM s GROUP BY user_id, sid""")),
+
+    Q(
       "st05_incremental_upsert",
       "Exactly-once incremental aggregate maintenance (§2.10, " +
         "IncrementalAggregate): the event table replayed as 3 " +

@@ -31,6 +31,36 @@ object EventStream {
   def windowAggStreaming(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     windowAgg(events.withWatermark("ts", watermark))
 
+  /** Gap sessionization through Spark's BUILT-IN merging session
+    * windows — the declarative form of the same islands w06 computes
+    * with lag + a running flag sum (the flatMapGroupsWithState
+    * sessionizer below remains the arbitrary-state-machine form for
+    * semantics session_window can't express). Boundary semantics are
+    * IDENTICAL to w06's `diff > gap` rule, empirically pinned in
+    * EventStreamSpec: a successor exactly `gap` after its predecessor
+    * MERGES into the session (the inclusive boundary); one tick past
+    * the gap opens a new one. The same call runs on a
+    * batch frame or a watermarked readStream frame; streaming state is
+    * one open session per user and the watermark evicts closed ones —
+    * never corpus-sized. */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events.groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("event_id")).as("first_event_id"),
+        max(col("event_id")).as("last_event_id"),
+        round(sum(col("value")), 2).as("session_value"))
+      .select(col("user_id"),
+        date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"), col("first_event_id"), col("last_event_id"),
+        col("session_value"))
+
+  /** Watermarked variant for streaming sinks (append emits a session
+    * once the watermark passes its close). */
+  def sessionWindowAggStreaming(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    sessionWindowAgg(events.withWatermark("ts", watermark), gap)
+
   /** Exactly-once repair for at-least-once delivery: drop redelivered
     * events by key. Batch form — plain dropDuplicates (redelivered rows
     * are bit-identical, so keep-any is deterministic); the reference

@@ -39,6 +39,56 @@ class EventStreamSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("sessionWindowAgg boundary: exact-gap successor MERGES (same as w06's > gap); gap+1s splits") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      // user 1: 00:00, then EXACTLY +30:00 (inclusive boundary -> same
+      // session, empirically pinned), then +30:01 after that -> NEW session
+      (1L, 10L, "2024-01-01 00:00:00", 1.0),
+      (1L, 11L, "2024-01-01 00:30:00", 2.0),
+      (1L, 12L, "2024-01-01 01:00:01", 4.0),
+      // user 2: one lone event
+      (2L, 20L, "2024-01-01 05:00:00", 8.0))
+    val df = rows.toDF("user_id", "event_id", "_ts", "value")
+      .select(col("user_id"), col("event_id"), to_timestamp(col("_ts")).as("ts"),
+        col("value"))
+    val out = EventStream.sessionWindowAgg(df, "30 minutes")
+      .orderBy("user_id", "session_start").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq == Seq(
+      (1L, "2024-01-01 00:00:00", 2L),
+      (1L, "2024-01-01 01:00:01", 1L),
+      (2L, "2024-01-01 05:00:00", 1L)))
+  }
+
+  test("sessionWindowAgg over a stream (complete mode) equals the batch result") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val rows = Seq(
+      (1L, 10L, "2024-01-01 00:00:00", 1.0),
+      (1L, 11L, "2024-01-01 00:10:00", 2.0),
+      (1L, 12L, "2024-01-01 02:00:00", 4.0),
+      (2L, 20L, "2024-01-01 05:00:00", 8.0),
+      (2L, 21L, "2024-01-01 05:20:00", 0.5))
+    def toDf(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("_1").as("user_id"), col("_2").as("event_id"),
+        to_timestamp(col("_3")).as("ts"), col("_4").as("value"))
+
+    val batch = EventStream.sessionWindowAgg(toDf(rows.toDF())).collect().toSet
+
+    val mem = MemoryStream[(Long, Long, String, Double)]
+    mem.addData(rows: _*)
+    val q = EventStream.sessionWindowAgg(toDf(mem.toDF()))
+      .writeStream.format("memory").queryName("swagg")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    val streamed = s.table("swagg").collect().toSet
+    q.stop()
+    assert(streamed == batch)
+    assert(batch.size == 3)
+  }
+
   test("enrich over a stream joins the static dim per micro-batch, equal to batch") {
     val s = spark
     import s.implicits._
