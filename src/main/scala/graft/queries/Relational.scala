@@ -502,6 +502,54 @@ object Relational {
         INTERSECT
         SELECT s_nationkey AS nationkey FROM supplier""")),
 
+    // ----- MERGE INTO semantics (lakehouse upsert) ------------------------------
+    Q(
+      "u08_merge_upsert",
+      "MERGE INTO semantics as one full-outer join (the Delta/Iceberg " +
+        "merge shape, and what the reference's overwrite-partition " +
+        "upsert approximates): a source batch updates matched keys " +
+        "(here: +100 balance for custkey%10=3), inserts unmatched ones " +
+        "(synthetic keys shifted by 1M), and leaves the rest of the " +
+        "target untouched; every row is tagged updated/inserted/kept. " +
+        "Scale shape: ONE key-partitioned shuffle of each side — and on " +
+        "a bucketed target layout (LakeIO.saveBucketed) even that " +
+        "exchange disappears, which is exactly how a 100-TB nightly " +
+        "merge should run; never a collect, never row-at-a-time.",
+      (s, d) => {
+        val cust = Tables.customer(s, d)
+        val target = cust.select(col("c_custkey").cast("long").as("custkey"),
+          round(col("c_acctbal").cast("double"), 2).as("bal"))
+        val source = cust.filter(col("c_custkey") % 10 === 3)
+          .select(col("c_custkey").cast("long").as("custkey"),
+            round(col("c_acctbal").cast("double") + 100, 2).as("src_bal"))
+          .unionByName(cust.filter(col("c_custkey") % 100 === 7)
+            .select((col("c_custkey").cast("long") + 1000000L).as("custkey"),
+              lit(0.0).as("src_bal")))
+        target.join(source, Seq("custkey"), "full_outer")
+          .select(col("custkey"),
+            round(coalesce(col("src_bal"), col("bal")), 2).as("bal"),
+            when(col("bal").isNull, "inserted")
+              .when(col("src_bal").isNull, "kept")
+              .otherwise("updated").as("op"))
+      },
+      Some("""
+        WITH target AS (SELECT CAST(c_custkey AS BIGINT) AS custkey,
+                               round(CAST(c_acctbal AS DOUBLE), 2) AS bal
+                        FROM customer),
+        source AS (
+          SELECT CAST(c_custkey AS BIGINT) AS custkey,
+                 round(CAST(c_acctbal AS DOUBLE) + 100, 2) AS src_bal
+          FROM customer WHERE c_custkey % 10 = 3
+          UNION ALL
+          SELECT CAST(c_custkey AS BIGINT) + 1000000 AS custkey, 0.0 AS src_bal
+          FROM customer WHERE c_custkey % 100 = 7)
+        SELECT coalesce(t.custkey, s.custkey) AS custkey,
+               round(coalesce(s.src_bal, t.bal), 2) AS bal,
+               CASE WHEN t.custkey IS NULL THEN 'inserted'
+                    WHEN s.custkey IS NULL THEN 'kept'
+                    ELSE 'updated' END AS op
+        FROM target t FULL OUTER JOIN source s ON t.custkey = s.custkey""")),
+
     // ----- O4: top-k ----------------------------------------------------------
     Q(
       "o04_topk",

@@ -307,6 +307,32 @@ object Windows {
       },
       Some(SessionizeOracle)),
 
+    // ----- SCD-2 validity intervals ---------------------------------------------
+    Q(
+      "w09_scd2_intervals",
+      "SCD-2 validity intervals (the dimensional-history op every " +
+        "lakehouse silver layer needs): each user's event stream becomes " +
+        "[valid_from, valid_to) rows via a keyed lead() — the open " +
+        "(current) row carries a null valid_to. Emitted as exact " +
+        "epoch-microsecond integers, no float or format surface. Scale " +
+        "shape: one keyed window per user partition — no global sort, " +
+        "state bounded by the partition, the same shape w01/w03 already " +
+        "prove; at 100 TB this is the write-once history table build.",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        e.select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("valid_from_us"),
+          unix_micros(lead(col("ts"), 1).over(w)).as("valid_to_us"))
+      },
+      Some("""
+        SELECT user_id, event_id, event_type,
+               epoch_us(ts) AS valid_from_us,
+               epoch_us(lead(ts) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id)) AS valid_to_us
+        FROM events""")),
+
     // ----- W8: ranking columns ------------------------------------------------------
     Q(
       "w08_rank",
