@@ -646,6 +646,42 @@ object Relational {
                round(max(value), 4) AS max_value
         FROM events GROUP BY 1""")),
 
+    // ----- pivot (wide crosstab — the dual of the J2/J9 unpivot family) ---------
+    Q(
+      "a17_pivot",
+      "Pivot/crosstab: order counts and revenue spread wide by order " +
+        "status — the report shape the reference builds by hand with " +
+        "sum(CASE WHEN) columns and Spark expresses as groupBy().pivot() " +
+        "with EXPLICIT values (explicit so the schema is deterministic " +
+        "and no extra distinct-values job runs — the only pivot form " +
+        "that is sane at 100 TB, where the implicit form would scan the " +
+        "fact once just to learn the column set). Plans as one " +
+        "hash-aggregate with conditional partials — same shuffle budget " +
+        "as the long-form agg.",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        o.groupBy(col("o_orderpriority"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("o_totalprice")), 2).as("rev"))
+          .select(col("o_orderpriority"),
+            coalesce(col("F_n"), lit(0L)).as("n_f"),
+            coalesce(col("O_n"), lit(0L)).as("n_o"),
+            coalesce(col("P_n"), lit(0L)).as("n_p"),
+            col("F_rev").as("rev_f"),
+            col("O_rev").as("rev_o"),
+            col("P_rev").as("rev_p"))
+      },
+      Some("""
+        SELECT o_orderpriority,
+               CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+               CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+               CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+               round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS rev_f,
+               round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS rev_o,
+               round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS rev_p
+        FROM orders GROUP BY 1""")),
+
     Q(
       "j12_salted_skew_join",
       "Skew-safe shuffle JOIN (a16's join counterpart): events' 5-value " +
