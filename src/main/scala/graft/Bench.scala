@@ -91,7 +91,12 @@ object Bench {
     def tag(name: String): String = name.takeWhile(_ != '_')
     require(results.map(t => tag(t._1)).distinct.size == results.size,
       "duplicate operator-id prefixes would silently drop a query from the stdout JSON")
-    val qs = results.map { case (k, m, _, _) => "\"" + tag(k) + "\":" + ms(m) }
+    // stdout gets 10ms resolution (cs) — the line must stay under the
+    // driver's ~2000-char capture window and per-query chars are the
+    // binding constraint on suite growth; full ms precision is in the
+    // detail file below
+    def cs(x: Double): Double = math.rint(x * 100) / 100
+    val qs = results.map { case (k, m, _, _) => "\"" + tag(k) + "\":" + cs(m) }
       .mkString("{", ",", "}")
     val total = ms(results.map(_._2).sum)
     val line =
