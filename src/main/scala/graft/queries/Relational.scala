@@ -655,9 +655,10 @@ object Relational {
         "with EXPLICIT values (explicit so the schema is deterministic " +
         "and no extra distinct-values job runs — the only pivot form " +
         "that is sane at 100 TB, where the implicit form would scan the " +
-        "fact once just to learn the column set). Plans as one " +
-        "hash-aggregate with conditional partials — same shuffle budget " +
-        "as the long-form agg.",
+        "fact once just to learn the column set). Plans as two " +
+        "hash-aggregate levels (per-(group,status) partials, then the " +
+        "pivot fold) — the second exchange moves one row per group per " +
+        "status, noise next to the fact scan.",
       (s, d) => {
         val o = Tables.orders(s, d)
         o.groupBy(col("o_orderpriority"))
