@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.pbp.PlayClassifier
-import graft.ratings.SolverSweep
+import graft.ratings.{Backtest, SolverSweep}
 import graft.sources.Tables
 
 /** SQL-expressible gates for the procedural operators, so each carries
@@ -807,6 +807,105 @@ object CarveOutGate {
                END AS pace,
                coalesce(gm.garbage_time_minutes, 0.0) AS garbage_time_minutes
         FROM j LEFT JOIN gm ON j.game_id = gm.game_id""")),
+
+    // ----- backtest harness: all four metric families in one pass ------------------
+    Q(
+      "bt01_backtest_metrics",
+      "The spread-backtest harness (I5, backtest_spreads.py:296-366) " +
+        "on a dyadic fixture (model margins in quarters, book spreads " +
+        "in halves, integer actual margins — every error sum is exactly " +
+        "representable, so cross-engine float order cannot drift): " +
+        "MAE/mean/std vs the book, CLV on |model−book|>3 games, and the " +
+        "ROI table at thresholds 1–7 under −110 juice. One scan feeds " +
+        "the metrics row; the ROI table is the threshold-explode + " +
+        "conditional-agg pass of Backtest.roiTable; the 7×1 combine is " +
+        "a broadcast nested loop, not a cartesian.",
+      (s, d) => {
+        val preds = Tables.orders(s, d).select(
+          (((col("o_orderkey") % 41) - 20).cast("double") * 0.25)
+            .as("model_margin"),
+          (((col("o_custkey") % 29) - 14).cast("double") * 0.5)
+            .as("book_spread"),
+          ((col("o_orderkey") % 33) - 16).cast("double").as("actual_margin"))
+        val metrics = Backtest.errorMetrics(preds).select(
+          col("n_games"),
+          round(col("model_mae"), 6).as("model_mae"),
+          round(col("book_mae"), 6).as("book_mae"),
+          round(col("model_mean"), 6).as("model_mean"),
+          round(col("book_mean"), 6).as("book_mean"),
+          round(col("model_std"), 6).as("model_std"),
+          round(col("book_std"), 6).as("book_std"),
+          col("clv_total"), col("clv_wins"),
+          round(col("clv_rate"), 6).as("clv_rate"))
+        val roi = Backtest.roiTable(preds).select(
+          col("threshold"), col("bets"), col("wins"), col("losses"),
+          col("pushes"), col("resolved"),
+          round(col("win_rate"), 6).as("win_rate"),
+          round(col("roi"), 6).as("roi"))
+        roi.crossJoin(broadcast(metrics))
+      },
+      Some("""
+        WITH preds AS (
+          SELECT CAST(o_orderkey % 41 - 20 AS DOUBLE) * 0.25 AS model_margin,
+                 CAST(o_custkey % 29 - 14 AS DOUBLE) * 0.5 AS book_spread,
+                 CAST(o_orderkey % 33 - 16 AS DOUBLE) AS actual_margin
+          FROM orders),
+        e AS (
+          SELECT *,
+                 model_margin - actual_margin AS model_err,
+                 (-book_spread) - actual_margin AS book_err,
+                 model_margin - (-book_spread) AS diff,
+                 actual_margin + book_spread AS ats
+          FROM preds),
+        m AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_games,
+                 round(avg(abs(model_err)), 6) AS model_mae,
+                 round(avg(abs(book_err)), 6) AS book_mae,
+                 round(avg(model_err), 6) AS model_mean,
+                 round(avg(book_err), 6) AS book_mean,
+                 round(sqrt(avg(model_err * model_err)
+                            - avg(model_err) * avg(model_err)), 6) AS model_std,
+                 round(sqrt(avg(book_err * book_err)
+                            - avg(book_err) * avg(book_err)), 6) AS book_std,
+                 CAST(sum(CASE WHEN abs(diff) > 3 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS clv_total,
+                 CAST(sum(CASE WHEN abs(diff) > 3
+                                AND abs(model_err) < abs(book_err)
+                               THEN 1 ELSE 0 END) AS BIGINT) AS clv_wins
+          FROM e),
+        m2 AS (
+          SELECT *,
+                 round(CASE WHEN clv_total > 0
+                            THEN CAST(clv_wins AS DOUBLE) / clv_total
+                            ELSE 0.0 END, 6) AS clv_rate
+          FROM m),
+        t AS (SELECT * FROM (VALUES (1),(2),(3),(4),(5),(6),(7)) AS t(threshold)),
+        bets AS (
+          SELECT t.threshold, e.diff, e.ats,
+                 CASE WHEN ats = 0 THEN 'push'
+                      WHEN (diff > 0 AND ats > 0) OR (diff < 0 AND ats < 0)
+                      THEN 'win' ELSE 'loss' END AS outcome
+          FROM e JOIN t ON abs(e.diff) >= t.threshold),
+        r AS (
+          SELECT threshold,
+                 CAST(count(*) AS BIGINT) AS bets,
+                 CAST(sum(CASE WHEN outcome = 'win' THEN 1 ELSE 0 END) AS BIGINT) AS wins,
+                 CAST(sum(CASE WHEN outcome = 'loss' THEN 1 ELSE 0 END) AS BIGINT) AS losses,
+                 CAST(sum(CASE WHEN outcome = 'push' THEN 1 ELSE 0 END) AS BIGINT) AS pushes
+          FROM bets GROUP BY 1),
+        r2 AS (
+          SELECT threshold, bets, wins, losses, pushes,
+                 wins + losses AS resolved,
+                 round(CASE WHEN wins + losses > 0
+                            THEN CAST(wins AS DOUBLE) * 100.0 / (wins + losses)
+                            ELSE 0.0 END, 6) AS win_rate,
+                 round(CASE WHEN wins + losses > 0
+                            THEN (CAST(wins AS DOUBLE) * 100.0
+                                  - CAST(losses AS DOUBLE) * 110.0)
+                                 / (CAST(wins + losses AS DOUBLE) * 110.0) * 100.0
+                            ELSE 0.0 END, 6) AS roi
+          FROM r)
+        SELECT r2.*, m2.* FROM r2, m2""")),
 
     // ----- the pbp01 stream itself under the chain gate ----------------------------
     Q(
