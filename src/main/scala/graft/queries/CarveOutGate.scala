@@ -907,6 +907,142 @@ object CarveOutGate {
           FROM r)
         SELECT r2.*, m2.* FROM r2, m2""")),
 
+    // ----- tuning grid: full holdout sweep table at a pinned 1-sweep solve ---------
+    Q(
+      "tu01_holdout_sweep",
+      "The FULL tuning-grid sweep table (I6, tune_ratings_holdout.py:" +
+        "46-47,138-171): half-life × margin-cap × SOS-exponent, each " +
+        "cell scored by spread-prediction MAE against uncapped actual " +
+        "margins. The solver is pinned to exactly one sweep (maxIter=1, " +
+        "tol<0 — the dm10c recipe) so every cell's decay weighting, " +
+        "margin-cap split, HCA-adjusted efficiency, clamped init, and " +
+        "(league/opp)^alpha re-estimate replay in SQL. Games are the " +
+        "bounded (home, away, day, neutral) grid pre-aggregated BEFORE " +
+        "collect — ≤20·19·60·2 cells regardless of fact cardinality.",
+      (s, d) => {
+        val rows = Tables.orders(s, d).select(
+            (col("o_orderkey") % 20).as("home"),
+            ((col("o_orderkey") % 20) + 1 + (col("o_custkey") % 19)).mod(20).as("away"),
+            (col("o_custkey") % 60).cast("int").as("d"),
+            (col("o_orderkey") % 7 === 0).as("neutral"),
+            (lit(60) + col("o_orderkey") % 30).cast("double").as("home_pts"),
+            (lit(55) + col("o_custkey") % 30).cast("double").as("away_pts"),
+            (lit(65) + col("o_orderkey") % 10).cast("double").as("poss"))
+          .filter(col("home") =!= col("away"))
+          .groupBy(col("home"), col("away"), col("d"), col("neutral"))
+          .agg(count(lit(1)).as("n"), sum(col("home_pts")).as("shp"),
+            sum(col("away_pts")).as("sap"), sum(col("poss")).as("sps"))
+          .collect()
+        val games = rows.toSeq.zipWithIndex.map { case (r, i) =>
+          val n = r.getAs[Long]("n").toDouble
+          graft.ratings.TuningSweep.Game(
+            i.toLong,
+            java.time.LocalDate.of(2025, 1, 1).plusDays(r.getAs[Int]("d").toLong),
+            r.getAs[Long]("home"), r.getAs[Long]("away"),
+            r.getAs[Double]("shp") / n, r.getAs[Double]("sap") / n,
+            r.getAs[Double]("sps") / n, r.getAs[Boolean]("neutral"))
+        }
+        graft.ratings.TuningSweep.sweep(s, games,
+            halfLives = Seq(30.0, 60.0),
+            marginCaps = Seq(Some(10.0), None),
+            sosExponents = Seq(0.7, 1.0),
+            hca = Some(2.0), maxIter = 1, tol = -1.0)
+          .select(col("half_life"), col("margin_cap"), col("sos_exponent"),
+            round(col("mae"), 6).as("mae"), col("n_games"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT o_orderkey % 20 AS home,
+                 ((o_orderkey % 20) + 1 + (o_custkey % 19)) % 20 AS away,
+                 CAST(o_custkey % 60 AS INT) AS d,
+                 o_orderkey % 7 = 0 AS neutral,
+                 CAST(60 + o_orderkey % 30 AS DOUBLE) AS home_pts,
+                 CAST(55 + o_custkey % 30 AS DOUBLE) AS away_pts,
+                 CAST(65 + o_orderkey % 10 AS DOUBLE) AS poss
+          FROM orders
+          WHERE (o_orderkey % 20) <> ((o_orderkey % 20) + 1 + (o_custkey % 19)) % 20),
+        grid AS (
+          SELECT home, away, d, neutral,
+                 sum(home_pts) / count(*) AS hp,
+                 sum(away_pts) / count(*) AS ap,
+                 sum(poss) / count(*) AS ps
+          FROM base GROUP BY 1, 2, 3, 4),
+        mx AS (SELECT max(d) AS maxd FROM grid),
+        cells AS (
+          SELECT cid, CAST(half_life AS DOUBLE) AS half_life,
+                 CAST(margin_cap AS DOUBLE) AS margin_cap,
+                 CAST(sos_exponent AS DOUBLE) AS sos_exponent
+          FROM (VALUES (1, 30.0, 10.0, 0.7), (2, 30.0, 10.0, 1.0),
+                       (3, 30.0, NULL, 0.7), (4, 30.0, NULL, 1.0),
+                       (5, 60.0, 10.0, 0.7), (6, 60.0, 10.0, 1.0),
+                       (7, 60.0, NULL, 0.7), (8, 60.0, NULL, 1.0))
+               AS v(cid, half_life, margin_cap, sos_exponent)),
+        g2 AS (
+          SELECT c.cid, g.home, g.away, g.neutral, g.ps,
+                 g.hp - g.ap AS margin,
+                 pow(0.5, (mx.maxd - g.d) / c.half_life) AS w,
+                 CASE WHEN c.margin_cap IS NOT NULL
+                           AND abs(g.hp - g.ap) > c.margin_cap
+                      THEN CASE WHEN g.hp - g.ap > 0
+                                THEN g.hp - (abs(g.hp - g.ap) - c.margin_cap) / 2
+                                ELSE g.hp + (abs(g.hp - g.ap) - c.margin_cap) / 2 END
+                      ELSE g.hp END AS chp,
+                 CASE WHEN c.margin_cap IS NOT NULL
+                           AND abs(g.hp - g.ap) > c.margin_cap
+                      THEN CASE WHEN g.hp - g.ap > 0
+                                THEN g.ap + (abs(g.hp - g.ap) - c.margin_cap) / 2
+                                ELSE g.ap - (abs(g.hp - g.ap) - c.margin_cap) / 2 END
+                      ELSE g.ap END AS cap
+          FROM grid g, mx, cells c),
+        obs AS (
+          SELECT cid, home AS team, away AS opp, chp AS pts, cap AS opp_pts,
+                 ps, w, neutral, true AS is_home FROM g2
+          UNION ALL
+          SELECT cid, away, home, cap, chp, ps, w, neutral, false FROM g2),
+        eff AS (
+          SELECT *,
+                 pts / ps * 100.0 + CASE WHEN neutral THEN 0.0
+                                         WHEN is_home THEN -2.0
+                                         ELSE 2.0 END AS go,
+                 opp_pts / ps * 100.0 + CASE WHEN neutral THEN 0.0
+                                             WHEN is_home THEN 2.0
+                                             ELSE -2.0 END AS gd
+          FROM obs),
+        lg AS (
+          SELECT cid, sum(w * pts) / sum(w * ps) * 100.0 AS league
+          FROM eff GROUP BY 1),
+        init AS (
+          SELECT cid, team,
+                 least(greatest(sum(w * go) / sum(w), 40.0), 200.0) AS oe0,
+                 least(greatest(sum(w * gd) / sum(w), 40.0), 200.0) AS de0
+          FROM eff GROUP BY 1, 2),
+        s1 AS (
+          SELECT e.cid, e.team,
+                 least(greatest(
+                   sum(e.w * e.go * pow(l.league / i.de0, c.sos_exponent)) / sum(e.w),
+                   40.0), 200.0)
+                 - least(greatest(
+                   sum(e.w * e.gd * pow(l.league / i.oe0, c.sos_exponent)) / sum(e.w),
+                   40.0), 200.0) AS net
+          FROM eff e
+          JOIN init i ON e.cid = i.cid AND e.opp = i.team
+          JOIN lg l ON e.cid = l.cid
+          JOIN cells c ON e.cid = c.cid
+          GROUP BY 1, 2),
+        err AS (
+          SELECT g.cid,
+                 abs(sh.net - sa.net
+                     + CASE WHEN g.neutral THEN 0.0 ELSE 4.0 END
+                     - g.margin) AS e
+          FROM g2 g
+          JOIN s1 sh ON g.cid = sh.cid AND g.home = sh.team
+          JOIN s1 sa ON g.cid = sa.cid AND g.away = sa.team)
+        SELECT c.half_life, c.margin_cap, c.sos_exponent,
+               round(avg(err.e), 6) AS mae,
+               CAST(count(*) AS BIGINT) AS n_games
+        FROM err JOIN cells c ON err.cid = c.cid
+        GROUP BY 1, 2, 3""")),
+
     // ----- the pbp01 stream itself under the chain gate ----------------------------
     Q(
       "pbp05_nofoul_chain",

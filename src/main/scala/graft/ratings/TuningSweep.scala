@@ -75,7 +75,8 @@ object TuningSweep {
     * .py:138-171: predicted = home net − away net + HCA·2 when not
     * neutral). */
   def scoreCell(games: Seq[Game], halfLife: Double, marginCap: Option[Double],
-      sosExponent: Double, hca: Double): Cell = {
+      sosExponent: Double, hca: Double,
+      maxIter: Int = 200, tol: Double = 0.01): Cell = {
     val latest = games.map(_.date).max
     val obs = games.flatMap { g0 =>
       val g = marginCap.fold(g0)(c => applyMarginCap(g0, c))
@@ -88,7 +89,7 @@ object TuningSweep {
           isHome = false, neutral = g.neutral))
     }
     val ratings = IterativeRatings.solve(obs,
-      Config(hca = hca, sosExponent = sosExponent))
+      Config(maxIter = maxIter, tol = tol, hca = hca, sosExponent = sosExponent))
     val net = ratings.map(r => r.team -> (r.adjOe - r.adjDe)).toMap
     val errors = games.flatMap { g =>
       for (h <- net.get(g.home); a <- net.get(g.away)) yield {
@@ -106,13 +107,14 @@ object TuningSweep {
       halfLives: Seq[Double] = Seq(15, 20, 30, 45, 60),
       marginCaps: Seq[Option[Double]] = Seq(Some(10.0), Some(15.0), Some(20.0), None),
       sosExponents: Seq[Double] = Seq(0.5, 0.7, 0.85, 1.0),
-      hca: Option[Double] = None): DataFrame = {
+      hca: Option[Double] = None,
+      maxIter: Int = 200, tol: Double = 0.01): DataFrame = {
     val h = hca.getOrElse(empiricalHca(games))
     val cells = for {
       hl <- halfLives
       mc <- marginCaps
       e <- sosExponents
-    } yield scoreCell(games, hl, mc, e, h)
+    } yield scoreCell(games, hl, mc, e, h, maxIter, tol)
     import spark.implicits._
     cells.toDF()
   }
