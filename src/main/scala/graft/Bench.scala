@@ -6,27 +6,37 @@ import org.apache.spark.sql.SparkSession
   * - Warmup pass at sf0.001 (when present) so JIT + codegen + catalog
   *   init don't land on the first timed query.
   * - PASS-MAJOR run order: the whole suite runs SPARK_GRAFT_BENCH_RUNS
-  *   times (default 3) and each query's MEDIAN across passes is
-  *   reported. Query-major order (3 back-to-back runs) let a transient
+  *   times (default 5) and each query's MEDIAN across passes is
+  *   reported. Query-major order (back-to-back runs) let a transient
   *   host-contention window pollute all samples of one query — r3's
   *   in-suite j08=11 s vs 1.9 s isolated; spreading samples across
-  *   passes makes the median robust to that.
-  * - stdout stays ONE compact JSON line — the driver's contract. The
-  *   capture window that stores it is 2000 chars (every BENCH_r*.json
-  *   through r5 shows a tail-truncated line and parsed:null), so the
-  *   stdout line keys each query by its unique operator-id prefix
-  *   ("j01" for j01_broadcast_chain; uniqueness enforced by a require
-  *   below) and omits the spread object — ~1.45k chars for 108
-  *   queries, ~30 more queries of headroom. Full names, medians,
-  *   spreads, and every
-  *   per-pass sample go to SPARK_GRAFT_BENCH_OUT (default
+  *   passes makes the median robust to that, and 5 passes survive two
+  *   polluted passes (r7's g06 showed median-of-3 does not).
+  * - INTERLEAVED contention reference (the tools/QueryAb protocol wired
+  *   into the driver path, VERDICT r7 #3): a fixed simple agg is
+  *   re-timed every REF_EVERY queries inside every pass. Each query
+  *   sample gets a ratio against the nearest-in-time reference sample;
+  *   the per-query MEDIAN RATIO (detail file `ratios`) moves with host
+  *   contention the same way the query does, so it is the
+  *   cross-round-comparable number even when wall times aren't.
+  * - stdout stays ONE compact JSON line — the driver's contract, with a
+  *   ~2000-char capture window. Per-query flat keys cost ~13 chars each
+  *   (~1633 chars at 134 queries — r7's looming wall), so the encoding
+  *   is STRUCTURAL (VERDICT r7 #4): `queries` groups by operator-family
+  *   letters and packs each family's medians into an array of
+  *   CENTISECOND INTEGERS, ordered by ascending full query name
+  *   (`"qunit":"cs","qorder":"name-asc"`). ~4.5 chars per query — 200
+  *   queries fit in ~1.2k chars with >800 spare. The id list per family
+  *   (`qtags`), full names, ms-precision medians, spreads, ratios and
+  *   every per-pass sample go to SPARK_GRAFT_BENCH_OUT (default
   *   bench_out.json) for post-hoc analysis.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
+    val refEvery = sys.env.getOrElse("SPARK_GRAFT_REF_EVERY", "8").toInt
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -54,11 +64,7 @@ object Bench {
         try run(fn(spark, warmDir)) catch { case _: Throwable => () }
       }
     }
-    // contention reference (VERDICT r6 #8): a fixed simple agg timed at
-    // the start of every pass. Host contention moves the reference and
-    // the suite together, so per-query medians NORMALIZED by the ref
-    // median (the `ratios` object in the detail file) are comparable
-    // across rounds even when wall times aren't.
+    // the fixed contention reference: a simple hash agg over lineitem
     def refQuery(): Unit = run {
       val l = org.apache.spark.sql.functions
       graft.sources.Tables.lineitem(spark, sfDir)
@@ -67,40 +73,65 @@ object Bench {
           l.sum(l.col("l_extendedprice")).as("p"),
           l.count(l.lit(1)).as("n"))
     }
-    try refQuery() catch { case _: Throwable => () } // warm the reference too
     val refSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // time one reference run; record the sample ONLY on success (a
+    // broken reference must surface as ref_median:-1, not as a
+    // near-zero sample polluting every ratio — ADVICE r7)
+    def timeRef(): Double =
+      try {
+        val t0 = System.nanoTime(); refQuery()
+        val dt = (System.nanoTime() - t0) / 1e9
+        refSamples += dt; dt
+      } catch { case _: Throwable => -1.0 }
+    timeRef() // warm the reference; the sample is as valid as any other
     val samples = scala.collection.mutable.LinkedHashMap(
       queries.map { case (n, _) => n -> Vector.empty[Double] }: _*)
+    val ratioSamples = scala.collection.mutable.LinkedHashMap(
+      queries.map { case (n, _) => n -> Vector.empty[Double] }: _*)
     (1 to runs).foreach { _ =>
-      val r0 = System.nanoTime()
-      try refQuery() catch { case _: Throwable => () }
-      refSamples += (System.nanoTime() - r0) / 1e9
-      queries.foreach { case (name, fn) =>
+      var refNow = timeRef()
+      queries.zipWithIndex.foreach { case ((name, fn), i) =>
+        if (i > 0 && i % refEvery == 0) refNow = timeRef()
         val t0 = System.nanoTime()
         try run(fn(spark, sfDir)) catch { case _: Throwable => () }
-        samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        samples(name) = samples(name) :+ dt
+        if (refNow > 0) ratioSamples(name) = ratioSamples(name) :+ dt / refNow
       }
     }
-    val refMedian = { val s = refSamples.sorted; s(s.size / 2) }
+    val refMedian =
+      if (refSamples.isEmpty) -1.0
+      else { val s = refSamples.sorted; s(s.size / 2) }
     def ms(x: Double): Double = math.rint(x * 1000) / 1000
     val results = samples.toSeq.map { case (name, ts) =>
       val s = ts.sorted
       (name, s(s.size / 2), s.last - s.head, ts)
     }
-    // short stdout key: the operator-id prefix, unique across queries
+    // stdout keying: operator-id prefix ("j01" for j01_broadcast_chain),
+    // split into family letters + id ("j" + "01"); uniqueness required so
+    // no query silently collapses into another's slot
     def tag(name: String): String = name.takeWhile(_ != '_')
     require(results.map(t => tag(t._1)).distinct.size == results.size,
       "duplicate operator-id prefixes would silently drop a query from the stdout JSON")
-    // stdout gets 10ms resolution (cs) — the line must stay under the
-    // driver's ~2000-char capture window and per-query chars are the
-    // binding constraint on suite growth; full ms precision is in the
-    // detail file below
-    def cs(x: Double): Double = math.rint(x * 100) / 100
-    val qs = results.map { case (k, m, _, _) => "\"" + tag(k) + "\":" + cs(m) }
-      .mkString("{", ",", "}")
+    def family(name: String): String = tag(name).takeWhile(!_.isDigit)
+    def qid(name: String): String = tag(name).dropWhile(!_.isDigit)
+    // grouped packed arrays: results are already in ascending full-name
+    // order, which fixes the intra-family order the `qtags` list mirrors
+    val grouped: Seq[(String, Seq[(String, Double)])] =
+      results.map { case (k, m, _, _) => (family(k), qid(k), m) }
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (fam, rows) => fam -> rows.map(r => (r._2, r._3)) }
+    def csInt(x: Double): Long = math.rint(x * 100).toLong
+    val qs = grouped.map { case (fam, rows) =>
+      "\"" + fam + "\":" + rows.map(r => csInt(r._2)).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = ms(results.map(_._2).sum)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"order":"pass-major","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"qunit":"cs","qorder":"name-asc","runs":$runs,"order":"pass-major","sf":"$sfDir"}"""
+    // ---- detail file: everything, ms precision, full names ----
+    val qtags = grouped.map { case (fam, rows) =>
+      "\"" + fam + "\":" + rows.map(r => "\"" + r._1 + "\"").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val names = results.map { case (k, _, _, _) =>
       "\"" + tag(k) + "\":\"" + k + "\""
     }.mkString("{", ",", "}")
@@ -111,13 +142,15 @@ object Bench {
     }.mkString("{", ",", "}")
     val medians = results.map { case (k, m, _, _) => "\"" + k + "\":" + ms(m) }
       .mkString("{", ",", "}")
-    // contention-normalized view: query median over reference median
-    val ratios = results.map { case (k, m, _, _) =>
-      "\"" + k + "\":" + (if (refMedian > 0) ms(m / refMedian) else -1)
+    // contention-normalized view: median over this query's per-sample
+    // ratios against the nearest-in-time interleaved reference run
+    val ratios = results.map { case (k, _, _, _) =>
+      val rs = ratioSamples(k).sorted
+      "\"" + k + "\":" + (if (rs.isEmpty) -1 else ms(rs(rs.size / 2)))
     }.mkString("{", ",", "}")
     val refJson = refSamples.map(ms).mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$medians,"spread":$spreads,"names":$names,"samples":$perRun,"ref_samples":$refJson,"ref_median":${ms(refMedian)},"ratios":$ratios,"runs":$runs,"order":"pass-major","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$medians,"spread":$spreads,"names":$names,"qtags":$qtags,"samples":$perRun,"ref_samples":$refJson,"ref_median":${ms(refMedian)},"ref_every":$refEvery,"ratios":$ratios,"runs":$runs,"order":"pass-major","sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       full.getBytes("UTF-8"))
     catch { case _: Throwable => () } // bench must still print if cwd is read-only

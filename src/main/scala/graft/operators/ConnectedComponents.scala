@@ -157,6 +157,12 @@ object ConnectedComponents {
       cur = next
       round += 1
     }
+    // an unconverged exit would return silently-unmerged components — the
+    // exact failure class the hybrid replaced; fail loudly instead
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"starComponents did not reach its fixed point in $maxRounds rounds " +
+          s"($changed edges still changing); raise maxRounds")
 
     // at the fixed point `cur` is a union of stars (v -> component min);
     // nodes never appearing as a star leaf are their own component

@@ -517,19 +517,24 @@ object Relational {
         "merge should run; never a collect, never row-at-a-time.",
       (s, d) => {
         val cust = Tables.customer(s, d)
+        // lit(1) match markers on each side: the inserted/kept/updated tag
+        // must test JOIN MATCH, not value nullness — a target row with a
+        // genuinely NULL bal is still "kept"/"updated", never "inserted"
         val target = cust.select(col("c_custkey").cast("long").as("custkey"),
-          round(col("c_acctbal").cast("double"), 2).as("bal"))
+          round(col("c_acctbal").cast("double"), 2).as("bal"),
+          lit(1).as("t_m"))
         val source = cust.filter(col("c_custkey") % 10 === 3)
           .select(col("c_custkey").cast("long").as("custkey"),
             round(col("c_acctbal").cast("double") + 100, 2).as("src_bal"))
           .unionByName(cust.filter(col("c_custkey") % 100 === 7)
             .select((col("c_custkey").cast("long") + 1000000L).as("custkey"),
               lit(0.0).as("src_bal")))
+          .withColumn("s_m", lit(1))
         target.join(source, Seq("custkey"), "full_outer")
           .select(col("custkey"),
             round(coalesce(col("src_bal"), col("bal")), 2).as("bal"),
-            when(col("bal").isNull, "inserted")
-              .when(col("src_bal").isNull, "kept")
+            when(col("t_m").isNull, "inserted")
+              .when(col("s_m").isNull, "kept")
               .otherwise("updated").as("op"))
       },
       Some("""

@@ -42,7 +42,10 @@ object IncrementalAggregate {
       }
       .start()
 
-  /** The maintained table: (key, n, total). */
+  /** The maintained table: (key, n, total). Safe against a concurrent
+    * publish: GC keeps one superseded version, so a pointer resolved just
+    * before a swap still names a readable dir for one full publish cycle.
+    */
   def read(spark: SparkSession, tableDir: String): DataFrame =
     spark.read.parquet(versionPath(tableDir, lastApplied(tableDir)))
 
@@ -78,9 +81,15 @@ object IncrementalAggregate {
     Files.write(tmp, batchId.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, Paths.get(tableDir, "_current"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    // best-effort GC of superseded versions (never the live one)
-    if (applied >= 0)
-      org.apache.commons.io.FileUtils.deleteQuietly(
-        Paths.get(versionPath(tableDir, applied)).toFile)
+    // best-effort GC deferred by ONE version: keep the just-superseded
+    // dir (`applied`) so a reader that resolved `_current` immediately
+    // before the pointer swap can still finish its read; only versions
+    // at least two publishes old are deleted
+    val keep = Set("v" + batchId, "v" + applied)
+    val dirs = Paths.get(tableDir).toFile.listFiles()
+    if (dirs != null) dirs.foreach { f =>
+      if (f.isDirectory && f.getName.matches("v\\d+") && !keep(f.getName))
+        org.apache.commons.io.FileUtils.deleteQuietly(f)
+    }
   }
 }
