@@ -85,12 +85,15 @@ object AdjustedEfficiencies {
       adj_margin: Double, raw_oe: Double, raw_de: Double,
       sos_oe: Double, sos_de: Double, games_played: Int, iterations: Int)
 
+  private final case class RawObs(team: Long, opp: Long, pts: Double,
+      poss: Double, oppPts: Double, oppPoss: Double, date: String,
+      isHome: Boolean, neutral: Boolean)
+
   /** Per-date snapshot loop with warm starts. halfLifeDays <= 0 disables
     * recency decay (reference config default: null). */
   def build(spark: SparkSession, gameTeams: DataFrame, games: DataFrame,
       dimTeams: DataFrame, season: Int, cfg: Config = Config(),
       halfLifeDays: Double = 0.0): DataFrame = {
-    import spark.implicits._
     val prepped = prepare(gameTeams, games, dimTeams)
       .select("gameId", "teamId", "poss", "pts", "opp_poss", "opp_pts",
         "game_date", "neutral", "is_home")
@@ -98,20 +101,91 @@ object AdjustedEfficiencies {
 
     // opponent id: the other teamId in the same game
     val byGame = prepped.groupBy(_.getLong(0))
-    final case class Obs(team: Long, opp: Long, pts: Double, poss: Double,
-        oppPts: Double, oppPoss: Double, date: String, isHome: Boolean,
-        neutral: Boolean)
     val obs = byGame.values.flatMap { rows =>
       val ids = rows.map(_.getLong(1)).distinct
       rows.flatMap { r =>
         val t = r.getLong(1)
         ids.find(_ != t).map { opp =>
-          Obs(t, opp, r.getDouble(3), r.getDouble(2), r.getDouble(5),
+          RawObs(t, opp, r.getDouble(3), r.getDouble(2), r.getDouble(5),
             r.getDouble(4), r.getString(6), r.getBoolean(8), r.getBoolean(7))
         }
       }
-    }.toSeq.sortBy(o => (o.date, o.team, o.opp))
+    }.toSeq
+    runPerDate(spark, obs, dimTeams, season, cfg, halfLifeDays)
+  }
 
+  /** Flat prep for the garbage-removed variant (reference
+    * adjusted_efficiencies.py:407-496 _load_pbp_no_garbage_games): the
+    * per-(game, team) stats arrive already parsed as columns
+    * (fct_pbp_game_teams_flat_garbage_removed), so prep is joins +
+    * guards only — both-sides D1 filter via fct_games home/away ids,
+    * formula possessions, opp-poss fallback to own poss and opp-pts
+    * fallback to 0 exactly as the reference's row loop does. Lowercase
+    * reference column names resolve through colFirst (P1). */
+  def prepareFlat(flat: DataFrame, games: DataFrame, dimTeams: DataFrame): DataFrame = {
+    val d1 = dimTeams.filter(col("conference").isNotNull && col("conference") =!= "")
+      .select(col("teamId").cast("long").as("teamId"))
+    // D1 both-sides game meta (reference :416-437: d1_game_ids + neutral)
+    val meta = games
+      .join(broadcast(d1.select(col("teamId").as("homeTeamId"))),
+        Seq("homeTeamId"), "left_semi")
+      .join(broadcast(d1.select(col("teamId").as("awayTeamId"))),
+        Seq("awayTeamId"), "left_semi")
+      .select(col("gameId").cast("long").as("gameId"),
+        coalesce(col("neutralSite"), lit(false)).as("neutral"))
+    val f = flat.select(
+      IoHelpers.colFirst(flat, Seq("gameId", "gameid"), "long").as("gameId"),
+      IoHelpers.colFirst(flat, Seq("teamId", "teamid"), "long").as("teamId"),
+      IoHelpers.colFirst(flat, Seq("opponentId", "opponentid"), "long").as("opponentId"),
+      IoHelpers.colFirst(flat,
+        Seq("team_possessions_formula", "team_possessions"), "double").as("poss"),
+      IoHelpers.colFirst(flat, Seq("team_points_total"), "double").as("pts"),
+      IoHelpers.colFirst(flat,
+        Seq("opp_possessions_formula", "opp_possessions"), "double").as("opp_poss0"),
+      IoHelpers.colFirst(flat, Seq("opp_points_total"), "double").as("opp_pts0"),
+      substring(IoHelpers.colFirst(flat,
+        Seq("startDate", "startdate"), "string"), 1, 10).as("game_date"),
+      coalesce(IoHelpers.colFirst(flat,
+        Seq("isHomeTeam", "ishometeam"), "boolean"), lit(false)).as("is_home"))
+    f.join(meta, Seq("gameId"))
+      .filter(col("gameId").isNotNull && col("teamId").isNotNull &&
+        col("game_date").isNotNull &&
+        col("poss").isNotNull && col("poss") > 0 && col("pts").isNotNull)
+      .select(col("gameId"), col("teamId"),
+        coalesce(col("opponentId"), lit(0L)).as("opponentId"),
+        col("poss"), col("pts"),
+        when(col("opp_poss0").isNotNull && col("opp_poss0") > 0, col("opp_poss0"))
+          .otherwise(col("poss")).as("opp_poss"),
+        coalesce(col("opp_pts0"), lit(0.0)).as("opp_pts"),
+        col("game_date"), col("neutral"), col("is_home"))
+  }
+
+  /** team_adjusted_efficiencies_no_garbage: the same per-date warm-start
+    * solver over PBP garbage-removed flat stats (reference gold registry
+    * entry build_no_garbage, adjusted_efficiencies.py:245-277). Unlike
+    * the box-score path, opponent ids come from the flat table's own
+    * column, so a one-sided row still rates (the reference keeps it with
+    * its row-local opponent stats). */
+  def buildNoGarbage(spark: SparkSession, flat: DataFrame, games: DataFrame,
+      dimTeams: DataFrame, season: Int, cfg: Config = Config(),
+      halfLifeDays: Double = 0.0): DataFrame = {
+    val prepped = prepareFlat(flat, games, dimTeams)
+      .select("gameId", "teamId", "opponentId", "poss", "pts", "opp_poss",
+        "opp_pts", "game_date", "neutral", "is_home")
+      .collect()
+    val obs = prepped.toSeq.map { r =>
+      RawObs(r.getLong(1), r.getLong(2), r.getDouble(4), r.getDouble(3),
+        r.getDouble(6), r.getDouble(5), r.getString(7), r.getBoolean(9),
+        r.getBoolean(8))
+    }
+    runPerDate(spark, obs, dimTeams, season, cfg, halfLifeDays)
+  }
+
+  private def runPerDate(spark: SparkSession, obs0: Seq[RawObs],
+      dimTeams: DataFrame, season: Int, cfg: Config,
+      halfLifeDays: Double): DataFrame = {
+    import spark.implicits._
+    val obs = obs0.sortBy(o => (o.date, o.team, o.opp))
     val dates = obs.map(_.date).distinct.sorted
     var warm = Map.empty[Long, (Double, Double)]
     val out = dates.map { d =>

@@ -50,7 +50,11 @@ object GoldRunner {
     "team_adjusted_efficiencies" -> ((s, root, season) =>
       AdjustedEfficiencies.build(s,
         rd(s, root, "fct_game_teams"), rd(s, root, "fct_games"),
-        rd(s, root, "dim_teams"), season)))
+        rd(s, root, "dim_teams"), season)),
+    "team_adjusted_efficiencies_no_garbage" -> ((s, root, season) =>
+      AdjustedEfficiencies.buildNoGarbage(s,
+        rd(s, root, "fct_pbp_game_teams_flat_garbage_removed"),
+        rd(s, root, "fct_games"), rd(s, root, "dim_teams"), season)))
 
   /** Run one or all transforms; errors per table are caught and reported
     * so the run continues (reference runner.py:98-108). Returns

@@ -70,6 +70,13 @@ object GoldSchemas {
         "rating_date" -> StringType, "adj_oe" -> DoubleType,
         "adj_de" -> DoubleType, "adj_tempo" -> DoubleType,
         "barthag" -> DoubleType, "adj_margin" -> DoubleType,
+        "games_played" -> LongType)),
+    "team_adjusted_efficiencies_no_garbage" -> TableSpec(
+      "team_adjusted_efficiencies_no_garbage",
+      Seq("teamId", "season", "rating_date"), Map(
+        "rating_date" -> StringType, "adj_oe" -> DoubleType,
+        "adj_de" -> DoubleType, "adj_tempo" -> DoubleType,
+        "barthag" -> DoubleType, "adj_margin" -> DoubleType,
         "games_played" -> LongType)))
 
   /** Alphabetical column order + hint casts over the PRESENT columns

@@ -187,8 +187,13 @@ object GoldGate {
     * (single quotes) every 4th game, possessions=0 every 13th (must be
     * filtered by the validity predicates). Integer-valued fields so
     * string rendering is engine-neutral. */
-  def gameTeams(s: SparkSession, d: String): DataFrame = {
-    val g = games(s, d).withColumn("poss",
+  def gameTeams(s: SparkSession, d: String): DataFrame =
+    gameTeamsOf(games(s, d))
+
+  /** Same fixture over a caller-restricted games frame (g08 runs the
+    * runner on a 3-date window so the per-date solver loop is bounded). */
+  def gameTeamsOf(g0: DataFrame): DataFrame = {
+    val g = g0.withColumn("poss",
       when(col("gameId") % 13 === 0, lit(0L))
         .otherwise(lit(64L) + col("gameId") % 9))
     def js(t: org.apache.spark.sql.Column) =
@@ -201,6 +206,69 @@ object GoldGate {
         js(col("homeScore")).as("teamStats"), js(col("awayScore")).as("opponentStats"))
       .unionByName(g.select(col("gameId"), col("awayTeamId").as("teamId"),
         js(col("awayScore")).as("teamStats"), js(col("homeScore")).as("opponentStats")))
+  }
+
+  /** Garbage-removed flat per-(game, team) stats with the reference's
+    * lowercase column names (fct_pbp_game_teams_flat_garbage_removed,
+    * reference adjusted_efficiencies.py:439-466): possessions-formula
+    * zero every 13th game (validity guard drops the game), opp
+    * possessions null every 7th (reference falls back to own poss), opp
+    * points null every 5th (falls back to 0) — the fallbacks change
+    * ratings, never row counts, so g08's count gate stays exact. */
+  def pbpFlat(g: DataFrame): DataFrame = {
+    val poss = when(col("gameId") % 13 === 0, lit(0.0))
+      .otherwise(lit(60.0) + (col("gameId") % 16).cast("double") * 0.25)
+    def side(tid: org.apache.spark.sql.Column, oid: org.apache.spark.sql.Column,
+        tp: org.apache.spark.sql.Column, op: org.apache.spark.sql.Column,
+        home: Boolean) =
+      g.select(col("gameId").as("gameid"), tid.as("teamid"),
+        oid.as("opponentid"), col("startDate").as("startdate"),
+        lit(home).as("ishometeam"),
+        tp.cast("double").as("team_points_total"),
+        when(col("gameId") % 5 === 0, lit(null).cast("double"))
+          .otherwise(op.cast("double")).as("opp_points_total"),
+        poss.as("team_possessions_formula"),
+        when(col("gameId") % 7 === 0, lit(null).cast("double"))
+          .otherwise(poss).as("opp_possessions_formula"))
+    side(col("homeTeamId"), col("awayTeamId"), col("homeScore"),
+        col("awayScore"), home = true)
+      .unionByName(side(col("awayTeamId"), col("homeTeamId"),
+        col("awayScore"), col("homeScore"), home = false))
+  }
+
+  /** Writes the full silver lake the gold runner reads (3-earliest-date
+    * games window so the per-date solver loops stay bounded), with
+    * fct_player_season_stats poisoned as an unreadable parquet file.
+    * Shared by the g08 gate and GoldRunnerSpec; returns the lake root
+    * (a fresh temp dir the caller deletes). */
+  def poisonedRunnerLake(s: SparkSession, d: String): String = {
+    val root = java.nio.file.Files.createTempDirectory("graft-g08").toString
+    val g = games(s, d)
+    val dates3 = g.select(substring(col("startDate"), 1, 10).as("gd"))
+      .distinct().orderBy(col("gd").asc).limit(3)
+      .collect().map(_.getString(0)).toSeq
+    val g3 = g.filter(substring(col("startDate"), 1, 10).isin(dates3: _*))
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$root/$name")
+    write(dimD1(s, d), "dim_teams")
+    write(g3, "fct_games")
+    write(lines(s, d), "fct_lines")
+    write(adj(s, d), "fct_ratings_adjusted")
+    write(srs(s, d), "fct_ratings_srs")
+    write(polls(s, d), "fct_rankings")
+    write(pbpRollup(s, d), "fct_pbp_team_daily_rollup")
+    write(pbpAdj(s, d), "fct_pbp_team_daily_rollup_adj")
+    write(recruiting(s, d), "fct_recruiting_players")
+    write(gameTeamsOf(g3), "fct_game_teams")
+    write(pbpFlat(g3), "fct_pbp_game_teams_flat_garbage_removed")
+    // poison: an unreadable parquet footer fails player_season_impact at
+    // read time; the runner must isolate it and continue
+    val pDir = new java.io.File(s"$root/fct_player_season_stats")
+    pDir.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(pDir.toString, "part-00000.parquet"),
+      "not a parquet file".getBytes("UTF-8"))
+    root
   }
 
   /** The same fixtures as DuckDB CTEs (interpolated into each oracle). */
@@ -900,6 +968,82 @@ object GoldGate {
         UNION ALL
         SELECT team, (SELECT d3 FROM dk), round(oe2, 3), round(de2, 3),
                CAST(n AS INT), CAST(2 AS INT)
-        FROM s3b WHERE (SELECT nd FROM dk) >= 3"""))
+        FROM s3b WHERE (SELECT nd FROM dk) >= 3""")),
+
+    Q(
+      "g08_gold_runner",
+      "The gold runner end-to-end (reference gold/runner.py:98-108 error " +
+        "isolation + :133-165 publish): ONE registry pass over all 7 " +
+        "transforms against a silver lake written from the fixtures, " +
+        "with fct_player_season_stats POISONED (an unreadable parquet " +
+        "file). The run must record the error, keep going, and publish " +
+        "the other six tables; the gate hashes per-table status + " +
+        "published row count + key-column sum read back from the " +
+        "published partitions. Games are pinned to the 3 earliest dates " +
+        "(the g07 recipe) so the two adjusted-efficiency solver loops " +
+        "stay bounded.",
+      (s, d) => {
+        import s.implicits._
+        val root = poisonedRunnerLake(s, d)
+        val res = graft.gold.GoldRunner.run(s, root, Season)
+        val rows = graft.gold.GoldRunner.transforms.keys.toSeq.sorted.map { t =>
+          res(t) match {
+            case Right(_) =>
+              val df = s.read.parquet(s"$root/gold/$t")
+              val key =
+                if (t == "market_lines_analysis" ||
+                  t == "game_predictions_features") "gameId" else "teamId"
+              val a = df.agg(count(lit(1)).as("n"),
+                sum(col(key).cast("long")).as("k")).collect()(0)
+              (t, "published", a.getLong(0), a.getLong(1))
+            case Left(_) => (t, "error", -1L, -1L)
+          }
+        }
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        rows.toDF("tbl", "status", "n_rows", "key_sum")
+      },
+      Some(s"""
+        WITH $FixtureSql,
+        d3 AS (SELECT DISTINCT substr(startDate, 1, 10) AS gd FROM fx_games
+               ORDER BY gd LIMIT 3),
+        g3 AS (SELECT g.*, substr(g.startDate, 1, 10) AS gd
+               FROM fx_games g JOIN d3 ON substr(g.startDate, 1, 10) = d3.gd),
+        surv AS (SELECT gameId, homeTeamId, awayTeamId, gd FROM g3
+                 WHERE gameId % 13 <> 0
+                   AND homeTeamId % 7 <> 3 AND awayTeamId % 7 <> 3),
+        aobs AS (SELECT DISTINCT gd, teamId FROM (
+                   SELECT gd, homeTeamId AS teamId FROM surv
+                   UNION ALL SELECT gd, awayTeamId FROM surv) x),
+        adates AS (SELECT DISTINCT gd FROM aobs),
+        tfirst AS (SELECT teamId, min(gd) AS fgd FROM aobs GROUP BY 1),
+        acells AS (SELECT d.gd, t.teamId
+                   FROM adates d JOIN tfirst t ON t.fgd <= d.gd)
+        SELECT 'game_predictions_features' AS tbl, 'published' AS status,
+               CAST(2 * count(*) AS BIGINT) AS n_rows,
+               CAST(2 * sum(gameId) AS BIGINT) AS key_sum
+        FROM g3
+        UNION ALL
+        SELECT 'market_lines_analysis', 'published',
+               CAST(count(*) AS BIGINT), CAST(sum(l.gameId) AS BIGINT)
+        FROM fx_lines l JOIN g3 ON l.gameId = g3.gameId
+        UNION ALL
+        SELECT 'player_season_impact', 'error',
+               CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+        UNION ALL
+        SELECT 'team_adjusted_efficiencies', 'published',
+               CAST(count(*) AS BIGINT), CAST(sum(teamId) AS BIGINT)
+        FROM acells
+        UNION ALL
+        SELECT 'team_adjusted_efficiencies_no_garbage', 'published',
+               CAST(count(*) AS BIGINT), CAST(sum(teamId) AS BIGINT)
+        FROM acells
+        UNION ALL
+        SELECT 'team_power_rankings', 'published',
+               CAST(count(*) AS BIGINT), CAST(sum(teamid) AS BIGINT)
+        FROM fx_adj
+        UNION ALL
+        SELECT 'team_season_summary', 'published',
+               CAST(count(*) AS BIGINT), CAST(sum(teamid) AS BIGINT)
+        FROM fx_adj"""))
   )
 }
