@@ -561,6 +561,37 @@ object Windows {
          AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR""")),
 
     Q(
+      "st08_interval_join_full_outer",
+      "Full-outer event-time interval join (§2.10 stream-stream FULL " +
+        "outer: every view attributed or null-padded AND every click " +
+        "attributed or null-padded — the symmetric state-eviction case " +
+        "that completes the outer family st03/st06; unmatched rows on " +
+        "each side emit when the watermark proves no match can still " +
+        "arrive). The SAME EventStream.intervalJoinFullOuter runs on " +
+        "watermarked streams with bounded two-sided state; " +
+        "batch-vs-stream parity is pinned in EventStreamSpec.",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val v = e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id"), col("ts"))
+        val c = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id"), col("ts"))
+        graft.streaming.EventStream.intervalJoinFullOuter(v, c, "1 hour")
+          .select(coalesce(col("l.user_id"), col("r.user_id")).as("user_id"),
+            col("l.event_id").as("view_id"),
+            col("r.event_id").as("click_id"),
+            (unix_micros(col("r.ts")) - unix_micros(col("l.ts"))).as("lag_us"))
+      },
+      Some("""
+        SELECT coalesce(v.user_id, c.user_id) AS user_id,
+               v.event_id AS view_id, c.event_id AS click_id,
+               epoch_us(c.ts) - epoch_us(v.ts) AS lag_us
+        FROM (SELECT * FROM events WHERE event_type = 'view') v
+        FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON v.user_id = c.user_id
+         AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR""")),
+
+    Q(
       "st07_session_window",
       "Gap sessionization through Spark's BUILT-IN merging " +
         "session_window (§2.10) — the declarative twin of w06's " +

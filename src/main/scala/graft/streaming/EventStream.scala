@@ -111,6 +111,21 @@ object EventStream {
       s"l.user_id = r.user_id AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL $window"),
       "left_outer")
 
+  /** Full-outer event-time interval join — completes the outer family
+    * (inner / left-outer above): unmatched LEFT rows null-pad the right
+    * side AND unmatched RIGHT rows null-pad the left. On watermarked
+    * streams this is symmetric state eviction: an unmatched left row
+    * null-emits once the watermark passes `l.ts + window` (no click can
+    * still arrive), an unmatched right row once it passes `r.ts` (no
+    * view opening a window over it can still arrive) — so state and
+    * result latency on BOTH sides stay watermark + window bounded.
+    * Batch-vs-stream parity is EventStreamSpec-pinned. */
+  def intervalJoinFullOuter(left: DataFrame, right: DataFrame,
+      window: String = "1 hour"): DataFrame =
+    left.alias("l").join(right.alias("r"), expr(
+      s"l.user_id = r.user_id AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL $window"),
+      "full_outer")
+
   final case class Ev(user_id: Long, event_id: Long, ms: Long, value: Double)
   final case class SessionState(
       sessionId: Long,

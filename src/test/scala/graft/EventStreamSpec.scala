@@ -267,6 +267,54 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("full-outer intervalJoin: unmatched rows on BOTH sides null-emit after the watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val views = Seq(
+      (1L, 100L, "2024-01-01 01:00:00"),  // matched by click 200
+      (1L, 101L, "2024-01-01 03:00:00"),  // matched by click 202
+      (2L, 102L, "2024-01-01 01:00:00"))  // never matched -> (102, null)
+    val clicks = Seq(
+      (1L, 200L, "2024-01-01 01:30:00"),
+      (1L, 201L, "2024-01-01 02:30:00"),  // matches neither view -> (null, 201)
+      (1L, 202L, "2024-01-01 03:59:00"),
+      (2L, 203L, "2024-01-01 00:30:00"),  // before the view -> (null, 203)
+      (99L, 999L, "2024-01-02 00:00:00")) // no view at all -> (null, 999)
+    def toDf(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("_1").as("user_id"), col("_2").as("event_id"),
+        to_timestamp(col("_3")).as("ts"))
+    def out(j: org.apache.spark.sql.DataFrame) =
+      j.select(col("l.event_id").as("view_id"), col("r.event_id").as("click_id"))
+    def key(r: org.apache.spark.sql.Row) =
+      (if (r.isNullAt(0)) -1L else r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))
+
+    val batch = out(EventStream.intervalJoinFullOuter(
+      toDf(views.toDF()), toDf(clicks.toDF()))).collect().map(key).toSet
+    assert(batch == Set((100L, 200L), (101L, 202L), (102L, -1L),
+      (-1L, 201L), (-1L, 203L), (-1L, 999L)))
+
+    val vMem = MemoryStream[(Long, Long, String)]
+    val cMem = MemoryStream[(Long, Long, String)]
+    vMem.addData(views: _*)
+    cMem.addData(clicks: _*)
+    val joined = EventStream.intervalJoinFullOuter(
+      toDf(vMem.toDF()).withWatermark("ts", "1 minute"),
+      toDf(cMem.toDF()).withWatermark("ts", "1 minute"))
+    val q = out(joined).writeStream.format("memory").queryName("ijfo")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // push the watermark past click 999 on BOTH sides so its null row
+    // evicts (the pusher rows themselves stay in state, unemitted)
+    vMem.addData((98L, 998L, "2024-01-03 00:00:00"))
+    cMem.addData((97L, 997L, "2024-01-03 00:00:00"))
+    q.processAllAvailable()
+    val streamed = s.table("ijfo").collect().map(key).toSet
+    q.stop()
+    assert(streamed == batch)
+  }
+
   test("sessionizeStream emits sessions closed by a gap within the stream") {
     val s = spark
     import s.implicits._
