@@ -22,6 +22,19 @@ object KMeans {
   def fit(spark: SparkSession, emb: DataFrame, k: Int, iterations: Int,
       idCol: String = "vec_id", vecCol: String = "embedding")
       : (DataFrame, Array[Array[Double]]) = {
+    val (assign, centroids, _) =
+      fitConverged(spark, emb, k, iterations, tol = -1.0, idCol, vecCol)
+    (assign, centroids)
+  }
+
+  /** Lloyd's with an early-stop convergence test (the k-means analog of
+    * IterativeRatings.solve's max-|Δ| stop): after each centroid update,
+    * stop once the largest per-coordinate centroid movement is <= tol.
+    * tol < 0 disables the test (exactly maxIter iterations — the fit()
+    * path). @return (assignments, centroids, iterations actually run) */
+  def fitConverged(spark: SparkSession, emb: DataFrame, k: Int, maxIter: Int,
+      tol: Double, idCol: String = "vec_id", vecCol: String = "embedding")
+      : (DataFrame, Array[Array[Double]], Int) = {
 
     val long = emb.select(col(idCol).as("__id"), posexplode(col(vecCol)))
       .select(col("__id"), col("pos"), col("col").cast("double").as("v"))
@@ -41,7 +54,9 @@ object KMeans {
         }.toArray
 
     var assign: DataFrame = null
-    for (_ <- 0 until iterations) {
+    var iters = 0
+    var converged = false
+    while (iters < maxIter && !converged) {
       val centDf = spark.createDataFrame(
         centroids.zipWithIndex.flatMap { case (c, ci) =>
           c.zipWithIndex.map { case (v, pos) => (ci, pos, v) }
@@ -68,11 +83,19 @@ object KMeans {
         next(ci)(r.getAs[Int]("pos")) = r.getAs[Double]("s")
         counts(ci) = r.getAs[Long]("n")
       }
-      centroids = next.zipWithIndex.map { case (c, ci) =>
+      val updated = next.zipWithIndex.map { case (c, ci) =>
         if (counts(ci) == 0) centroids(ci) // empty cluster keeps its centroid
         else c.map(_ / counts(ci))
       }
+      iters += 1
+      if (tol >= 0) {
+        val delta = centroids.zip(updated).map { case (a, b) =>
+          a.zip(b).map { case (x, y) => math.abs(x - y) }.max
+        }.max
+        converged = delta <= tol
+      }
+      centroids = updated
     }
-    (assign.withColumnRenamed("__id", idCol), centroids)
+    (assign.withColumnRenamed("__id", idCol), centroids, iters)
   }
 }

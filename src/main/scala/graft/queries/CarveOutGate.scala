@@ -603,6 +603,76 @@ object CarveOutGate {
                    ORDER BY dot DESC, cluster ASC) AS rn
           FROM d2) WHERE rn = 1""")),
 
+    // ----- the k-means convergence TEST itself under the hash gate ----------------
+    Q(
+      "v05d_kmeans_converged",
+      "The early-stop convergence path of KMeans.fitConverged (the " +
+        "dm10d recipe applied to the last rows-only carve-out family): " +
+        "maxIter=25 with tol=0.12 on the embeddings table, where the " +
+        "max per-coordinate centroid movement is ~0.32-0.34 after Lloyd " +
+        "iteration 1 and ~0.017-0.034 after iteration 2 at every test " +
+        "SF (measured via tools.KmProbe — the tolerance is bracketed " +
+        "with >0.08 margin on both sides), so the convergence test " +
+        "STOPS at exactly 2 iterations. The oracle replays assign -> " +
+        "update -> re-assign -> update in SQL and pins iterations=2: " +
+        "the hash matches only if the early-stop fires where the " +
+        "bracketing says it must, and the FINAL centroids are what two " +
+        "exact Lloyd updates produce.",
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.embeddings(s, d)
+        val (_, cent, iters) = graft.operators.KMeans.fitConverged(
+          s, e, k = 8, maxIter = 25, tol = 0.12)
+        cent.zipWithIndex.flatMap { case (c, ci) =>
+          c.zipWithIndex.map { case (v, pos) =>
+            (ci.toLong, pos.toLong, v, iters.toLong)
+          }
+        }.toSeq.toDF("cluster", "pos", "cv0", "iterations")
+          .select(col("cluster"), col("pos"),
+            round(col("cv0"), 4).as("cv"), col("iterations"))
+      },
+      Some("""
+        WITH seeds0 AS (
+          SELECT vec_id AS sid, embedding::DOUBLE[] AS se
+          FROM embeddings
+          ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 8),
+        seeds AS (
+          SELECT sid, se,
+                 row_number() OVER (ORDER BY CAST(sid AS VARCHAR) ASC) - 1 AS cluster
+          FROM seeds0),
+        long AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+                        unnest(range(len(embedding))) AS pos
+                 FROM embeddings),
+        sg AS (SELECT cluster, unnest(se) AS sv, unnest(range(len(se))) AS pos
+               FROM seeds),
+        d1 AS (SELECT l.vec_id, g.cluster, sum(l.v * g.sv) AS dot
+               FROM long l JOIN sg g USING (pos) GROUP BY 1, 2),
+        a1 AS (SELECT vec_id, cluster FROM (
+                 SELECT vec_id, cluster,
+                        row_number() OVER (PARTITION BY vec_id
+                          ORDER BY dot DESC, cluster ASC) AS rn
+                 FROM d1) WHERE rn = 1),
+        sums AS (SELECT a.cluster, l.pos, sum(l.v) AS s, count(*) AS n
+                 FROM long l JOIN a1 a USING (vec_id) GROUP BY 1, 2),
+        cent1 AS (SELECT g.cluster, g.pos, coalesce(m.s / m.n, g.sv) AS cv
+                  FROM sg g LEFT JOIN sums m
+                    ON g.cluster = m.cluster AND g.pos = m.pos),
+        d2 AS (SELECT l.vec_id, c.cluster, sum(l.v * c.cv) AS dot
+               FROM long l JOIN cent1 c USING (pos) GROUP BY 1, 2),
+        a2 AS (SELECT vec_id, cluster FROM (
+                 SELECT vec_id, cluster,
+                        row_number() OVER (PARTITION BY vec_id
+                          ORDER BY dot DESC, cluster ASC) AS rn
+                 FROM d2) WHERE rn = 1),
+        sums2 AS (SELECT a.cluster, l.pos, sum(l.v) AS s, count(*) AS n
+                  FROM long l JOIN a2 a USING (vec_id) GROUP BY 1, 2),
+        cent2 AS (SELECT c1.cluster, c1.pos, coalesce(m.s / m.n, c1.cv) AS cv
+                  FROM cent1 c1 LEFT JOIN sums2 m
+                    ON c1.cluster = m.cluster AND c1.pos = m.pos)
+        SELECT CAST(cluster AS BIGINT) AS cluster, CAST(pos AS BIGINT) AS pos,
+               round(cv, 4) AS cv, CAST(2 AS BIGINT) AS iterations
+        FROM cent2""")),
+
     // ----- FULL possession chain incl. and-1 lookahead -----------------------------
     Q(
       "pbp03_full_chain",

@@ -31,6 +31,28 @@ class KMeansSpec extends SparkSpec {
     assert(cents2.map(_.toSeq).toSeq == cents.map(_.toSeq).toSeq)
   }
 
+  test("fitConverged stops on the max-|delta| test, runs to maxIter when disabled") {
+    val s = spark
+    import s.implicits._
+    val vecs = (0 until 10).map(i =>
+      (i.toLong, Array(1.0f + i * 0.01f, 0.0f, 0.0f, 0.0f))) ++
+      (10 until 20).map(i =>
+        (i.toLong, Array(0.0f, 0.0f, 1.0f + i * 0.01f, 0.0f)))
+    val emb = vecs.toDF("vec_id", "embedding")
+    // a huge tolerance converges after the very first update
+    val (_, _, one) = KMeans.fitConverged(s, emb, k = 2, maxIter = 10, tol = 1e9)
+    assert(one == 1)
+    // tol < 0 disables the test: exactly maxIter iterations (fit() path)
+    val (_, _, all) = KMeans.fitConverged(s, emb, k = 2, maxIter = 3, tol = -1.0)
+    assert(all == 3)
+    // a sane tolerance on the separable fixture stops before maxIter and
+    // matches the fixed-iteration centroids at the stop count
+    val (_, cConv, it) = KMeans.fitConverged(s, emb, k = 2, maxIter = 10, tol = 1e-9)
+    assert(it < 10)
+    val (_, cFixed) = KMeans.fit(s, emb, k = 2, iterations = it)
+    assert(cConv.map(_.toSeq).toSeq == cFixed.map(_.toSeq).toSeq)
+  }
+
   test("k-means on real embeddings: full coverage, k clusters, cluster sizes reasonable") {
     val s = spark
     val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
