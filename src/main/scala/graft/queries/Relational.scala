@@ -617,6 +617,60 @@ object Relational {
           FROM events) t
         WHERE rn <= 3""")),
 
+    Q(
+      "o06c_topk_rank_ties",
+      "Tie-aware per-key top-k: the r7 rank-mode TopKPerKeyExec through " +
+        "the exec path (not just the rewrite-rule spec). Ordering by the " +
+        "COARSE floor(value) bin manufactures real ties (up to 4 rows " +
+        "per (user, bin) in the fixture); rank() <= 3 semantics keep " +
+        "every boundary-tied row, so a key can emit MORE than 3 rows — " +
+        "the exact case row_number mode can't express. The exec's " +
+        "group-buffer evicts a tail bin only once k rows fully outrank " +
+        "it, so the shuffle still carries O(k + ties) rows per (key, " +
+        "map partition), never the whole group. Oracle is DuckDB's " +
+        "rank() window — same set, heap physics.",
+      (s, d) => {
+        val e = Tables.events(s, d).select(
+          col("user_id"), col("event_id"), col("value"),
+          floor(col("value")).cast("long").as("vbin"))
+        graft.plans.TopKPerKey.topK(
+          e, Seq("user_id"), Seq(col("vbin").desc), 3,
+          mode = graft.plans.TopKPerKeyNode.RankMode)
+      },
+      Some("""
+        SELECT user_id, event_id, value, vbin FROM (
+          SELECT user_id, event_id, value,
+                 CAST(floor(value) AS BIGINT) AS vbin,
+                 rank() OVER (PARTITION BY user_id
+                              ORDER BY CAST(floor(value) AS BIGINT) DESC) AS r
+          FROM events) t
+        WHERE r <= 3""")),
+
+    Q(
+      "o06d_topk_dense_rank",
+      "Dense-rank per-key top-k: every row among the top-3 DISTINCT " +
+        "floor(value) bins per user (the 'top 3 price points with all " +
+        "their line items' shape). Third tie mode of the heap exec: the " +
+        "buffer tracks distinct order values, keeps all member rows of " +
+        "the best k bins, and ships bins-not-rows cardinality per map " +
+        "partition. Oracle is DuckDB dense_rank() — set-identical.",
+      (s, d) => {
+        val e = Tables.events(s, d).select(
+          col("user_id"), col("event_id"), col("value"),
+          floor(col("value")).cast("long").as("vbin"))
+        graft.plans.TopKPerKey.topK(
+          e, Seq("user_id"), Seq(col("vbin").desc), 3,
+          mode = graft.plans.TopKPerKeyNode.DenseRankMode)
+      },
+      Some("""
+        SELECT user_id, event_id, value, vbin FROM (
+          SELECT user_id, event_id, value,
+                 CAST(floor(value) AS BIGINT) AS vbin,
+                 dense_rank() OVER (PARTITION BY user_id
+                                    ORDER BY CAST(floor(value) AS BIGINT) DESC) AS r
+          FROM events) t
+        WHERE r <= 3""")),
+
     // ----- skew handling: two-stage salted aggregation -------------------------
     Q(
       "a16_salted_skew_agg",

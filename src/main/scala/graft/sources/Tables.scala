@@ -32,6 +32,13 @@ object Tables {
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      // a naive timestamp[us] file infers as TIMESTAMP_NTZ under Spark 4's
+      // parquet reader; normalize to the session-TZ instant type (sessions
+      // pin UTC, so values are identical) — every downstream epoch/
+      // watermark call site assumes the instant type, and the DuckDB
+      // oracle coerces its naive read the same way under a UTC host
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", raw("ts").cast("timestamp"))
       case _ => raw
     }
   }

@@ -113,6 +113,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("o06c/o06d gated queries plan as TopKPerKey in their tie-aware modes") {
+    Seq("o06c_topk_rank_ties" -> "rank",
+        "o06d_topk_dense_rank" -> "dense_rank").foreach { case (q, mode) =>
+      val p = planOf(q)
+      assert("TopKPerKey".r.findAllIn(p).size == 2,
+        s"$q: expected partial+final TopKPerKey phases:\n$p")
+      assert(p.contains(mode), s"$q: exec should print its $mode mode:\n${p.take(3000)}")
+      assert(!p.contains("Window "), s"$q must not fall back to a window:\n$p")
+    }
+  }
+
   test("t18 ranks through the TopKPerKey heap operator, not a window sort") {
     val p = planOf("t18_tfidf_topterms")
     assert("TopKPerKey".r.findAllIn(p).size == 2,
