@@ -94,6 +94,41 @@ object Sketches {
       },
       Some("""
         SELECT event_type, count(*) AS n_exact, true AS within_bound
-        FROM events GROUP BY 1"""))
+        FROM events GROUP BY 1""")),
+
+    Q(
+      "sk04_heavy_hitters",
+      "EXACT heavy hitters in two passes (operators/HeavyHitters): " +
+        "boilerplate-bigram discovery over documents — every bigram " +
+        "with count >= N/850. Pass 1 treeAggregates a 1023-counter " +
+        "Misra-Gries summary (mergeable; anything above N/1024 is " +
+        "guaranteed present), pass 2 recounts ONLY the <=1023 " +
+        "candidates exactly and applies the threshold. Unlike " +
+        "sk01-sk03's bound-flag gates this IS the exact SQL answer " +
+        "hash-for-hash: the sketch prunes the shuffle (<=1023 distinct " +
+        "keys instead of the whole gram vocabulary), it never changes " +
+        "the result. The fixture's ~900-bigram vocabulary sits under k " +
+        "(prune inert here; HeavyHittersSpec drives real eviction on a " +
+        "400-token zipf stream with k=63); at corpus scale vocabulary " +
+        "is unbounded while the shuffle stays k-bounded — the naive " +
+        "form shuffles every gram occurrence.",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val bigrams = docs
+          .select(split(col("text"), " ").as("w"))
+          .filter(size(col("w")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, size(w) - 1)," +
+              " i -> concat(w[i-1], ' ', w[i]))")).as("tok"))
+        graft.operators.HeavyHitters.exact(bigrams, "tok", k = 1023, denom = 850.0)
+      },
+      Some("""
+        WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+        b AS (SELECT w[i] || ' ' || w[i+1] AS tok
+              FROM (SELECT w, unnest(range(1, len(w))) AS i FROM w)),
+        tot AS (SELECT count(*) AS n FROM b)
+        SELECT tok, cnt FROM
+          (SELECT tok, count(*) AS cnt FROM b GROUP BY 1), tot
+        WHERE cnt >= n / 850.0"""))
   )
 }
