@@ -592,6 +592,38 @@ object Windows {
          AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR""")),
 
     Q(
+      "st09_interval_join_semi",
+      "Left-SEMI event-time interval join (§2.10): views that got AT " +
+        "LEAST one click within 1h, each emitted exactly once with no " +
+        "click columns — the existence-filter shape ('did this view " +
+        "convert?') and the last stream-stream join type Structured " +
+        "Streaming supports, completing the family st03 (inner) / " +
+        "st06 (left-outer) / st08 (full-outer). Unlike the inner join " +
+        "the output never multiplies by match count, so at 100 TB the " +
+        "result stays left-sized no matter how click-heavy the hour " +
+        "is. The SAME EventStream.intervalJoinLeftSemi runs on " +
+        "watermarked streams with bounded state (parity pinned in " +
+        "EventStreamSpec). Oracle is the EXISTS form.",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val v = e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id"), col("ts"))
+        val c = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id"), col("ts"))
+        graft.streaming.EventStream.intervalJoinLeftSemi(v, c, "1 hour")
+          .select(col("l.user_id").as("user_id"),
+            col("l.event_id").as("view_id"),
+            unix_micros(col("l.ts")).as("view_us"))
+      },
+      Some("""
+        SELECT v.user_id, v.event_id AS view_id, epoch_us(v.ts) AS view_us
+        FROM (SELECT * FROM events WHERE event_type = 'view') v
+        WHERE EXISTS (
+          SELECT 1 FROM events c
+          WHERE c.event_type = 'click' AND c.user_id = v.user_id
+            AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR)""")),
+
+    Q(
       "st07_session_window",
       "Gap sessionization through Spark's BUILT-IN merging " +
         "session_window (§2.10) — the declarative twin of w06's " +

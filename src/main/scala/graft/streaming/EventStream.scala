@@ -126,6 +126,22 @@ object EventStream {
       s"l.user_id = r.user_id AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL $window"),
       "full_outer")
 
+  /** Left-semi event-time interval join — left rows that have AT LEAST
+    * one same-key right row inside [l.ts, l.ts + window], emitted once
+    * each with no right-side columns (the existence filter: "views
+    * that converted", "docs that matched any blocklist entry in the
+    * hour"). The last stream-stream join type Structured Streaming
+    * supports (left-anti is not; its batch form is j06's anti join).
+    * On watermarked streams a left row emits as soon as its first
+    * match arrives and drops from state when the watermark passes
+    * `l.ts + window` — state stays bounded, and unlike the inner join
+    * the output never multiplies by match count. */
+  def intervalJoinLeftSemi(left: DataFrame, right: DataFrame,
+      window: String = "1 hour"): DataFrame =
+    left.alias("l").join(right.alias("r"), expr(
+      s"l.user_id = r.user_id AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL $window"),
+      "left_semi")
+
   final case class Ev(user_id: Long, event_id: Long, ms: Long, value: Double)
   final case class SessionState(
       sessionId: Long,

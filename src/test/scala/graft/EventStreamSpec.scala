@@ -315,6 +315,44 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("left-semi intervalJoin: matched views emit once, no multiplication, stream equals batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val views = Seq(
+      (1L, 100L, "2024-01-01 01:00:00"),  // TWO clicks in window -> emit ONCE
+      (1L, 101L, "2024-01-01 03:00:00"),  // one click in window
+      (2L, 102L, "2024-01-01 01:00:00"))  // click before the view -> no emit
+    val clicks = Seq(
+      (1L, 200L, "2024-01-01 01:30:00"),
+      (1L, 201L, "2024-01-01 01:45:00"),  // second match for view 100
+      (1L, 202L, "2024-01-01 03:59:00"),
+      (2L, 203L, "2024-01-01 00:30:00"),
+      (99L, 999L, "2024-01-02 00:00:00")) // advances the watermark only
+    def toDf(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("_1").as("user_id"), col("_2").as("event_id"),
+        to_timestamp(col("_3")).as("ts"))
+
+    val batch = EventStream.intervalJoinLeftSemi(
+        toDf(views.toDF()), toDf(clicks.toDF()))
+      .select(col("l.event_id")).collect().map(_.getLong(0)).toSeq.sorted
+    assert(batch == Seq(100L, 101L)) // once each, 102 absent
+
+    val vMem = MemoryStream[(Long, Long, String)]
+    val cMem = MemoryStream[(Long, Long, String)]
+    vMem.addData(views: _*)
+    cMem.addData(clicks: _*)
+    val joined = EventStream.intervalJoinLeftSemi(
+      toDf(vMem.toDF()).withWatermark("ts", "1 minute"),
+      toDf(cMem.toDF()).withWatermark("ts", "1 minute"))
+    val q = joined.select(col("l.event_id")).writeStream.format("memory")
+      .queryName("ijls").outputMode("append").start()
+    q.processAllAvailable()
+    val streamed = s.table("ijls").collect().map(_.getLong(0)).toSeq.sorted
+    q.stop()
+    assert(streamed == batch)
+  }
+
   test("sessionizeStream emits sessions closed by a gap within the stream") {
     val s = spark
     import s.implicits._
