@@ -1691,6 +1691,156 @@ object TextOps {
                CAST(count(k.h) AS BIGINT) AS n_kept,
                min(k.h) AS first_kept_hash
         FROM q LEFT JOIN k ON q.source = k.source
-        GROUP BY 1, 2, 3"""))
+        GROUP BY 1, 2, 3""")),
+
+    // ----- BM25 retrieval scoring ------------------------------------------------
+    Q(
+      "t24_bm25_scoring",
+      "BM25 document scoring for a fixed 3-term query (the retrieval " +
+        "pass a RAG/dedup pipeline runs over a corpus): standard " +
+        "Robertson idf = ln((N - df + 0.5)/(df + 0.5) + 1), tf " +
+        "saturation k1=1.2, length normalization b=0.75 against the " +
+        "corpus mean length. Float determinism: per-term tfs land in " +
+        "FIXED pivot columns (sum(when), never an agg over terms), so " +
+        "the 3-term score sum evaluates in expression order — no " +
+        "summation-order drift — and only the final score rounds. " +
+        "Top 20 via TakeOrderedAndProject; df/avgdl are scalar " +
+        "broadcast sides, so the corpus shuffles once on (doc, tf).",
+      (s, d) => {
+        val k1 = 1.2; val b = 0.75
+        val docs = Tables.documents(s, d)
+        val toks = docs.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("tok"))
+        val terms = Seq("table", "query", "join")
+        val tf = toks.groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("dl"),
+            sum(when(col("tok") === "table", 1).otherwise(0)).as("tf1"),
+            sum(when(col("tok") === "query", 1).otherwise(0)).as("tf2"),
+            sum(when(col("tok") === "join", 1).otherwise(0)).as("tf3"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val dfs = toks.filter(col("tok").isin(terms: _*))
+          .select(col("doc_id"), col("tok")).distinct()
+          .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+          .groupBy()
+          .pivot("tok", terms).agg(first(col("df")))
+          .select(
+            coalesce(col("table"), lit(0)).as("df1"),
+            coalesce(col("query"), lit(0)).as("df2"),
+            coalesce(col("join"), lit(0)).as("df3"))
+        val avgdl = tf.agg(avg(col("dl")).as("avgdl"))
+        def part(tfc: Column, dfc: Column, nd: Column, dl: Column, ad: Column) =
+          log(((nd - dfc + 0.5) / (dfc + 0.5)) + 1.0) *
+            (tfc * (k1 + 1.0)) /
+            (tfc + lit(k1) * (lit(1.0 - b) + lit(b) * dl / ad))
+        tf.crossJoin(broadcast(n)).crossJoin(broadcast(dfs))
+          .crossJoin(broadcast(avgdl))
+          .select(col("doc_id"),
+            round(
+              part(col("tf1"), col("df1"), col("n_docs"), col("dl"), col("avgdl"))
+                + part(col("tf2"), col("df2"), col("n_docs"), col("dl"), col("avgdl"))
+                + part(col("tf3"), col("df3"), col("n_docs"), col("dl"), col("avgdl")),
+              4).as("bm25"))
+          .filter(col("bm25") > 0)
+          .orderBy(col("bm25").desc, col("doc_id").asc)
+          .limit(20)
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                      FROM documents),
+        tf AS (SELECT doc_id, count(*) AS dl,
+                      sum(CASE WHEN tok = 'table' THEN 1 ELSE 0 END) AS tf1,
+                      sum(CASE WHEN tok = 'query' THEN 1 ELSE 0 END) AS tf2,
+                      sum(CASE WHEN tok = 'join' THEN 1 ELSE 0 END) AS tf3
+               FROM toks GROUP BY 1),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        dfs AS (SELECT
+                  count(DISTINCT CASE WHEN tok = 'table' THEN doc_id END) AS df1,
+                  count(DISTINCT CASE WHEN tok = 'query' THEN doc_id END) AS df2,
+                  count(DISTINCT CASE WHEN tok = 'join' THEN doc_id END) AS df3
+                FROM toks),
+        a AS (SELECT avg(dl) AS avgdl FROM tf)
+        SELECT doc_id,
+               round(
+                 ln((n_docs - df1 + 0.5)/(df1 + 0.5) + 1.0)
+                   * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                 + ln((n_docs - df2 + 0.5)/(df2 + 0.5) + 1.0)
+                   * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                 + ln((n_docs - df3 + 0.5)/(df3 + 0.5) + 1.0)
+                   * (tf3 * 2.2) / (tf3 + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+                 4) AS bm25
+        FROM tf, n, dfs, a
+        WHERE round(
+                 ln((n_docs - df1 + 0.5)/(df1 + 0.5) + 1.0)
+                   * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                 + ln((n_docs - df2 + 0.5)/(df2 + 0.5) + 1.0)
+                   * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                 + ln((n_docs - df3 + 0.5)/(df3 + 0.5) + 1.0)
+                   * (tf3 * 2.2) / (tf3 + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+                 4) > 0
+        ORDER BY bm25 DESC, doc_id ASC LIMIT 20""")),
+
+    // ----- per-source distribution drift ------------------------------------------
+    Q(
+      "t25_source_drift",
+      "Corpus-mixture drift monitor: per source, the L-infinity " +
+        "distance between the source's unigram distribution and the " +
+        "whole-corpus distribution, plus the most-drifted word " +
+        "(ties to the lexicographically first word; selected by " +
+        "equality-joining back to the per-source max, so both engines " +
+        "compare the same bit-identical doubles — no argmax builtin " +
+        "variance) and the source's KL(source || corpus) over its " +
+        "observed words. L-inf and argmax are order-independent (no " +
+        "float-summation nondeterminism); KL sums ~vocabulary-many " +
+        "products and rounds at 4dp (the t17/t18 log precedent). " +
+        "Everything aggregates per (source, word) first — shuffle is " +
+        "vocabulary-sized, never token-stream-sized.",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        val sw = toks.groupBy(col("source"), col("w"))
+          .agg(count(lit(1)).as("c"))
+        val sTot = sw.groupBy(col("source")).agg(sum(col("c")).as("st"))
+        val gw = sw.groupBy(col("w")).agg(sum(col("c")).as("g"))
+        val gTot = gw.agg(sum(col("g")).as("gt"))
+        val joined = sw.join(sTot, Seq("source"))
+          .join(broadcast(gw), Seq("w"))
+          .crossJoin(broadcast(gTot))
+          .select(col("source"), col("w"),
+            (col("c").cast("double") / col("st")).as("p"),
+            (col("g").cast("double") / col("gt")).as("q"))
+        val diffs = joined.select(col("source"), col("w"),
+          abs(col("p") - col("q")).as("ad"),
+          (col("p") * log(col("p") / col("q"))).as("klterm"))
+        val agg = diffs.groupBy(col("source"))
+          .agg(max(col("ad")).as("mad"),
+            round(sum(col("klterm")), 4).as("kl"))
+        agg.join(diffs.select(col("source"), col("w"), col("ad")),
+            Seq("source"))
+          .filter(col("ad") === col("mad"))
+          .groupBy(col("source"), col("mad"), col("kl"))
+          .agg(min(col("w")).as("top_word"))
+          .select(col("source"), round(col("mad"), 6).as("linf"),
+            col("top_word"), col("kl"))
+      },
+      Some("""
+        WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS w
+                      FROM documents),
+        sw AS (SELECT source, w, count(*) AS c FROM toks GROUP BY 1, 2),
+        st AS (SELECT source, sum(c) AS st FROM sw GROUP BY 1),
+        gw AS (SELECT w, sum(c) AS g FROM sw GROUP BY 1),
+        gt AS (SELECT sum(g) AS gt FROM gw),
+        j AS (SELECT sw.source, sw.w,
+                     CAST(sw.c AS DOUBLE) / st.st AS p,
+                     CAST(gw.g AS DOUBLE) / gt.gt AS q
+              FROM sw JOIN st USING (source) JOIN gw USING (w) CROSS JOIN gt),
+        d AS (SELECT source, w, abs(p - q) AS ad, p * ln(p / q) AS klterm
+              FROM j),
+        a AS (SELECT source, max(ad) AS mad, round(sum(klterm), 4) AS kl
+              FROM d GROUP BY 1)
+        SELECT a.source, round(a.mad, 6) AS linf,
+               min(d.w) AS top_word, a.kl
+        FROM a JOIN d ON a.source = d.source AND d.ad = a.mad
+        GROUP BY 1, 2, 4"""))
   )
 }
