@@ -1704,30 +1704,33 @@ object TextOps {
         "FIXED pivot columns (sum(when), never an agg over terms), so " +
         "the 3-term score sum evaluates in expression order — no " +
         "summation-order drift — and only the final score rounds. " +
-        "Top 20 via TakeOrderedAndProject; df/avgdl are scalar " +
-        "broadcast sides, so the corpus shuffles once on (doc, tf).",
+        "Top 20 via TakeOrderedAndProject. The corpus is tokenized " +
+        "ONCE: the per-doc (dl, tf1..tf3) frame is eagerly " +
+        "localCheckpoint'd (doc-sized, the d05/spine5 precedent — " +
+        "exchange reuse can't dedupe these branches because each " +
+        "prunes different columns into the shared subtree), and " +
+        "N/df/avgdl all derive from it as single-row broadcast sides " +
+        "— so the token stream is scanned and shuffled exactly once " +
+        "no matter how many corpus statistics BM25 needs.",
       (s, d) => {
         val k1 = 1.2; val b = 0.75
         val docs = Tables.documents(s, d)
         val toks = docs.select(col("doc_id"),
           explode(split(col("text"), " ")).as("tok"))
-        val terms = Seq("table", "query", "join")
         val tf = toks.groupBy(col("doc_id"))
           .agg(
             count(lit(1)).as("dl"),
             sum(when(col("tok") === "table", 1).otherwise(0)).as("tf1"),
             sum(when(col("tok") === "query", 1).otherwise(0)).as("tf2"),
             sum(when(col("tok") === "join", 1).otherwise(0)).as("tf3"))
-        val n = docs.agg(count(lit(1)).as("n_docs"))
-        val dfs = toks.filter(col("tok").isin(terms: _*))
-          .select(col("doc_id"), col("tok")).distinct()
-          .groupBy(col("tok")).agg(count(lit(1)).as("df"))
-          .groupBy()
-          .pivot("tok", terms).agg(first(col("df")))
-          .select(
-            coalesce(col("table"), lit(0)).as("df1"),
-            coalesce(col("query"), lit(0)).as("df2"),
-            coalesce(col("join"), lit(0)).as("df3"))
+          .localCheckpoint(true)
+        // every doc emits >=1 token (split of "" is [""]), so tf covers
+        // all docs and N/df/avgdl are derivable without re-tokenizing
+        val n = tf.agg(count(lit(1)).as("n_docs"))
+        val dfs = tf.agg(
+          sum(when(col("tf1") > 0, 1).otherwise(0)).as("df1"),
+          sum(when(col("tf2") > 0, 1).otherwise(0)).as("df2"),
+          sum(when(col("tf3") > 0, 1).otherwise(0)).as("df3"))
         val avgdl = tf.agg(avg(col("dl")).as("avgdl"))
         def part(tfc: Column, dfc: Column, nd: Column, dl: Column, ad: Column) =
           log(((nd - dfc + 0.5) / (dfc + 0.5)) + 1.0) *
@@ -1798,8 +1801,11 @@ object TextOps {
       (s, d) => {
         val toks = Tables.documents(s, d)
           .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        // one token pass; the (source, word) frame is vocabulary-sized
+        // and feeds four derivations that exchange reuse cannot dedupe
         val sw = toks.groupBy(col("source"), col("w"))
           .agg(count(lit(1)).as("c"))
+          .localCheckpoint(true)
         val sTot = sw.groupBy(col("source")).agg(sum(col("c")).as("st"))
         val gw = sw.groupBy(col("w")).agg(sum(col("c")).as("g"))
         val gTot = gw.agg(sum(col("g")).as("gt"))

@@ -124,6 +124,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("t24/t25 tokenize the corpus once: plans read only the checkpointed stage") {
+    // the N/df/avgdl (t24) and st/gw/gt (t25) branches prune different
+    // columns into the shared token subtree, so exchange reuse can't
+    // dedupe them; the eager localCheckpoint is what keeps the corpus
+    // scan count at one. A parquet scan in these plans means a branch
+    // escaped the checkpoint and re-tokenizes the corpus.
+    Seq("t24_bm25_scoring", "t25_source_drift").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("Scan parquet"),
+        s"$q re-reads the corpus instead of the checkpointed stage:\n${p.take(3000)}")
+    }
+  }
+
   test("t18 ranks through the TopKPerKey heap operator, not a window sort") {
     val p = planOf("t18_tfidf_topterms")
     assert("TopKPerKey".r.findAllIn(p).size == 2,
