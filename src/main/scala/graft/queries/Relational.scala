@@ -776,6 +776,46 @@ object Relational {
         FROM events e JOIN dim d USING (event_type)
         GROUP BY 1""")),
 
+    // ----- quantile feature binning via the two-stage global rank ---------------
+    Q(
+      "a18_decile_bands",
+      "Decile feature-binning (the ML-pipeline discretization pass: " +
+        "bucket each customer's total spend into 10 equal-population-" +
+        "of-distinct-values bands): band = floor(idx * 10 / nd) over " +
+        "the 0-based GlobalRank index of DISTINCT spend values — all " +
+        "integer math after the rank, so bands are exact cross-engine. " +
+        "The rank itself is the a11 two-stage operator (range-" +
+        "repartition + per-partition window + broadcast offsets): NO " +
+        "unpartitioned window anywhere, so the binning survives a " +
+        "near-unique key at any cardinality. Oracle replays with " +
+        "dense_rank over the distinct values.",
+      (s, d) => {
+        val spend = Tables.orders(s, d)
+          .groupBy(col("o_custkey"))
+          .agg(round(sum(col("o_totalprice")), 2).as("s"))
+        val idx = graft.operators.GlobalRank
+          .zeroBasedIndex(spend.select(col("s")).distinct(), "s")
+        val nd = idx.agg(count(lit(1)).as("nd"))
+        spend.join(idx, Seq("s")).crossJoin(broadcast(nd))
+          .select(col("o_custkey"), col("s"),
+            floor(col("idx") * 10 / col("nd")).as("band"))
+          .groupBy(col("band"))
+          .agg(count(lit(1)).as("n_cust"),
+            round(min(col("s")), 2).as("lo"),
+            round(max(col("s")), 2).as("hi"))
+      },
+      Some("""
+        WITH spend AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS s
+                       FROM orders GROUP BY 1),
+        d AS (SELECT s, dense_rank() OVER (ORDER BY s) - 1 AS idx
+              FROM (SELECT DISTINCT s FROM spend)),
+        nd AS (SELECT count(*) AS nd FROM d)
+        SELECT CAST(floor(idx * 10 / nd.nd) AS BIGINT) AS band,
+               count(*) AS n_cust,
+               round(min(s), 2) AS lo, round(max(s), 2) AS hi
+        FROM spend JOIN d USING (s) CROSS JOIN nd
+        GROUP BY 1""")),
+
     // ----- P2/P3: filter + projection pushdown (TPC-H Q6 shape) ---------------
     Q(
       "p02_pushdown_agg",

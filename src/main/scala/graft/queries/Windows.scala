@@ -452,6 +452,34 @@ object Windows {
         FROM events GROUP BY 1, 2""")),
 
     Q(
+      "st10_hopping_window",
+      "HOPPING 6h windows sliding every 3h (§2.10: the overlapping-" +
+        "window trend view — each event lands in exactly width/slide " +
+        "= 2 windows). EventStream.hoppingWindowAgg is the same " +
+        "declarative window(ts, width, slide) batch and streaming; " +
+        "the oracle replays the 3h-grid membership arithmetic " +
+        "explicitly (window starts floor3h(ts) and floor3h(ts)-3h, " +
+        "both always containing ts). Bucket formatted as string for " +
+        "engine-neutral compare (the st01 convention).",
+      (s, d) => {
+        graft.streaming.EventStream.hoppingWindowAgg(
+            Tables.events(s, d), "6 hours", "3 hours")
+          .select(
+            date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("bucket"),
+            col("event_type"), col("n"), col("total"))
+      },
+      Some("""
+        WITH x AS (
+          SELECT event_type, value,
+                 TIMESTAMP '2024-01-01'
+                   + (CAST(floor(date_diff('second', TIMESTAMP '2024-01-01', ts) / 10800.0) AS BIGINT) - k)
+                     * INTERVAL 3 HOUR AS wstart
+          FROM events, unnest([0, 1]) AS t(k))
+        SELECT strftime(wstart, '%Y-%m-%d %H:%M') AS bucket,
+               event_type, count(*) AS n, round(sum(value), 2) AS total
+        FROM x GROUP BY 1, 2""")),
+
+    Q(
       "st02_stream_dedup_agg",
       "At-least-once repair + windowed agg (§2.10 late-data dedup: " +
         "deduplicate_silver.py semantics, streamed): 10% of events are " +

@@ -126,6 +126,23 @@ object EventStream {
       s"l.user_id = r.user_id AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL $window"),
       "full_outer")
 
+  /** Hopping (sliding) event-time windows: `width`-long windows every
+    * `slide` (width > slide ⇒ each event lands in width/slide windows —
+    * the overlapping-window trend view). Same declarative form batch
+    * and streaming; on a watermarked stream state is one open window
+    * set per key, evicted as the watermark passes each window end. */
+  def hoppingWindowAgg(events: DataFrame, width: String = "6 hours",
+      slide: String = "3 hours"): DataFrame =
+    events.groupBy(
+        window(col("ts"), width, slide).as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("total"))
+
+  def hoppingWindowAggStreaming(events: DataFrame, width: String = "6 hours",
+      slide: String = "3 hours", watermark: String = "1 hour"): DataFrame =
+    hoppingWindowAgg(events.withWatermark("ts", watermark), width, slide)
+
   /** Left-semi event-time interval join — left rows that have AT LEAST
     * one same-key right row inside [l.ts, l.ts + window], emitted once
     * each with no right-side columns (the existence filter: "views

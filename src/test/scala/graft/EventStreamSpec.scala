@@ -39,6 +39,39 @@ class EventStreamSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("hoppingWindowAgg: every event lands in width/slide windows; stream equals batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val rows = Seq(
+      ("2024-01-01 01:00:00", "click", 1.0),  // windows starting 21:00(-1d) and 00:00
+      ("2024-01-01 04:30:00", "click", 2.0),  // 00:00 and 03:00
+      ("2024-01-01 07:00:00", "view", 3.0))   // 03:00 and 06:00
+    def toDf(df: org.apache.spark.sql.DataFrame) =
+      df.select(to_timestamp(col("_1")).as("ts"), col("_2").as("event_type"),
+        col("_3").as("value"))
+
+    val batch = EventStream.hoppingWindowAgg(toDf(rows.toDF()), "6 hours", "3 hours")
+      .select(col("w.start").cast("long").as("ws"), col("event_type"),
+        col("n"), col("total")).collect().toSet
+    // width/slide = 2 windows per event -> 6 memberships; the two
+    // clicks share the 00:00 window -> 5 (window, type) groups
+    assert(batch.size == 5)
+    assert(batch.exists { r => r.getLong(2) == 2L }) // the shared window
+
+    val mem = MemoryStream[(String, String, Double)]
+    mem.addData(rows: _*)
+    val q = EventStream.hoppingWindowAgg(toDf(mem.toDF()), "6 hours", "3 hours")
+      .select(col("w.start").cast("long").as("ws"), col("event_type"),
+        col("n"), col("total"))
+      .writeStream.format("memory").queryName("hwagg")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    val streamed = s.table("hwagg").collect().toSet
+    q.stop()
+    assert(streamed == batch)
+  }
+
   test("sessionWindowAgg boundary: exact-gap successor MERGES (same as w06's > gap); gap+1s splits") {
     val s = spark
     import s.implicits._
