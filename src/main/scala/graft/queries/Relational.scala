@@ -671,6 +671,42 @@ object Relational {
           FROM events) t
         WHERE r <= 3""")),
 
+    Q(
+      "o07_zorder_key",
+      "Z-order (Morton) clustering keys (operators/ZOrder): the " +
+        "multi-dimensional layout key behind lakehouse OPTIMIZE " +
+        "ZORDER — bit-interleave (user_id, value-bin) so rows close " +
+        "in EITHER dimension land close on disk and row-group min/max " +
+        "stats prune filters on both columns. Pure builtin shiftleft/" +
+        "AND/OR folds (WholeStageCodegen, no UDF). Gated on the " +
+        "integer key math plus per-z-range locality stats: each " +
+        "coarse z bucket spans a BOUNDED box in (user, bin) space — " +
+        "the property that makes the pruning work. Oracle replays the " +
+        "identical bit arithmetic.",
+      (s, d) => {
+        val e = Tables.events(s, d).select(
+          pmod(col("user_id"), lit(65536)).as("x"),
+          pmod(floor(col("value")).cast("long"), lit(65536)).as("y"))
+        e.select(col("x"), col("y"),
+            graft.operators.ZOrder.zValue(col("x"), col("y")).as("z"))
+          .groupBy(shiftright(col("z"), 8).as("zbucket"))
+          .agg(count(lit(1)).as("n"),
+            min(col("x")).as("x_lo"), max(col("x")).as("x_hi"),
+            min(col("y")).as("y_lo"), max(col("y")).as("y_hi"),
+            min(col("z")).as("z_lo"), max(col("z")).as("z_hi"))
+      },
+      Some(s"""
+        WITH e AS (SELECT user_id % 65536 AS x,
+                          CAST(floor(value) AS BIGINT) % 65536 AS y
+                   FROM events),
+        z AS (SELECT x, y, ${graft.operators.ZOrder.zValueSql("x", "y")} AS z
+              FROM e)
+        SELECT z >> 8 AS zbucket, count(*) AS n,
+               min(x) AS x_lo, max(x) AS x_hi,
+               min(y) AS y_lo, max(y) AS y_hi,
+               min(z) AS z_lo, max(z) AS z_hi
+        FROM z GROUP BY 1""")),
+
     // ----- skew handling: two-stage salted aggregation -------------------------
     Q(
       "a16_salted_skew_agg",
