@@ -714,6 +714,51 @@ object Windows {
       },
       Some("""
         SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
-        FROM events GROUP BY 1"""))
+        FROM events GROUP BY 1""")),
+
+    Q(
+      "st11_incremental_join_view",
+      "Incremental JOIN-view maintenance (streaming/IncrementalJoin — " +
+        "the IVM counterpart of st05's aggregate): view = events LEFT " +
+        "JOIN latest(customer-segment dim), maintained through 3 " +
+        "micro-batches of fact appends INTERLEAVED with a dim upsert " +
+        "wave (custkey%7==0 flips to PROMO in batch 1 — so rows " +
+        "joined in batch 0 must be RETROACTIVELY refreshed, the case " +
+        "a naive append-only enrich gets wrong). The view is hash-" +
+        "bucketed and maintained via dynamic partition overwrite: " +
+        "per-batch work is delta-proportional, untouched buckets are " +
+        "never read or written (IncrementalJoinSpec pins byte-" +
+        "stability, replay idempotency, late-dim healing). Oracle is " +
+        "the one-shot join with the final dim state.",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("graft_st11_")
+        org.apache.commons.io.FileUtils.forceDeleteOnExit(dir.toFile)
+        val cfg = graft.streaming.IncrementalJoin.Config(
+          factId = "fid", key = "k", buckets = 8)
+        val e = Tables.events(s, d).select(
+          col("event_id").as("fid"), col("user_id").as("k"),
+          col("value").as("v"))
+        val c = Tables.customer(s, d).select(
+          col("c_custkey").as("k"), col("c_mktsegment").as("seg"))
+        val dims = Seq(
+          c,                                                    // batch 0: full dim
+          c.filter(pmod(col("k"), lit(7)) === 0)
+            .withColumn("seg", lit("PROMO")),                   // batch 1: upsert wave
+          c.limit(0))                                           // batch 2: fact-only
+        (0 until 3).foreach { b =>
+          graft.streaming.IncrementalJoin.applyBatch(
+            e.filter(pmod(col("fid"), lit(3)) === b), dims(b),
+            b.toLong, cfg, dir.toString)
+        }
+        graft.streaming.IncrementalJoin.read(s, dir.toString)
+          .select(col("fid"), col("k"), round(col("v"), 2).as("v"), col("seg"))
+      },
+      Some("""
+        SELECT e.event_id AS fid, e.user_id AS k,
+               round(e.value, 2) AS v,
+               CASE WHEN c.c_custkey % 7 = 0 THEN 'PROMO'
+                    ELSE c.c_mktsegment END AS seg
+        FROM events e
+        LEFT JOIN customer c ON e.user_id = c.c_custkey"""))
   )
 }
