@@ -555,6 +555,64 @@ object Relational {
                     ELSE 'updated' END AS op
         FROM target t FULL OUTER JOIN source s ON t.custkey = s.custkey""")),
 
+    // ----- CDC: snapshot diff -> change rows --------------------------------------
+    Q(
+      "u09_snapshot_cdc",
+      "Change-data-capture by snapshot diff (the complement of u08's " +
+        "MERGE: given yesterday's and today's table states, emit the " +
+        "I/U/D change rows a downstream consumer replays — how a " +
+        "lakehouse derives a CDC feed from full snapshots when the " +
+        "source has no log). One full-outer join on the key; ops " +
+        "tagged by join-match markers (the u08 rule: never value " +
+        "nullness) and U only where the payload actually changed — " +
+        "unchanged rows produce NO event. New state is simulated " +
+        "deterministically: custkey%13==0 deleted, %11==0 rebalanced " +
+        "+100, %17==0 cloned to key+1000000 as inserts. Scale: one " +
+        "key-partitioned shuffle per side, zero on a bucketed layout.",
+      (s, d) => {
+        val cust = Tables.customer(s, d)
+        val old = cust.select(col("c_custkey").cast("long").as("k"),
+          round(col("c_acctbal"), 2).as("bal"))
+        val newSnap = old
+          .filter(pmod(col("k"), lit(13)) =!= 0)
+          .withColumn("bal",
+            when(pmod(col("k"), lit(11)) === 0, round(col("bal") + 100.0, 2))
+              .otherwise(col("bal")))
+          .unionByName(old.filter(pmod(col("k"), lit(17)) === 0)
+            .select((col("k") + 1000000L).as("k"), col("bal")))
+        val o = old.withColumn("__mo", lit(1))
+          .select(col("k"), col("bal").as("bal_before"), col("__mo"))
+        val n = newSnap.withColumn("__mn", lit(1))
+          .select(col("k"), col("bal").as("bal_after"), col("__mn"))
+        o.join(n, Seq("k"), "full_outer")
+          .withColumn("op",
+            when(col("__mo").isNull, "I")
+              .when(col("__mn").isNull, "D")
+              .when(col("bal_before") =!= col("bal_after"), "U"))
+          .filter(col("op").isNotNull)
+          .select(col("k"), col("op"), col("bal_before"), col("bal_after"))
+      },
+      Some("""
+        WITH old AS (SELECT CAST(c_custkey AS BIGINT) AS k,
+                            round(c_acctbal, 2) AS bal FROM customer),
+        newsnap AS (
+          SELECT k, CASE WHEN k % 11 = 0 THEN round(bal + 100.0, 2)
+                         ELSE bal END AS bal
+          FROM old WHERE k % 13 <> 0
+          UNION ALL
+          SELECT k + 1000000, bal FROM old WHERE k % 17 = 0),
+        o AS (SELECT k, bal AS bal_before, 1 AS mo FROM old),
+        n AS (SELECT k, bal AS bal_after, 1 AS mn FROM newsnap)
+        SELECT coalesce(o.k, n.k) AS k,
+               CASE WHEN o.mo IS NULL THEN 'I'
+                    WHEN n.mn IS NULL THEN 'D'
+                    WHEN o.bal_before <> n.bal_after THEN 'U' END AS op,
+               o.bal_before, n.bal_after
+        FROM o FULL OUTER JOIN n ON o.k = n.k
+        WHERE CASE WHEN o.mo IS NULL THEN 'I'
+                   WHEN n.mn IS NULL THEN 'D'
+                   WHEN o.bal_before <> n.bal_after THEN 'U' END IS NOT NULL""")),
+
     // ----- O4: top-k ----------------------------------------------------------
     Q(
       "o04_topk",

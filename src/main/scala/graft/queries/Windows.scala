@@ -333,6 +333,52 @@ object Windows {
                  ORDER BY ts, event_id)) AS valid_to_us
         FROM events""")),
 
+    // ----- ordered funnel analysis ---------------------------------------------------
+    Q(
+      "w10_funnel_stages",
+      "Ordered funnel (the product-analytics sequence query: view -> " +
+        "click AFTER the view -> purchase AFTER the click, per user): " +
+        "stage timestamps chain as min-after-predecessor, so an " +
+        "earlier click or purchase cannot satisfy a later stage. " +
+        "Emits per-user deepest stage (0-3) + per-stage epoch-us " +
+        "times. Each stage is a keyed agg over the previous (tiny, " +
+        "user-sized) frame broadcast back against events — the event " +
+        "stream shuffles once per stage on the user key, never " +
+        "globally. Oracle replays the same min-after chain.",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        val v = e.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("us")).as("t_view"))
+        val c = e.join(broadcast(v), Seq("user_id"))
+          .filter(col("event_type") === "click" && col("us") > col("t_view"))
+          .groupBy(col("user_id")).agg(min(col("us")).as("t_click"))
+        val p = e.join(broadcast(c), Seq("user_id"))
+          .filter(col("event_type") === "purchase" && col("us") > col("t_click"))
+          .groupBy(col("user_id")).agg(min(col("us")).as("t_purchase"))
+        v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+          .select(col("user_id"),
+            (lit(1) + when(col("t_click").isNotNull, 1).otherwise(0)
+              + when(col("t_purchase").isNotNull, 1).otherwise(0)).as("stage"),
+            col("t_view"), col("t_click"), col("t_purchase"))
+      },
+      Some("""
+        WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        v AS (SELECT user_id, min(us) AS t_view FROM e
+              WHERE event_type = 'view' GROUP BY 1),
+        c AS (SELECT e.user_id, min(e.us) AS t_click
+              FROM e JOIN v USING (user_id)
+              WHERE e.event_type = 'click' AND e.us > v.t_view GROUP BY 1),
+        p AS (SELECT e.user_id, min(e.us) AS t_purchase
+              FROM e JOIN c USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.us > c.t_click GROUP BY 1)
+        SELECT v.user_id,
+               1 + CASE WHEN c.t_click IS NOT NULL THEN 1 ELSE 0 END
+                 + CASE WHEN p.t_purchase IS NOT NULL THEN 1 ELSE 0 END AS stage,
+               v.t_view, c.t_click, p.t_purchase
+        FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""")),
+
     // ----- W8: ranking columns ------------------------------------------------------
     Q(
       "w08_rank",
