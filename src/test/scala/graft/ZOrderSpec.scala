@@ -1,5 +1,7 @@
 package graft
 
+import java.nio.file.Files
+
 import org.apache.spark.sql.functions._
 import graft.operators.ZOrder
 
@@ -45,6 +47,46 @@ class ZOrderSpec extends SparkSpec {
       .collect().map(_.getLong(0))
     // quadrant = (y_msb << 1) | x_msb = z's top two bits
     assert(zs.map(_ >> 30).toSeq == Seq(0L, 1L, 2L, 3L))
+  }
+
+  test("parquet row-group pruning: the z layout prunes on the NON-sort dimension too") {
+    val s = spark
+    import s.implicits._
+    // full 256x256 grid; small row groups so min/max stats have
+    // skipping granularity; same data, two layouts. Row-group stats
+    // are per-COLUMN (x, y — never z), so the x-sorted file prunes
+    // x filters perfectly and y filters not at all, while z-sorted
+    // groups are 2-D boxes with bounded x AND y ranges: the payoff
+    // (and the tradeoff — on pure x filters the x sort stays ahead).
+    val pts = (for (x <- 0 until 256; y <- 0 until 256) yield (x.toLong, y.toLong))
+    val df = pts.toDF("x", "y")
+      .select(col("x"), col("y"), ZOrder.zValue(col("x"), col("y"), 8).as("z"))
+    val dir = Files.createTempDirectory("graft_zorder_")
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(dir.toFile)
+    def write(sorted: org.apache.spark.sql.DataFrame, name: String): String = {
+      val p = s"$dir/$name"
+      sorted.coalesce(1).write
+        .option("parquet.block.size", (64 * 1024).toString)
+        .mode("overwrite").parquet(p)
+      p
+    }
+    val zPath = write(df.orderBy(col("z")), "byz")
+    val xPath = write(df.orderBy(col("x"), col("y")), "byx")
+    def scanRows(path: String): Long = {
+      val q = s.read.parquet(path)
+        .filter(col("y").between(100, 107)) // the dimension x-sort can't prune
+      // execute THIS frame so the metrics below are the executed scan's
+      val n = q.collect().length
+      assert(n == 8 * 256, s"slice should hold 2048 rows, got $n")
+      val leaves = q.queryExecution.executedPlan.collectLeaves()
+      leaves.map(_.metrics.get("numOutputRows").map(_.value).getOrElse(0L)).sum
+    }
+    val zRead = scanRows(zPath)
+    val xRead = scanRows(xPath)
+    assert(xRead >= 65536L * 99 / 100, // a tiny tail group may still prune
+      s"x-sorted groups span all of y, the y filter reads ~everything (got $xRead)")
+    assert(zRead * 2 < xRead,
+      s"z layout should skip most row groups on a y filter: z=$zRead vs x=$xRead")
   }
 
   test("locality: fixed-size z-sorted chunks bound BOTH dims; x-sorted chunks don't bound y") {
