@@ -34,7 +34,7 @@ object HeavyHitters {
     * from every counter and drop the non-positive ones (the classic
     * MG merge of Agarwal et al., "Mergeable Summaries").
     */
-  private[operators] def merge(
+  private[graft] def merge(
       a: mutable.Map[String, Long], b: mutable.Map[String, Long], k: Int)
       : mutable.Map[String, Long] = {
     b.foreach { case (t, c) => a.update(t, a.getOrElse(t, 0L) + c) }
@@ -47,7 +47,7 @@ object HeavyHitters {
     a
   }
 
-  private[operators] def offer(
+  private[graft] def offer(
       acc: mutable.Map[String, Long], t: String, k: Int): Unit = {
     acc.get(t) match {
       case Some(c) => acc.update(t, c + 1)
