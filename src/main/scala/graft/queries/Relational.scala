@@ -765,6 +765,46 @@ object Relational {
                min(z) AS z_lo, max(z) AS z_hi
         FROM z GROUP BY 1""")),
 
+    Q(
+      "gr01_triangle_count",
+      "Distributed triangle counting (operators/Triangles, the degree-" +
+        "orientation kernel): per-part triangle participation in the " +
+        "co-purchase graph (parts sharing >= 2 orders). Orientation " +
+        "by (degree, id) makes each triangle countable at exactly one " +
+        "pivot and bounds out-degree by O(sqrt(m)) — the wedge join " +
+        "cannot explode on hub products, which is what kills the " +
+        "naive neighbor self-join at 100 TB. Two shuffled equi-joins, " +
+        "exact integer output. Oracle is the canonical-edge triple " +
+        "join.",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        val pairs = li.as("l1").join(li.as("l2"),
+            col("l1.o") === col("l2.o") && col("l1.p") < col("l2.p"))
+          .select(col("l1.o").as("o"), col("l1.p").as("pa"), col("l2.p").as("pb"))
+        val edges = pairs.groupBy(col("pa"), col("pb"))
+          .agg(countDistinct(col("o")).as("no"))
+          .filter(col("no") >= 2)
+          .select(col("pa"), col("pb"))
+        graft.operators.Triangles.perNode(edges, "pa", "pb")
+      },
+      Some("""
+        WITH pairs AS (
+          SELECT l1.l_orderkey AS o, l1.l_partkey AS pa, l2.l_partkey AS pb
+          FROM lineitem l1 JOIN lineitem l2
+            ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+        e AS (SELECT pa AS u, pb AS v FROM pairs GROUP BY 1, 2
+              HAVING count(DISTINCT o) >= 2),
+        t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+              FROM e e1
+              JOIN e e2 ON e2.u = e1.v
+              JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+        SELECT node, count(*) AS n_tri FROM (
+          SELECT a AS node FROM t
+          UNION ALL SELECT b FROM t
+          UNION ALL SELECT c FROM t)
+        GROUP BY 1""")),
+
     // ----- skew handling: two-stage salted aggregation -------------------------
     Q(
       "a16_salted_skew_agg",
