@@ -779,11 +779,20 @@ object Relational {
       (s, d) => {
         val li = Tables.lineitem(s, d)
           .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        val pairs = li.as("l1").join(li.as("l2"),
-            col("l1.o") === col("l2.o") && col("l1.p") < col("l2.p"))
-          .select(col("l1.o").as("o"), col("l1.p").as("pa"), col("l2.p").as("pb"))
+        // pair generation WITHOUT a self-join: one shuffle on the order
+        // key collects each order's (bounded, ~7-item) part set, then a
+        // codegen'd array comprehension emits the sorted combinations —
+        // the self-join form shuffles the lineitem table twice and
+        // rehashes per pair; this ships each order's set once
+        val pairs = li.groupBy(col("o"))
+          .agg(array_sort(collect_set(col("p"))).as("ps"))
+          .select(col("o"), explode(expr(
+            "flatten(transform(ps, (x, i) -> " +
+              "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS pa, y AS pb))))"))
+            .as("pr"))
+          .select(col("o"), col("pr.pa").as("pa"), col("pr.pb").as("pb"))
         val edges = pairs.groupBy(col("pa"), col("pb"))
-          .agg(countDistinct(col("o")).as("no"))
+          .agg(count(lit(1)).as("no"))
           .filter(col("no") >= 2)
           .select(col("pa"), col("pb"))
         graft.operators.Triangles.perNode(edges, "pa", "pb")
