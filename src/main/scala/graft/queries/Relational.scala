@@ -814,6 +814,57 @@ object Relational {
           UNION ALL SELECT c FROM t)
         GROUP BY 1""")),
 
+    Q(
+      "gr02_pagerank",
+      "PageRank at a PINNED 2 iterations (operators/PageRank; the " +
+        "dm10/v05 bounded-iteration gating convention — production " +
+        "runs pick 10-20, the gate proves the per-iteration math and " +
+        "wiring hash-exactly): rank flows over the undirected " +
+        "co-purchase graph as one join + one keyed agg per round, no " +
+        "driver-side graph state, lineage cut per round by eager " +
+        "checkpoint (the ConnectedComponents lesson). Gated through " +
+        "the FIXED-POINT micro-unit form (t23's integer-weight " +
+        "convention): pure BIGINT arithmetic, bit-identical on any " +
+        "engine and summation order — the float form's exact-rational " +
+        "rank values land ON 6dp rounding boundaries and ulp drift " +
+        "flips them (measured: 10/600 rows). Float form is " +
+        "PageRankSpec-tested against this one. Oracle replays both " +
+        "iterations as CTEs in BIGINT.",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        val pairs = li.groupBy(col("o"))
+          .agg(array_sort(collect_set(col("p"))).as("ps"))
+          .select(col("o"), explode(expr(
+            "flatten(transform(ps, (x, i) -> " +
+              "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS pa, y AS pb))))"))
+            .as("pr"))
+          .select(col("o"), col("pr.pa").as("pa"), col("pr.pb").as("pb"))
+        val edges = pairs.groupBy(col("pa"), col("pb"))
+          .agg(count(lit(1)).as("no"))
+          .filter(col("no") >= 2)
+          .select(col("pa"), col("pb"))
+        graft.operators.PageRank.runExactMicro(edges, "pa", "pb", iters = 2)
+      },
+      Some("""
+        WITH pairs AS (
+          SELECT l1.l_orderkey AS o, l1.l_partkey AS pa, l2.l_partkey AS pb
+          FROM lineitem l1 JOIN lineitem l2
+            ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+        e AS (SELECT pa AS u, pb AS v FROM pairs GROUP BY 1, 2
+              HAVING count(DISTINCT o) >= 2),
+        dir AS (SELECT u AS s, v AS t FROM e
+                UNION ALL SELECT v, u FROM e),
+        od AS (SELECT s, count(*) AS od FROM dir GROUP BY 1),
+        p1 AS (SELECT dir.t AS node,
+                      150000 + sum((1000000 * 85) // (100 * od.od)) AS pm
+               FROM dir JOIN od ON od.s = dir.s GROUP BY 1),
+        p2 AS (SELECT dir.t AS node,
+                      150000 + sum((p1.pm * 85) // (100 * od.od)) AS pm
+               FROM dir JOIN od ON od.s = dir.s JOIN p1 ON p1.node = dir.s
+               GROUP BY 1)
+        SELECT node, CAST(pm AS BIGINT) AS pm FROM p2""")),
+
     // ----- skew handling: two-stage salted aggregation -------------------------
     Q(
       "a16_salted_skew_agg",
