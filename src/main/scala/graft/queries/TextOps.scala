@@ -1693,6 +1693,42 @@ object TextOps {
         FROM q LEFT JOIN k ON q.source = k.source
         GROUP BY 1, 2, 3""")),
 
+    // ----- deterministic weighted sampling -----------------------------------------
+    Q(
+      "t26_weighted_sample",
+      "Weighted sampling without replacement, DETERMINISTIC (the " +
+        "quality-weighted corpus subsample: longer docs proportionally " +
+        "likelier, same winners on any engine/cluster/day): the " +
+        "Efraimidis-Spirakis one-pass scheme with the RNG replaced by " +
+        "an md5-derived uniform — u = (first 12 md5 hex chars + 1) / " +
+        "(2^48 + 1), key = ln(u)/w, keep the top-20 keys. E-S proves " +
+        "P(selection) proportional to w with a SINGLE pass and a " +
+        "k-bounded heap (TakeOrderedAndProject here — no global " +
+        "sort), which is what makes weighted subsampling tractable at " +
+        "100 TB: no per-item RNG state, no rejection loop, " +
+        "restart-safe. 48 bits keeps the integer double-exact in both " +
+        "engines.",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        docs.select(col("doc_id"), col("n_chars"),
+            (conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+              .cast("long") + 1L).as("v"))
+          .select(col("doc_id"), col("n_chars"),
+            (log(col("v").cast("double") / lit(281474976710657.0))
+              / col("n_chars")).as("key"))
+          .orderBy(col("key").desc, col("doc_id").asc)
+          .limit(20)
+          .select(col("doc_id"), col("n_chars"), round(col("key"), 12).as("key"))
+      },
+      Some("""
+        WITH k AS (
+          SELECT doc_id, n_chars,
+                 ln(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::UBIGINT + 1 AS DOUBLE)
+                    / 281474976710657.0) / n_chars AS key
+          FROM documents)
+        SELECT doc_id, n_chars, round(key, 12) AS key
+        FROM k ORDER BY key DESC, doc_id ASC LIMIT 20""")),
+
     // ----- BM25 retrieval scoring ------------------------------------------------
     Q(
       "t24_bm25_scoring",
