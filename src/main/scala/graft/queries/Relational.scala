@@ -970,6 +970,42 @@ object Relational {
         FROM events e JOIN dim d USING (event_type)
         GROUP BY 1""")),
 
+    Q(
+      "a19_weighted_median",
+      "Exact weighted median per group (robust stats: the " +
+        "quantity-weighted median line-item price per return flag — " +
+        "where a plain median misweights bulk lines): order rows in " +
+        "each group by (value, unique tiebreak), running weight sum, " +
+        "median = first value whose doubled cumulative weight reaches " +
+        "the group total (the lower weighted median — a deterministic " +
+        "convention both engines replay). One KEYED window per group " +
+        "+ a tiny group agg — no global sort, no unpartitioned " +
+        "window; at 100 TB this is the same shuffle a groupBy pays.",
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(
+          col("l_returnflag").as("g"),
+          col("l_extendedprice").as("v"),
+          col("l_quantity").as("w"),
+          col("l_orderkey"), col("l_linenumber"))
+        val win = Window.partitionBy(col("g"))
+          .orderBy(col("v").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+        val cum = li.withColumn("cw", sum(col("w")).over(win))
+        val tot = li.groupBy(col("g")).agg(sum(col("w")).as("tw"))
+        cum.join(broadcast(tot), Seq("g"))
+          .filter(col("cw") * 2 >= col("tw"))
+          .groupBy(col("g"))
+          .agg(round(min(col("v")), 2).as("wmedian"))
+      },
+      Some("""
+        WITH c AS (
+          SELECT l_returnflag AS g, l_extendedprice AS v,
+                 sum(l_quantity) OVER (PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS cw,
+                 sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+          FROM lineitem)
+        SELECT g, round(min(v), 2) AS wmedian
+        FROM c WHERE cw * 2 >= tw GROUP BY 1""")),
+
     // ----- quantile feature binning via the two-stage global rank ---------------
     Q(
       "a18_decile_bands",
