@@ -58,6 +58,58 @@ object PageRank {
     ranks
   }
 
+  /** Converged fixed-point variant (the dm10d/v05d early-stop recipe
+    * applied to the last bounded-iteration-only kernel): iterate
+    * [[runExactMicro]]'s exact BIGINT update until the L-infinity
+    * rank delta is <= `tolMicro` micro-units, then return the ranks
+    * plus an `iters` column recording the round the convergence TEST
+    * stopped at. Because every quantity is an exact integer, the
+    * stop decision is bit-deterministic on any engine/partitioning —
+    * there is no float tolerance cliff; any tolMicro strictly between
+    * the round-K and round-K+1 deltas pins K exactly.
+    *
+    * Throws if maxIters rounds pass without convergence (the
+    * ConnectedComponents unconverged-exit convention) — a silent
+    * truncated result would be indistinguishable from a converged
+    * one. The per-round delta is a single driver-side scalar (the
+    * sanctioned bounded-collect class). */
+  def runConvergedMicro(edges: DataFrame, a: String, b: String,
+      tolMicro: Long, maxIters: Int): DataFrame = {
+    require(maxIters >= 1 && maxIters <= 100,
+      s"maxIters $maxIters outside [1, 100]")
+    val e = edges.select(col(a).as("s"), col(b).as("t"))
+      .filter(col("s") =!= col("t"))
+      .distinct()
+    val dir = e.unionAll(e.select(col("t").as("s"), col("s").as("t")))
+      .localCheckpoint(true)
+    val outdeg = dir.groupBy(col("s")).agg(count(lit(1)).as("od"))
+    val withDeg = dir.join(outdeg, Seq("s")).localCheckpoint(true)
+    var ranks = outdeg.select(col("s").as("node"), lit(1000000L).as("pm"))
+      .localCheckpoint(true)
+    var it = 0
+    var delta = Long.MaxValue
+    while (delta > tolMicro) {
+      if (it >= maxIters)
+        throw new IllegalStateException(
+          s"PageRank did not converge to L-inf <= $tolMicro micro-units " +
+            s"in $maxIters iterations (last delta $delta)")
+      val next = withDeg
+        .join(ranks, col("s") === col("node"))
+        .groupBy(col("t"))
+        .agg(sum(expr("(pm * 85) div (100 * od)")).as("m"))
+        .select(col("t").as("node"), (lit(150000L) + col("m")).as("pm"))
+        .localCheckpoint(true)
+      val row = next.join(
+          ranks.select(col("node"), col("pm").as("pm0")), Seq("node"))
+        .agg(max(abs(col("pm") - col("pm0"))).as("d"))
+        .head()
+      delta = if (row.isNullAt(0)) 0L else row.getLong(0)
+      ranks = next
+      it += 1
+    }
+    ranks.withColumn("iters", lit(it))
+  }
+
   /** @return (node, rank) after exactly `iters` updates, damping `d`. */
   def run(edges: DataFrame, a: String, b: String,
       iters: Int, d: Double = 0.85): DataFrame = {

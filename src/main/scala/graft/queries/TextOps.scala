@@ -1714,20 +1714,61 @@ object TextOps {
             (conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
               .cast("long") + 1L).as("v"))
           .select(col("doc_id"), col("n_chars"),
-            (log(col("v").cast("double") / lit(281474976710657.0))
-              / col("n_chars")).as("key"))
+            // round BEFORE the top-k cut: ln() is libm-dependent, so an
+            // unrounded rank-20 boundary could flip across engines; 12dp +
+            // doc_id tiebreak makes the cut point drift-free (t17/gr02
+            // convention)
+            round(log(col("v").cast("double") / lit(281474976710657.0))
+              / col("n_chars"), 12).as("key"))
           .orderBy(col("key").desc, col("doc_id").asc)
           .limit(20)
-          .select(col("doc_id"), col("n_chars"), round(col("key"), 12).as("key"))
       },
       Some("""
         WITH k AS (
           SELECT doc_id, n_chars,
-                 ln(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::UBIGINT + 1 AS DOUBLE)
-                    / 281474976710657.0) / n_chars AS key
+                 round(ln(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::UBIGINT + 1 AS DOUBLE)
+                    / 281474976710657.0) / n_chars, 12) AS key
           FROM documents)
-        SELECT doc_id, n_chars, round(key, 12) AS key
+        SELECT doc_id, n_chars, key
         FROM k ORDER BY key DESC, doc_id ASC LIMIT 20""")),
+
+    // ----- deterministic weighted sampling, per source ------------------------------
+    Q(
+      "t26b_weighted_sample_per_key",
+      "t26's Efraimidis-Spirakis weighted sampling applied PER SOURCE " +
+        "(the real corpus use case: per-source quotas, not one global " +
+        "top-k — sample 5 docs from every crawl source with " +
+        "P(selection) proportional to length). Same md5-derived " +
+        "deterministic uniforms and 12dp-rounded keys (drift-free " +
+        "cut), but the cut runs through the custom TopKPerKeyExec " +
+        "(row_number mode) instead of a window: the map side emits at " +
+        "most k rows per (source, partition), so the shuffle carries " +
+        "k*parts rows per source instead of the whole corpus, and " +
+        "nothing is globally sorted — the per-key analog of t26's " +
+        "TakeOrderedAndProject, and the operator's first gate under a " +
+        "float (double) order column.",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val keyed = docs.select(col("source"), col("doc_id"), col("n_chars"),
+            (conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+              .cast("long") + 1L).as("v"))
+          .select(col("source"), col("doc_id"), col("n_chars"),
+            round(log(col("v").cast("double") / lit(281474976710657.0))
+              / col("n_chars"), 12).as("key"))
+        graft.plans.TopKPerKey.topK(keyed, Seq("source"),
+          Seq(col("key").desc, col("doc_id").asc), 5)
+      },
+      Some("""
+        WITH k AS (
+          SELECT source, doc_id, n_chars,
+                 round(ln(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::UBIGINT + 1 AS DOUBLE)
+                    / 281474976710657.0) / n_chars, 12) AS key
+          FROM documents)
+        SELECT source, doc_id, n_chars, key FROM (
+          SELECT *, row_number() OVER (PARTITION BY source
+                      ORDER BY key DESC, doc_id ASC) AS rn
+          FROM k) t
+        WHERE rn <= 5""")),
 
     // ----- BM25 retrieval scoring ------------------------------------------------
     Q(

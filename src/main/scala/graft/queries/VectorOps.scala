@@ -129,6 +129,108 @@ object VectorOps {
                 ORDER BY cos DESC, cid ASC) rn FROM s)
         WHERE rn <= 3""")),
 
+    // ----- ANN recall@k vs exact ground truth -----------------------------------
+    Q(
+      "v02b_ann_recall",
+      "Recall@3 of the v02 IVF probe vs the exact brute-force top-3 — " +
+        "the number a user actually tunes nprobe against (v02 " +
+        "hash-matches a FIXED 1-probe result; this gate measures what " +
+        "that probe setting costs in recall). Per query point: an " +
+        "EXACT integer intersection count between the ANN neighbor " +
+        "set and the ground-truth set (left-semi join on (qid, cid) — " +
+        "no float thresholds anywhere in the comparison), plus the " +
+        "truth-set size. At this fixture's nprobe=1 the recall is " +
+        "whatever fraction of true neighbors share the probed " +
+        "cluster; raising nprobe trades scan cost for recall " +
+        "(nprobe=n_clusters degenerates to v01's exact scan). Scale: " +
+        "both sides are top-3-per-query frames (query-set-sized), so " +
+        "the recall join is broadcast-sized regardless of corpus size.",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val c = e.select(col("vec_id").as("cid"), col("label").as("c_lab"),
+          col("embedding").as("ce"))
+        // exact ground truth: brute-force cosine top-3 (v01 logic, k=3)
+        val truthW = Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("cid").asc)
+        val truth = c.join(broadcast(q), col("qid") =!= col("cid"))
+          .withColumn("cos", cosine("qe", "ce"))
+          .withColumn("rank", row_number().over(truthW))
+          .filter(col("rank") <= 3)
+          .select(col("qid"), col("cid"))
+        // ANN side: v02's 1-probe IVF top-3
+        val long = e.select(col("vec_id"), col("label"),
+            posexplode(col("embedding")))
+          .select(col("vec_id"), col("label"), col("pos"),
+            col("col").cast("double").as("v"))
+        val cent = long.groupBy(col("label").as("c_label"), col("pos"))
+          .agg(avg(col("v")).as("cv"))
+        val qlong = long.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("pos"), col("v").as("qv"))
+        val assignW = Window.partitionBy(col("qid"))
+          .orderBy(col("dot").desc, col("c_label").asc)
+        val probe = qlong.join(cent, Seq("pos"))
+          .groupBy(col("qid"), col("c_label"))
+          .agg(sum(col("qv") * col("cv")).as("dot"))
+          .withColumn("rn", row_number().over(assignW))
+          .filter(col("rn") === 1)
+          .select(col("qid"), col("c_label").as("probe_label"))
+        val rankW = Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("cid").asc)
+        val ann = c.join(broadcast(probe.join(q, Seq("qid"))),
+            col("c_lab") === col("probe_label") && col("cid") =!= col("qid"))
+          .withColumn("cos", cosine("qe", "ce"))
+          .withColumn("rank", row_number().over(rankW))
+          .filter(col("rank") <= 3)
+          .select(col("qid"), col("cid"))
+        // recall: integer intersection per query point
+        val hits = truth.join(ann, Seq("qid", "cid"), "left_semi")
+          .groupBy(col("qid")).agg(count(lit(1)).as("h"))
+        truth.groupBy(col("qid")).agg(count(lit(1)).as("n_truth"))
+          .join(hits, Seq("qid"), "left")
+          .select(col("qid").as("query_id"), col("n_truth"),
+            coalesce(col("h"), lit(0L)).as("n_hit"))
+      },
+      Some("""
+        WITH q AS (SELECT vec_id qid, embedding::DOUBLE[] qe FROM embeddings WHERE vec_id < 20),
+        c AS (SELECT vec_id cid, label c_lab, embedding::DOUBLE[] ce FROM embeddings),
+        bf AS (SELECT qid, cid, list_dot_product(qe, ce)
+                      / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))) AS cos
+               FROM q, c WHERE qid <> cid),
+        truth AS (SELECT qid, cid
+                  FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                          ORDER BY cos DESC, cid ASC) rn FROM bf)
+                  WHERE rn <= 3),
+        long AS (SELECT vec_id, label, unnest(embedding)::DOUBLE AS v,
+                        unnest(range(len(embedding))) AS pos
+                 FROM embeddings),
+        cent AS (SELECT label AS c_label, pos, avg(v) AS cv
+                 FROM long GROUP BY 1, 2),
+        qlong AS (SELECT vec_id AS qid, pos, v AS qv FROM long WHERE vec_id < 20),
+        assign AS (SELECT qid, c_label, sum(qv * cv) AS dot
+                   FROM qlong JOIN cent USING (pos) GROUP BY 1, 2),
+        probe AS (SELECT qid, c_label AS probe_label
+                  FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                          ORDER BY dot DESC, c_label ASC) rn FROM assign)
+                  WHERE rn = 1),
+        sc AS (SELECT p.qid, c.cid,
+                      list_dot_product(q.qe, c.ce)
+                      / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(c.ce, c.ce))) AS cos
+               FROM probe p JOIN q ON p.qid = q.qid
+               JOIN c ON c.c_lab = p.probe_label AND c.cid <> p.qid),
+        ann AS (SELECT qid, cid
+                FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                        ORDER BY cos DESC, cid ASC) rn FROM sc)
+                WHERE rn <= 3),
+        hits AS (SELECT t.qid, count(*) AS h
+                 FROM truth t JOIN ann a ON t.qid = a.qid AND t.cid = a.cid
+                 GROUP BY 1)
+        SELECT t.qid AS query_id, count(*) AS n_truth,
+               coalesce(any_value(h.h), 0) AS n_hit
+        FROM truth t LEFT JOIN hits h ON t.qid = h.qid
+        GROUP BY t.qid""")),
+
     // ----- codegen'd Catalyst expression variant ---------------------------------
     Q(
       "v04_knn_codegen",

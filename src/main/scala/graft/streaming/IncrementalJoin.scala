@@ -107,7 +107,10 @@ object IncrementalJoin {
     }
     // dim state is key-sized; checkpoint breaks lineage onto this batch
     val dimState = mergedDim.localCheckpoint(true)
-    publishDim(dimState, dir, batchId)
+    // publish only when there is dim state to publish: a first batch with
+    // an empty dimDelta would otherwise write a zero-part-file parquet dir
+    // that a later readDim cannot infer a schema from
+    if (prevDim.nonEmpty || !dimDelta.isEmpty) publishDim(dimState, dir, batchId)
     val dimOut = dimState.drop("__b")
     val dimCols = dimOut.columns.filterNot(_ == cfg.key).toSeq
 
