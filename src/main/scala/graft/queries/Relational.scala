@@ -871,6 +871,69 @@ object Relational {
                GROUP BY 1)
         SELECT node, CAST(pm AS BIGINT) AS pm FROM p2""")),
 
+    Q(
+      "gr02b_pagerank_converged",
+      "CONVERGED PageRank (the dm10d/v05d early-stop recipe applied to " +
+        "the last bounded-iteration-only kernel): iterate gr02's exact " +
+        "BIGINT micro-unit update until the L-inf rank delta is <= " +
+        "1,000,000 micro-units (1.0 rank unit), maxIters=60, throwing " +
+        "on unconverged exit (the ConnectedComponents convention). " +
+        "Because every quantity is an exact integer, the stop test is " +
+        "bit-deterministic — no float tolerance cliff: at the gate SF " +
+        "the measured deltas are 1130159 after round 3 and 932677 " +
+        "after round 4 (exact BIGINTs), so tol=1e6 stops at EXACTLY 4 " +
+        "rounds on any engine/partitioning. The oracle replays 4 " +
+        "update CTEs and pins iterations=4 — the convergence TEST, " +
+        "not a pinned count, produces the hash-matched result. " +
+        "(Probed at sf0.1 the same tol converges at round 7 — the " +
+        "early-stop is SF-adaptive where gr02 is not.) Per-round cost " +
+        "is unchanged (one join + one keyed agg + a 1-row delta " +
+        "scalar); lineage cut per round by eager checkpoint.",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        val pairs = li.groupBy(col("o"))
+          .agg(array_sort(collect_set(col("p"))).as("ps"))
+          .select(col("o"), explode(expr(
+            "flatten(transform(ps, (x, i) -> " +
+              "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS pa, y AS pb))))"))
+            .as("pr"))
+          .select(col("o"), col("pr.pa").as("pa"), col("pr.pb").as("pb"))
+        val edges = pairs.groupBy(col("pa"), col("pb"))
+          .agg(count(lit(1)).as("no"))
+          .filter(col("no") >= 2)
+          .select(col("pa"), col("pb"))
+        graft.operators.PageRank.runConvergedMicro(edges, "pa", "pb",
+          tolMicro = 1000000L, maxIters = 60)
+      },
+      Some("""
+        WITH pairs AS (
+          SELECT l1.l_orderkey AS o, l1.l_partkey AS pa, l2.l_partkey AS pb
+          FROM lineitem l1 JOIN lineitem l2
+            ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+        e AS (SELECT pa AS u, pb AS v FROM pairs GROUP BY 1, 2
+              HAVING count(DISTINCT o) >= 2),
+        dir AS (SELECT u AS s, v AS t FROM e
+                UNION ALL SELECT v, u FROM e),
+        od AS (SELECT s, count(*) AS od FROM dir GROUP BY 1),
+        p1 AS (SELECT dir.t AS node,
+                      150000 + sum((1000000 * 85) // (100 * od.od)) AS pm
+               FROM dir JOIN od ON od.s = dir.s GROUP BY 1),
+        p2 AS (SELECT dir.t AS node,
+                      150000 + sum((p1.pm * 85) // (100 * od.od)) AS pm
+               FROM dir JOIN od ON od.s = dir.s JOIN p1 ON p1.node = dir.s
+               GROUP BY 1),
+        p3 AS (SELECT dir.t AS node,
+                      150000 + sum((p2.pm * 85) // (100 * od.od)) AS pm
+               FROM dir JOIN od ON od.s = dir.s JOIN p2 ON p2.node = dir.s
+               GROUP BY 1),
+        p4 AS (SELECT dir.t AS node,
+                      150000 + sum((p3.pm * 85) // (100 * od.od)) AS pm
+               FROM dir JOIN od ON od.s = dir.s JOIN p3 ON p3.node = dir.s
+               GROUP BY 1)
+        SELECT node, CAST(pm AS BIGINT) AS pm, CAST(4 AS INT) AS iters
+        FROM p4""")),
+
     // ----- skew handling: two-stage salted aggregation -------------------------
     Q(
       "a16_salted_skew_agg",

@@ -48,6 +48,46 @@ class PageRankSpec extends SparkSpec {
       s"mass drifted: $total vs ${f.size}")
   }
 
+  test("converged form stops exactly where the pinned form lands and records iters") {
+    val s = spark
+    import s.implicits._
+    val edges = (1 to 150).map { i =>
+      ((i * 2654435761L) % 40, (i * 40503L) % 40)
+    }.filter { case (a, b) => a != b }.toDF("a", "b")
+    val conv = PageRank.runConvergedMicro(edges, "a", "b",
+      tolMicro = 5000L, maxIters = 60).collect()
+    val iters = conv.map(_.getInt(2)).distinct
+    assert(iters.length == 1 && iters(0) >= 1 && iters(0) <= 60)
+    val k = iters(0)
+    // ranks at the stop round are bit-identical to the pinned form run
+    // for exactly k rounds (same exact integer update)
+    val pinned = PageRank.runExactMicro(edges, "a", "b", iters = k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = conv.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == pinned)
+    // genuine convergence stop: the k-1 -> k delta is within tol, and
+    // (when k >= 2) the k-2 -> k-1 delta was still above it
+    val prev = PageRank.runExactMicro(edges, "a", "b", iters = k - 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dStop = pinned.map { case (n, p) => math.abs(p - prev(n)) }.max
+    assert(dStop <= 5000L, s"stop delta $dStop above tol")
+    if (k >= 2) {
+      val prev2 = PageRank.runExactMicro(edges, "a", "b", iters = k - 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dPrev = prev.map { case (n, p) => math.abs(p - prev2(n)) }.max
+      assert(dPrev > 5000L, s"pre-stop delta $dPrev already within tol")
+    }
+  }
+
+  test("converged form throws on unconverged exit instead of truncating silently") {
+    val s = spark
+    import s.implicits._
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    intercept[IllegalStateException] {
+      PageRank.runConvergedMicro(e, "a", "b", tolMicro = 0L, maxIters = 1)
+    }
+  }
+
   test("iters = 0 returns the uniform initial ranks") {
     val s = spark
     import s.implicits._

@@ -124,6 +124,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("t26b per-source weighted sampling plans through the TopKPerKey heap") {
+    // the per-key E-S cut must be the k-bounded partial+final heap (the
+    // shuffle carries <= k rows per (source, map task)), not a full
+    // window sort of the corpus — and this is the operator's only gate
+    // under a float (double) order column
+    val p = planOf("t26b_weighted_sample_per_key")
+    assert("TopKPerKey".r.findAllIn(p).size == 2,
+      s"expected partial+final TopKPerKey phases:\n$p")
+    assert(!p.contains("Window "), s"t26b must not fall back to a window:\n$p")
+  }
+
   test("t24/t25 tokenize the corpus once: plans read only the checkpointed stage") {
     // the N/df/avgdl (t24) and st/gw/gt (t25) branches prune different
     // columns into the shared token subtree, so exchange reuse can't
