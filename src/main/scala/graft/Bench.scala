@@ -149,8 +149,19 @@ object Bench {
       "\"" + k + "\":" + (if (rs.isEmpty) -1 else ms(rs(rs.size / 2)))
     }.mkString("{", ",", "}")
     val refJson = refSamples.map(ms).mkString("[", ",", "]")
+    // self-annotating contention flags (VERDICT r8 #8): a query whose
+    // cross-pass spread exceeds `bound × median` was sampled through at
+    // least one host-contention window — its MEDIAN is still the
+    // reported number, but round-over-round diffs should compare it via
+    // `ratios` (the contention-normalized view), not wall seconds
+    val contBound =
+      sys.env.getOrElse("SPARK_GRAFT_CONTENTION_BOUND", "1.0").toDouble
+    val contended = results
+      .filter { case (_, m, sp, _) => m > 0 && sp / m > contBound }
+      .map { case (k, _, _, _) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$medians,"spread":$spreads,"names":$names,"qtags":$qtags,"samples":$perRun,"ref_samples":$refJson,"ref_median":${ms(refMedian)},"ref_every":$refEvery,"ratios":$ratios,"runs":$runs,"order":"pass-major","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$medians,"spread":$spreads,"names":$names,"qtags":$qtags,"samples":$perRun,"ref_samples":$refJson,"ref_median":${ms(refMedian)},"ref_every":$refEvery,"ratios":$ratios,"contended":$contended,"contention_bound":$contBound,"runs":$runs,"order":"pass-major","sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       full.getBytes("UTF-8"))
     catch { case _: Throwable => () } // bench must still print if cwd is read-only
