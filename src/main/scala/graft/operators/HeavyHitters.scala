@@ -59,19 +59,29 @@ object HeavyHitters {
     }
   }
 
-  /** (candidate set, exact total token count) from one distributed
-    * pass over `tokens` (a single string column `tokCol`; nulls are
-    * skipped). Candidates ⊇ every token with frequency > N/(k+1). */
-  def candidates(tokens: DataFrame, tokCol: String, k: Int)
-      : (Set[String], Long) = {
+  /** (MG summary of ≤k counters, exact total token count) from one
+    * distributed pass over `tokens` (a single string column `tokCol`;
+    * nulls are skipped). The summary is MERGEABLE (Agarwal et al.):
+    * merge(summarize(A), summarize(B)) is a valid k-counter summary of
+    * A ++ B — which is what lets the streaming variant accumulate it
+    * across micro-batches without re-reading history. */
+  def summarize(tokens: DataFrame, tokCol: String, k: Int)
+      : (mutable.Map[String, Long], Long) = {
     require(k > 0)
-    val (m, n) = tokens.select(col(tokCol)).rdd
+    tokens.select(col(tokCol)).rdd
       .treeAggregate((mutable.Map.empty[String, Long], 0L))(
         seqOp = { case ((acc, n), row) =>
           if (row.isNullAt(0)) (acc, n)
           else { offer(acc, row.getString(0), k); (acc, n + 1) }
         },
         combOp = { case ((a, na), (b, nb)) => (merge(a, b, k), na + nb) })
+  }
+
+  /** (candidate set, exact total token count): the summary's key set.
+    * Candidates ⊇ every token with frequency > N/(k+1). */
+  def candidates(tokens: DataFrame, tokCol: String, k: Int)
+      : (Set[String], Long) = {
+    val (m, n) = summarize(tokens, tokCol, k)
     (m.keySet.toSet, n)
   }
 
