@@ -1018,7 +1018,9 @@ object GoldGate {
             case Left(_) => (t, "error", -1L, -1L)
           }
         }
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        // the memoized lake is deleted by its JVM shutdown hook, NOT
+        // here — deleting per invocation would leave later bench passes
+        // a cached path to a vanished dir (every table would "error")
         rows.toDF("tbl", "status", "n_rows", "key_sum")
       },
       Some(s"""
