@@ -55,6 +55,20 @@ class IncrementalJoinSpec extends SparkSpec {
       (4L, 30L, 4.0, "-"))) // no dim key 30 yet -> left-join null
   }
 
+  test("an empty first dim batch publishes no dim state yet stays readable") {
+    // ADVICE r8: publishing an empty dim delta with no prior state wrote
+    // a zero-part-file parquet dir that a later readDim could not infer
+    // a schema from; the publish is now skipped until dim rows exist
+    val dir = tmp()
+    IncrementalJoin.applyBatch(facts((1L, 10L, 1.0)), dims(), 0L, cfg, dir)
+    assert(snap(dir) == Set((1L, 10L, 1.0, "-")))
+    IncrementalJoin.applyBatch(facts(), dims(), 1L, cfg, dir) // both empty
+    assert(snap(dir) == Set((1L, 10L, 1.0, "-")))
+    IncrementalJoin.applyBatch( // dim finally arrives and heals fact 1
+      facts((2L, 20L, 2.0)), dims((10L, "A")), 2L, cfg, dir)
+    assert(snap(dir) == Set((1L, 10L, 1.0, "A"), (2L, 20L, 2.0, "-")))
+  }
+
   test("a dim upsert heals facts that arrived before their dim key") {
     val dir = tmp()
     IncrementalJoin.applyBatch(facts((1L, 77L, 1.5)), dims(), 0L, cfg, dir)
