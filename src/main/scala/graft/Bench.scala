@@ -32,6 +32,19 @@ import org.apache.spark.sql.SparkSession
   *   bench_out.json) for post-hoc analysis.
   */
 object Bench {
+
+  /** Query names whose cross-pass spread exceeds `bound × median` —
+    * sampled through at least one host-contention window, so their
+    * round-over-round comparison should go through the
+    * contention-normalized `ratios`, not wall seconds. Pure so
+    * BenchStatsSpec can pin the boundary semantics. */
+  private[graft] def contendedFlags(
+      results: Seq[(String, Double, Double)], bound: Double): Seq[String] =
+    results.collect {
+      case (name, median, spread) if median > 0 && spread / median > bound =>
+        name
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -156,10 +169,9 @@ object Bench {
     // `ratios` (the contention-normalized view), not wall seconds
     val contBound =
       sys.env.getOrElse("SPARK_GRAFT_CONTENTION_BOUND", "1.0").toDouble
-    val contended = results
-      .filter { case (_, m, sp, _) => m > 0 && sp / m > contBound }
-      .map { case (k, _, _, _) => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
+    val contended =
+      contendedFlags(results.map { case (k, m, sp, _) => (k, m, sp) }, contBound)
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$medians,"spread":$spreads,"names":$names,"qtags":$qtags,"samples":$perRun,"ref_samples":$refJson,"ref_median":${ms(refMedian)},"ref_every":$refEvery,"ratios":$ratios,"contended":$contended,"contention_bound":$contBound,"runs":$runs,"order":"pass-major","sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),

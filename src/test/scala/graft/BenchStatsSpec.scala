@@ -1,0 +1,22 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench contention flag (VERDICT r8 #8): spread/median strictly
+  * above the bound flags; at-the-bound and zero-median rows do not. */
+class BenchStatsSpec extends AnyFunSuite {
+
+  test("flags exactly the queries whose spread exceeds bound x median") {
+    val rs = Seq(
+      ("steady", 2.0, 0.4),     // 0.2x  -> clean
+      ("spiky", 4.0, 6.5),      // 1.6x  -> flagged
+      ("boundary", 1.0, 1.0),   // 1.0x  -> NOT flagged (strict >)
+      ("justover", 1.0, 1.001), // >1.0x -> flagged
+      ("zeromed", 0.0, 9.9))    // guard: never divides by zero
+    assert(Bench.contendedFlags(rs, 1.0) == Seq("spiky", "justover"))
+    // a tighter bound flags more; a looser one fewer
+    assert(Bench.contendedFlags(rs, 0.1) ==
+      Seq("steady", "spiky", "boundary", "justover"))
+    assert(Bench.contendedFlags(rs, 2.0) == Seq.empty)
+  }
+}
