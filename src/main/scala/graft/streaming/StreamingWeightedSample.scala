@@ -1,0 +1,83 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming weighted sampling without replacement — the foreachBatch
+  * form of t26's Efraimidis–Spirakis sampler. E-S is a one-pass scheme
+  * BY DESIGN: each row carries a key (u^(1/w), here ln(u)/w with a
+  * deterministic md5-derived u), and the weighted sample without
+  * replacement is simply the top-k keys. Top-k is exactly mergeable —
+  * topK(A ∪ B) = topK(topK(A) ∪ topK(B)) — so the streaming state is
+  * the current top-k rows, each batch contributes its own top-k, and
+  * the merge is a (≤2k)-row sort on the driver-side-sized state. With
+  * t26's deterministic keys the streamed sample is BIT-IDENTICAL to
+  * the batch sampler over the same rows (parity spec), and rows can
+  * never "come back": once evicted by k better keys a row is gone,
+  * exactly as in the batch form.
+  *
+  * Input contract: a frame with a double `key` column (higher = more
+  * likely kept; compute it upstream, e.g. t26's
+  * round(ln(u)/w, 12)), a long `id` tiebreak column, and any
+  * passthrough payload columns (schema must stay stable across
+  * batches). State is k-bounded forever; the IncrementalAggregate
+  * versioned-dir + atomic-pointer protocol gives exactly-once under
+  * foreachBatch redelivery.
+  */
+object StreamingWeightedSample {
+
+  def start(rows: DataFrame, k: Int, stateDir: String,
+      checkpointDir: String): StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        applyBatch(batch.toDF(), k, batchId, stateDir)
+      }
+      .start()
+
+  private def versionPath(dir: String, batchId: Long) = s"$dir/v$batchId"
+
+  private[graft] def lastApplied(dir: String): Long = {
+    val m = Paths.get(dir, "_current")
+    if (!Files.exists(m)) -1L
+    else new String(Files.readAllBytes(m), StandardCharsets.UTF_8).trim.toLong
+  }
+
+  /** The current top-k sample (empty-schema error before first batch —
+    * callers gate on a published marker existing, like readDim). */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(versionPath(dir, lastApplied(dir)))
+
+  /** Fold one micro-batch into the sample. Idempotent on redelivery. */
+  def applyBatch(batch: DataFrame, k: Int, batchId: Long, dir: String): Unit = {
+    require(k > 0)
+    val applied = lastApplied(dir)
+    if (batchId <= applied) return // redelivery after restart
+    val spark = batch.sparkSession
+    Files.createDirectories(Paths.get(dir))
+    // batch-side cut is a TakeOrderedAndProject (k-bounded heap, no
+    // global sort); the union with prior state is ≤2k rows
+    val batchTop = batch.orderBy(col("key").desc, col("id").asc).limit(k)
+    val merged =
+      if (applied < 0) batchTop
+      else spark.read.parquet(versionPath(dir, applied))
+        .unionByName(batchTop)
+        .orderBy(col("key").desc, col("id").asc).limit(k)
+    merged.repartition(1) // ≤k rows: always leave one footer-bearing file
+      .write.mode("overwrite").parquet(versionPath(dir, batchId))
+    val tmp = Paths.get(dir, s"_current__tmp$batchId")
+    Files.write(tmp, batchId.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(dir, "_current"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val keep = Set("v" + batchId, "v" + applied)
+    val dirs = Paths.get(dir).toFile.listFiles()
+    if (dirs != null) dirs.foreach { f =>
+      if (f.isDirectory && f.getName.matches("v\\d+") && !keep(f.getName))
+        org.apache.commons.io.FileUtils.deleteQuietly(f)
+    }
+  }
+}
