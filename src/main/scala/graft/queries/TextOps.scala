@@ -1770,6 +1770,61 @@ object TextOps {
           FROM k) t
         WHERE rn <= 5""")),
 
+    // ----- benchmark decontamination ---------------------------------------------
+    Q(
+      "t28_contamination",
+      "Benchmark decontamination scan (the GPT-3/PaLM methodology: an " +
+        "eval document is contaminated when it shares any 8-word-gram " +
+        "with the training set): docs split eval/train by the t05 md5 " +
+        "bucket convention (~10% eval, deterministic), 8-grams " +
+        "exploded per side, and one semi-join marks every eval gram " +
+        "that also occurs in train. Output per eval doc: distinct " +
+        "grams, contaminated distinct grams, the drop flag. Scale: " +
+        "the join carries (gram, doc) pairs with the train side " +
+        "pre-distincted — at 100 TB you join on a 64-bit gram hash " +
+        "bucketed by hash prefix instead of the string (identical " +
+        "plan shape); this gate joins the strings so both engines " +
+        "agree byte-for-byte.",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val tagged = docs.select(col("doc_id"), col("text"),
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("long") % 10 === 0).as("is_eval"))
+        val grams = tagged
+          .select(col("doc_id"), col("is_eval"), split(col("text"), " ").as("w"))
+          .filter(size(col("w")) >= 8)
+          .select(col("doc_id"), col("is_eval"), explode(expr(
+            "transform(sequence(1, size(w) - 7), " +
+              "i -> concat_ws(' ', slice(w, i, 8)))")).as("g"))
+        val evalG = grams.filter(col("is_eval")).select(col("doc_id"), col("g"))
+        val trainG = grams.filter(!col("is_eval")).select(col("g")).distinct()
+        val tot = evalG.groupBy(col("doc_id"))
+          .agg(countDistinct(col("g")).as("n_grams"))
+        val con = evalG.join(trainG, Seq("g"), "left_semi")
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("g")).as("nc"))
+        tot.join(con, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_grams"),
+            coalesce(col("nc"), lit(0L)).as("n_contaminated"),
+            (coalesce(col("nc"), lit(0L)) > 0).as("contaminated"))
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
+                          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::UBIGINT % 10 = 0 AS is_eval
+                   FROM documents),
+        g AS (SELECT doc_id, is_eval, array_to_string(w[i:i+7], ' ') AS g
+              FROM (SELECT doc_id, is_eval, w, unnest(range(1, len(w) - 6)) AS i
+                    FROM t WHERE len(w) >= 8)),
+        ev AS (SELECT doc_id, g FROM g WHERE is_eval),
+        tr AS (SELECT DISTINCT g FROM g WHERE NOT is_eval),
+        tot AS (SELECT doc_id, count(DISTINCT g) AS n_grams FROM ev GROUP BY 1),
+        con AS (SELECT ev.doc_id, count(DISTINCT ev.g) AS nc
+                FROM ev JOIN tr ON ev.g = tr.g GROUP BY 1)
+        SELECT t.doc_id, t.n_grams,
+               coalesce(c.nc, 0) AS n_contaminated,
+               coalesce(c.nc, 0) > 0 AS contaminated
+        FROM tot t LEFT JOIN con c ON t.doc_id = c.doc_id""")),
+
     // ----- BM25 retrieval scoring ------------------------------------------------
     Q(
       "t24_bm25_scoring",
