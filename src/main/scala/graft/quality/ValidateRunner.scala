@@ -13,7 +13,12 @@ import org.apache.spark.sql.functions._
   * summary line shapes (validate_failed / validate_schema_failed /
   * validate_ok) and raises on failure exactly where the reference
   * does: rows<=0 always raises; schema problems raise only under
-  * strictSchema.
+  * strictSchema. A table that exists but cannot be READ is a schema
+  * issue, not a row-count failure — the reference's schema loop
+  * records `schema_read_error:<exc>` in the missing dict
+  * (orchestrate.py:231-232) and its rows<=0 gate never sees the
+  * table (it reads the run summary, not the parquet), so non-strict
+  * validate keeps going over a corrupt-but-present table.
   *
   * Scale: per table, the only data pass is one count + one dup-PK
   * aggregation (both map-side-combined); nothing is collected but the
@@ -23,7 +28,10 @@ object ValidateRunner {
 
   final case class TableResult(table: String, exists: Boolean, rows: Long,
       missingPk: Seq[String], dupPkRows: Long, error: Option[String]) {
-    def rowsOk: Boolean = error.isEmpty && exists && rows > 0
+    // an unreadable table passes the rows gate (the reference's rows<=0
+    // gate reads the run summary, never the parquet) and fails the
+    // schema pass as schema_read_error instead
+    def rowsOk: Boolean = exists && (error.nonEmpty || rows > 0)
     def schemaOk: Boolean = error.isEmpty && missingPk.isEmpty && dupPkRows == 0
   }
 
@@ -55,12 +63,15 @@ object ValidateRunner {
         val (rows, dup) =
           if (missing.nonEmpty) (df.count(), -1L)
           else {
-            val r = df.agg(
-              count(lit(1)).as("n"),
-              countDistinct(
-                concat_ws("", pks.map(c => col(c).cast("string")): _*))
-                .as("d")).head()
-            (r.getLong(0), r.getLong(0) - r.getLong(1))
+            // exact PK grouping (the Contracts.conformance form) — a
+            // concat-based countDistinct collided composite keys (the
+            // separator can occur in data) and collapsed nulls
+            val r = df.groupBy(pks.map(col): _*).count()
+              .agg(
+                coalesce(sum(col("count")), lit(0L)).as("n"),
+                coalesce(sum(when(col("count") > 1, col("count") - 1)
+                  .otherwise(lit(0L))), lit(0L)).as("d")).head()
+            (r.getLong(0), r.getLong(1))
           }
         TableResult(t, exists = true, rows, missing, dup, None)
       } catch {
@@ -78,9 +89,13 @@ object ValidateRunner {
     }
     if (s.failedSchema.nonEmpty) {
       val det = s.failedSchema.map { r =>
-        val why =
-          if (r.missingPk.nonEmpty) r.missingPk.mkString("missing_pk:", ",", "")
-          else s"dup_pk_rows:${r.dupPkRows}"
+        val why = r.error match {
+          case Some(e) => s"schema_read_error:$e"
+          case None =>
+            if (r.missingPk.nonEmpty)
+              r.missingPk.mkString("missing_pk:", ",", "")
+            else s"dup_pk_rows:${r.dupPkRows}"
+        }
         s""""${r.table}": "$why""""
       }.mkString(", ")
       out(s"""{"event": "validate_schema_failed", "details": {$det}, "strict": $strictSchema}""")

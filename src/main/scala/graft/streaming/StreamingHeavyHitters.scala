@@ -37,7 +37,7 @@ import graft.operators.HeavyHitters
   */
 object StreamingHeavyHitters {
 
-  final case class State(summary: Map[String, Long], n: Long)
+  final case class State(summary: Map[String, Long], n: Long, k: Int)
 
   /** Start maintaining MG state at `stateDir` from a streaming frame
     * with token column `tokCol`. */
@@ -52,33 +52,42 @@ object StreamingHeavyHitters {
 
   private def versionPath(dir: String, batchId: Long) = s"$dir/v$batchId"
 
-  /** (lastAppliedBatchId, totalN); (-1, 0) before the first publish. */
-  private[graft] def marker(dir: String): (Long, Long) = {
+  /** (lastAppliedBatchId, totalN, k); (-1, 0, -1) before the first
+    * publish. k is persisted with the marker because it is part of the
+    * MG guarantee the state carries — exactOverLake can only promise
+    * exactness for denom < k+1, and a caller can't be trusted to
+    * remember which k built the state. */
+  private[graft] def marker(dir: String): (Long, Long, Int) = {
     val m = Paths.get(dir, "_current")
-    if (!Files.exists(m)) (-1L, 0L)
+    if (!Files.exists(m)) (-1L, 0L, -1)
     else {
       val parts = new String(Files.readAllBytes(m), StandardCharsets.UTF_8)
         .trim.split(" ")
-      (parts(0).toLong, parts(1).toLong)
+      (parts(0).toLong, parts(1).toLong, parts(2).toInt)
     }
   }
 
-  /** The accumulated state: ≤k-entry summary + exact stream length.
-    * The summary read is the sanctioned bounded collect (≤k rows). */
+  /** The accumulated state: ≤k-entry summary + exact stream length +
+    * the k bound it was built under. The summary read is the
+    * sanctioned bounded collect (≤k rows). */
   def readState(spark: SparkSession, dir: String): Option[State] = {
-    val (applied, n) = marker(dir)
+    val (applied, n, k) = marker(dir)
     if (applied < 0) None
     else {
       val rows = spark.read.parquet(versionPath(dir, applied)).collect()
-      Some(State(rows.map(r => r.getString(0) -> r.getLong(1)).toMap, n))
+      Some(State(rows.map(r => r.getString(0) -> r.getLong(1)).toMap, n, k))
     }
   }
 
-  /** Fold one micro-batch into the state. Idempotent on redelivery. */
+  /** Fold one micro-batch into the state. Idempotent on redelivery.
+    * k must stay constant across the state's life — merging summaries
+    * built under different k bounds voids the MG guarantee. */
   def applyBatch(batch: DataFrame, tokCol: String, batchId: Long, k: Int,
       dir: String): Unit = {
-    val (applied, nPrev) = marker(dir)
+    val (applied, nPrev, kPrev) = marker(dir)
     if (batchId <= applied) return // redelivery after restart
+    require(applied < 0 || k == kPrev,
+      s"state at $dir was built with k=$kPrev; cannot continue with k=$k")
     val spark = batch.sparkSession
     Files.createDirectories(Paths.get(dir))
     val (delta, nDelta) = HeavyHitters.summarize(batch, tokCol, k)
@@ -95,7 +104,7 @@ object StreamingHeavyHitters {
       .repartition(1)
       .write.mode("overwrite").parquet(versionPath(dir, batchId))
     val tmp = Paths.get(dir, s"_current__tmp$batchId")
-    Files.write(tmp, s"$batchId $n".getBytes(StandardCharsets.UTF_8))
+    Files.write(tmp, s"$batchId $n $k".getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, Paths.get(dir, "_current"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     val keep = Set("v" + batchId, "v" + applied)
@@ -109,11 +118,17 @@ object StreamingHeavyHitters {
   /** Pass 2 against the accumulated token lake: exact recount of the
     * STREAMED candidates, thresholded at streamN/denom — the batch
     * operator's answer, computed without ever re-sketching history.
-    * Same denom < k+1 precondition as HeavyHitters.exact. */
+    * Same denom < k+1 precondition as HeavyHitters.exact, enforced
+    * against the k PERSISTED with the state (a caller passing
+    * denom >= k+1 would silently get an incomplete set otherwise). */
   def exactOverLake(lake: DataFrame, tokCol: String, dir: String,
       denom: Double): DataFrame = {
-    val st = readState(lake.sparkSession, dir).getOrElse(State(Map.empty, 0L))
+    val st = readState(lake.sparkSession, dir)
+      .getOrElse(State(Map.empty, 0L, -1))
     require(denom > 0, s"denom $denom must be positive")
+    require(st.k < 0 || denom < st.k + 1,
+      s"denom $denom outside the MG guarantee window (0, ${st.k + 1}) " +
+        s"of the state at $dir (built with k=${st.k})")
     lake.filter(col(tokCol).isInCollection(st.summary.keySet))
       .groupBy(col(tokCol))
       .agg(count(lit(1)).as("cnt"))

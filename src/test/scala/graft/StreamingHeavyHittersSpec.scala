@@ -86,6 +86,30 @@ class StreamingHeavyHittersSpec extends SparkSpec {
     } finally { cleanup(dir); cleanup(ckpt) }
   }
 
+  test("denom outside the persisted-k guarantee window is rejected") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    try {
+      val b0 = Seq("a", "b", "a").toDF("tok")
+      StreamingHeavyHitters.applyBatch(b0, "tok", 0L, k = 8, dir)
+      val st = StreamingHeavyHitters.readState(s, dir).get
+      assert(st.k == 8, "k not persisted with the state marker")
+      // denom >= k+1 would silently return an incomplete set — must fail
+      // loudly, mirroring HeavyHitters.exact's require
+      intercept[IllegalArgumentException] {
+        StreamingHeavyHitters.exactOverLake(b0, "tok", dir, denom = 9.0)
+      }
+      // in-window denom still answers
+      assert(StreamingHeavyHitters.exactOverLake(b0, "tok", dir, denom = 2.0)
+        .collect().map(_.getString(0)).toSet == Set("a"))
+      // continuing the state under a different k voids the MG merge — reject
+      intercept[IllegalArgumentException] {
+        StreamingHeavyHitters.applyBatch(b0, "tok", 1L, k = 4, dir)
+      }
+    } finally cleanup(dir)
+  }
+
   test("empty state answers empty; empty batch publishes readable state") {
     val s = spark
     import s.implicits._
