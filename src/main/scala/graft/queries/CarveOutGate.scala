@@ -569,34 +569,8 @@ object CarveOutGate {
         val (assign, _) = graft.operators.KMeans.fit(s, e, k = 8, iterations = 2)
         assign.select(col("vec_id"), col("cluster").cast("long").as("cluster"))
       },
-      Some("""
-        WITH seeds0 AS (
-          SELECT vec_id AS sid, embedding::DOUBLE[] AS se
-          FROM embeddings
-          ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 8),
-        seeds AS (
-          SELECT sid, se,
-                 row_number() OVER (ORDER BY CAST(sid AS VARCHAR) ASC) - 1 AS cluster
-          FROM seeds0),
-        long AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
-                        unnest(range(len(embedding))) AS pos
-                 FROM embeddings),
-        sg AS (SELECT cluster, unnest(se) AS sv, unnest(range(len(se))) AS pos
-               FROM seeds),
-        d1 AS (SELECT l.vec_id, g.cluster, sum(l.v * g.sv) AS dot
-               FROM long l JOIN sg g USING (pos) GROUP BY 1, 2),
-        a1 AS (SELECT vec_id, cluster FROM (
-                 SELECT vec_id, cluster,
-                        row_number() OVER (PARTITION BY vec_id
-                          ORDER BY dot DESC, cluster ASC) AS rn
-                 FROM d1) WHERE rn = 1),
-        sums AS (SELECT a.cluster, l.pos, sum(l.v) AS s, count(*) AS n
-                 FROM long l JOIN a1 a USING (vec_id) GROUP BY 1, 2),
-        cent1 AS (SELECT g.cluster, g.pos, coalesce(m.s / m.n, g.sv) AS cv
-                  FROM sg g LEFT JOIN sums m
-                    ON g.cluster = m.cluster AND g.pos = m.pos),
-        d2 AS (SELECT l.vec_id, c.cluster, sum(l.v * c.cv) AS dot
-               FROM long l JOIN cent1 c USING (pos) GROUP BY 1, 2)
+      Some(s"""
+        WITH ${KmeansSql.UpToD2}
         SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM (
           SELECT vec_id, cluster,
                  row_number() OVER (PARTITION BY vec_id
@@ -631,44 +605,8 @@ object CarveOutGate {
           .select(col("cluster"), col("pos"),
             round(col("cv0"), 4).as("cv"), col("iterations"))
       },
-      Some("""
-        WITH seeds0 AS (
-          SELECT vec_id AS sid, embedding::DOUBLE[] AS se
-          FROM embeddings
-          ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 8),
-        seeds AS (
-          SELECT sid, se,
-                 row_number() OVER (ORDER BY CAST(sid AS VARCHAR) ASC) - 1 AS cluster
-          FROM seeds0),
-        long AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
-                        unnest(range(len(embedding))) AS pos
-                 FROM embeddings),
-        sg AS (SELECT cluster, unnest(se) AS sv, unnest(range(len(se))) AS pos
-               FROM seeds),
-        d1 AS (SELECT l.vec_id, g.cluster, sum(l.v * g.sv) AS dot
-               FROM long l JOIN sg g USING (pos) GROUP BY 1, 2),
-        a1 AS (SELECT vec_id, cluster FROM (
-                 SELECT vec_id, cluster,
-                        row_number() OVER (PARTITION BY vec_id
-                          ORDER BY dot DESC, cluster ASC) AS rn
-                 FROM d1) WHERE rn = 1),
-        sums AS (SELECT a.cluster, l.pos, sum(l.v) AS s, count(*) AS n
-                 FROM long l JOIN a1 a USING (vec_id) GROUP BY 1, 2),
-        cent1 AS (SELECT g.cluster, g.pos, coalesce(m.s / m.n, g.sv) AS cv
-                  FROM sg g LEFT JOIN sums m
-                    ON g.cluster = m.cluster AND g.pos = m.pos),
-        d2 AS (SELECT l.vec_id, c.cluster, sum(l.v * c.cv) AS dot
-               FROM long l JOIN cent1 c USING (pos) GROUP BY 1, 2),
-        a2 AS (SELECT vec_id, cluster FROM (
-                 SELECT vec_id, cluster,
-                        row_number() OVER (PARTITION BY vec_id
-                          ORDER BY dot DESC, cluster ASC) AS rn
-                 FROM d2) WHERE rn = 1),
-        sums2 AS (SELECT a.cluster, l.pos, sum(l.v) AS s, count(*) AS n
-                  FROM long l JOIN a2 a USING (vec_id) GROUP BY 1, 2),
-        cent2 AS (SELECT c1.cluster, c1.pos, coalesce(m.s / m.n, c1.cv) AS cv
-                  FROM cent1 c1 LEFT JOIN sums2 m
-                    ON c1.cluster = m.cluster AND c1.pos = m.pos)
+      Some(s"""
+        WITH ${KmeansSql.UpToCent2}
         SELECT CAST(cluster AS BIGINT) AS cluster, CAST(pos AS BIGINT) AS pos,
                round(cv, 4) AS cv, CAST(2 AS BIGINT) AS iterations
         FROM cent2""")),

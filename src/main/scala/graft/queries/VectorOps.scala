@@ -16,6 +16,63 @@ import graft.sources.Tables
   * array functions (zip_with + aggregate) — no UDFs — with float→double
   * casts so the math matches the oracle's DOUBLE[] list_dot_product.
   */
+
+/** The v05c/v05d oracle CTE chain — a full SQL replay of
+  * KMeans.fitConverged's two Lloyd iterations over the embeddings
+  * table (deterministic md5 seeds, assignment, mean update with
+  * empty-cluster carry, re-assignment, second update). Shared by the
+  * v05c/v05d gates (CarveOutGate) and the v09 geometric-IVF gates so
+  * the replay of the index build exists in exactly one copy.
+  */
+private[queries] object KmeansSql {
+
+  /** seeds → first assignment (a1) → first update (cent1) → dots vs
+    * cent1 (d2): what v05c ranks for its re-assignment gate. */
+  val UpToD2: String = """
+        seeds0 AS (
+          SELECT vec_id AS sid, embedding::DOUBLE[] AS se
+          FROM embeddings
+          ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 8),
+        seeds AS (
+          SELECT sid, se,
+                 row_number() OVER (ORDER BY CAST(sid AS VARCHAR) ASC) - 1 AS cluster
+          FROM seeds0),
+        long AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+                        unnest(range(len(embedding))) AS pos
+                 FROM embeddings),
+        sg AS (SELECT cluster, unnest(se) AS sv, unnest(range(len(se))) AS pos
+               FROM seeds),
+        d1 AS (SELECT l.vec_id, g.cluster, sum(l.v * g.sv) AS dot
+               FROM long l JOIN sg g USING (pos) GROUP BY 1, 2),
+        a1 AS (SELECT vec_id, cluster FROM (
+                 SELECT vec_id, cluster,
+                        row_number() OVER (PARTITION BY vec_id
+                          ORDER BY dot DESC, cluster ASC) AS rn
+                 FROM d1) WHERE rn = 1),
+        sums AS (SELECT a.cluster, l.pos, sum(l.v) AS s, count(*) AS n
+                 FROM long l JOIN a1 a USING (vec_id) GROUP BY 1, 2),
+        cent1 AS (SELECT g.cluster, g.pos, coalesce(m.s / m.n, g.sv) AS cv
+                  FROM sg g LEFT JOIN sums m
+                    ON g.cluster = m.cluster AND g.pos = m.pos),
+        d2 AS (SELECT l.vec_id, c.cluster, sum(l.v * c.cv) AS dot
+               FROM long l JOIN cent1 c USING (pos) GROUP BY 1, 2)"""
+
+  /** …second assignment (a2) → second update (cent2): the centroids
+    * KMeans.fitConverged(k=8, tol=0.12) stops on (v05d pins that the
+    * early-stop fires at exactly 2 iterations). */
+  val UpToCent2: String = UpToD2 + """,
+        a2 AS (SELECT vec_id, cluster FROM (
+                 SELECT vec_id, cluster,
+                        row_number() OVER (PARTITION BY vec_id
+                          ORDER BY dot DESC, cluster ASC) AS rn
+                 FROM d2) WHERE rn = 1),
+        sums2 AS (SELECT a.cluster, l.pos, sum(l.v) AS s, count(*) AS n
+                  FROM long l JOIN a2 a USING (vec_id) GROUP BY 1, 2),
+        cent2 AS (SELECT c1.cluster, c1.pos, coalesce(m.s / m.n, c1.cv) AS cv
+                  FROM cent1 c1 LEFT JOIN sums2 m
+                    ON c1.cluster = m.cluster AND c1.pos = m.pos)"""
+}
+
 object VectorOps {
 
   /** Left-to-right double dot product over two float-array columns. */
@@ -25,6 +82,202 @@ object VectorOps {
 
   private def cosine(a: String, b: String): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  // ===== shared recall-gate machinery (v02b / v02c / v09 / v09b) ==========
+  // One truth builder, one ANN builder per cell scheme, one recall join —
+  // the v02b/v02c twins used to carry ~50 duplicated lines each (ADVICE
+  // r9); any fix to the truth/recall construction now lands everywhere.
+
+  /** Exact brute-force cosine top-3 (qid, cid) ground truth for the
+    * broadcast query set (vec_id < 20) — what every recall gate
+    * measures against. */
+  private[graft] def bruteTruth(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cid").asc)
+    c.join(broadcast(q), col("qid") =!= col("cid"))
+      .withColumn("cos", cosine("qe", "ce"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("cid"))
+  }
+
+  /** v02's label-partitioned IVF top-3 at a given probe count:
+    * per-label centroids in long form, each query routed to its
+    * `nprobe` max-dot centroids (deterministic (dot desc, label asc)
+    * ranking), cosine ranked within the probed partitions only. */
+  private[graft] def labelAnn(s: SparkSession, d: String, nprobe: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val long = e.select(col("vec_id"), col("label"),
+        posexplode(col("embedding")))
+      .select(col("vec_id"), col("label"), col("pos"),
+        col("col").cast("double").as("v"))
+    val cent = long.groupBy(col("label").as("c_label"), col("pos"))
+      .agg(avg(col("v")).as("cv"))
+    val qlong = long.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("pos"), col("v").as("qv"))
+    val assignW = Window.partitionBy(col("qid"))
+      .orderBy(col("dot").desc, col("c_label").asc)
+    val probes = qlong.join(cent, Seq("pos"))
+      .groupBy(col("qid"), col("c_label"))
+      .agg(sum(col("qv") * col("cv")).as("dot"))
+      .withColumn("rn", row_number().over(assignW))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid"), col("c_label").as("probe_label"))
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = e.select(col("vec_id").as("cid"), col("label").as("c_lab"),
+      col("embedding").as("ce"))
+    val rankW = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cid").asc)
+    c.join(broadcast(probes.join(q, Seq("qid"))),
+        col("c_lab") === col("probe_label") && col("cid") =!= col("qid"))
+      .withColumn("cos", cosine("qe", "ce"))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("cid"))
+  }
+
+  /** Geometric (KMeans-cell) IVF top-3 at a given probe count — the
+    * production fix v02b's doc names: coarse cells are the CONVERGED
+    * Lloyd centroids of v05d (k=8, tol=0.12 → stops at exactly 2
+    * iterations, bracketing-pinned there), not label partitions.
+    * Corpus vectors are assigned to their max-dot centroid in one
+    * broadcast pass (centroids are k×dim driver doubles — tiny);
+    * queries route to their `nprobe` nearest centroids; cosine ranks
+    * within the probed cells only. At 100 TB the corpus is written
+    * bucketed by cell id and a probe reads ~nprobe/k of it — the same
+    * scan shape as v02, now with geometric locality behind it. */
+  private[graft] def geoAnn(s: SparkSession, d: String, nprobe: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+    val (_, cent, _) = graft.operators.KMeans.fitConverged(
+      s, e, k = 8, maxIter = 25, tol = 0.12)
+    val centDf = cent.zipWithIndex
+      .map { case (v, ci) => (ci.toLong, v.toSeq) }.toSeq
+      .toDF("cell", "cv")
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      .filter(col("cid").isNotNull)
+    // argmax via max_by (hash agg, no per-key sort); first(ce) carries
+    // the vector through the agg (functionally dependent on cid)
+    val asg = c.join(broadcast(centDf), lit(true))
+      .withColumn("dot", dot("cv", "ce"))
+      .groupBy(col("cid"))
+      .agg(
+        max_by(col("cell"), struct(col("dot"), (-col("cell")).as("nc")))
+          .as("cell"),
+        first(col("ce")).as("ce"))
+    val probes = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .join(broadcast(centDf), lit(true))
+      .withColumn("dot", dot("cv", "qe"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("dot").desc, col("cell").asc)))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid"), col("cell"), col("qe"))
+    val rankW = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cid").asc)
+    asg.join(broadcast(probes), Seq("cell"))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("cos", cosine("qe", "ce"))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("cid"))
+  }
+
+  /** Per-query recall row: truth-set size + EXACT integer intersection
+    * with the ANN candidate set (left-semi on (qid, cid) — no float
+    * thresholds anywhere in the comparison). Both sides are
+    * top-3-per-query frames, so the join is query-set-sized regardless
+    * of corpus size. */
+  private[graft] def recallOf(truth: org.apache.spark.sql.DataFrame,
+      ann: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val hits = truth.join(ann, Seq("qid", "cid"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("h"))
+    truth.groupBy(col("qid")).agg(count(lit(1)).as("n_truth"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid").as("query_id"), col("n_truth"),
+        coalesce(col("h"), lit(0L)).as("n_hit"))
+  }
+
+  /** Oracle CTEs for the brute-force truth set (q, c, bf, truth). */
+  private val TruthSql = """
+        q AS (SELECT vec_id qid, embedding::DOUBLE[] qe FROM embeddings WHERE vec_id < 20),
+        c AS (SELECT vec_id cid, label c_lab, embedding::DOUBLE[] ce FROM embeddings),
+        bf AS (SELECT qid, cid, list_dot_product(qe, ce)
+                      / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))) AS cos
+               FROM q, c WHERE qid <> cid),
+        truth AS (SELECT qid, cid
+                  FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                          ORDER BY cos DESC, cid ASC) rn FROM bf)
+                  WHERE rn <= 3)"""
+
+  /** Oracle CTEs for the label-partitioned ANN side (…, ann). */
+  private[graft] def labelAnnSql(nprobe: Int) = s"""
+        long AS (SELECT vec_id, label, unnest(embedding)::DOUBLE AS v,
+                        unnest(range(len(embedding))) AS pos
+                 FROM embeddings),
+        cent AS (SELECT label AS c_label, pos, avg(v) AS cv
+                 FROM long GROUP BY 1, 2),
+        qlong AS (SELECT vec_id AS qid, pos, v AS qv FROM long WHERE vec_id < 20),
+        assign AS (SELECT qid, c_label, sum(qv * cv) AS dot
+                   FROM qlong JOIN cent USING (pos) GROUP BY 1, 2),
+        probes AS (SELECT qid, c_label AS probe_label
+                   FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                           ORDER BY dot DESC, c_label ASC) rn FROM assign)
+                   WHERE rn <= $nprobe),
+        sc AS (SELECT p.qid, c.cid,
+                      list_dot_product(q.qe, c.ce)
+                      / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(c.ce, c.ce))) AS cos
+               FROM probes p JOIN q ON p.qid = q.qid
+               JOIN c ON c.c_lab = p.probe_label AND c.cid <> p.qid),
+        ann AS (SELECT qid, cid
+                FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                        ORDER BY cos DESC, cid ASC) rn FROM sc)
+                WHERE rn <= 3)"""
+
+  /** Oracle CTEs for the KMeans-cell ANN side: one dot frame vs the
+    * v05d-pinned cent2 centroids feeds BOTH the corpus assignment and
+    * the query probes (…, ann). */
+  private[graft] def geoAnnSql(nprobe: Int) = s"""
+        d3g AS (SELECT l.vec_id, c2.cluster, sum(l.v * c2.cv) AS dot
+                FROM long l JOIN cent2 c2 USING (pos) GROUP BY 1, 2),
+        a3 AS (SELECT vec_id AS g_cid, cluster AS cell FROM (
+                 SELECT vec_id, cluster,
+                        row_number() OVER (PARTITION BY vec_id
+                          ORDER BY dot DESC, cluster ASC) AS rn
+                 FROM d3g) WHERE rn = 1),
+        probes AS (SELECT vec_id AS qid, cluster AS cell FROM (
+                 SELECT vec_id, cluster,
+                        row_number() OVER (PARTITION BY vec_id
+                          ORDER BY dot DESC, cluster ASC) AS rn
+                 FROM d3g WHERE vec_id < 20) WHERE rn <= $nprobe),
+        sc AS (SELECT p.qid, g.g_cid AS cid,
+                      list_dot_product(q.qe, c.ce)
+                      / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(c.ce, c.ce))) AS cos
+               FROM probes p
+               JOIN a3 g ON g.cell = p.cell AND g.g_cid <> p.qid
+               JOIN q ON q.qid = p.qid
+               JOIN c ON c.cid = g.g_cid),
+        ann AS (SELECT qid, cid
+                FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                        ORDER BY cos DESC, cid ASC) rn FROM sc)
+                WHERE rn <= 3)"""
+
+  /** Oracle tail: the exact-intersection recall rollup. */
+  private val RecallTailSql = """
+        hits AS (SELECT t.qid, count(*) AS h
+                 FROM truth t JOIN ann a ON t.qid = a.qid AND t.cid = a.cid
+                 GROUP BY 1)
+        SELECT t.qid AS query_id, count(*) AS n_truth,
+               coalesce(any_value(h.h), 0) AS n_hit
+        FROM truth t LEFT JOIN hits h ON t.qid = h.qid
+        GROUP BY t.qid"""
 
   def defs: Seq[Q] = Seq(
 
@@ -132,203 +385,96 @@ object VectorOps {
     // ----- ANN recall@k vs exact ground truth -----------------------------------
     Q(
       "v02b_ann_recall",
-      "Recall@3 of the v02 IVF probe vs the exact brute-force top-3 — " +
+      "Recall@3 of the v02 IVF probe vs the exact brute-force top-3 - " +
         "the number a user actually tunes nprobe against (v02 " +
         "hash-matches a FIXED 1-probe result; this gate measures what " +
         "that probe setting costs in recall). Per query point: an " +
         "EXACT integer intersection count between the ANN neighbor " +
-        "set and the ground-truth set (left-semi join on (qid, cid) — " +
+        "set and the ground-truth set (left-semi join on (qid, cid) - " +
         "no float thresholds anywhere in the comparison), plus the " +
         "truth-set size. MEASURED at the gate SF: recall@3 = 4/60 " +
-        "(6.7%) at nprobe=1 — honestly poor, because v02's coarse " +
+        "(6.7%) at nprobe=1 - honestly poor, because v02's coarse " +
         "'clusters' are per-LABEL partitions, not geometric cells, so " +
         "the probed partition rarely holds true cosine neighbors; " +
-        "v02c doubles the probes and the v05 KMeans path is the " +
-        "production fix (geometric cells). nprobe=n_clusters " +
-        "degenerates to v01's exact scan. Scale: both sides are " +
-        "top-3-per-query frames (query-set-sized), so the recall " +
-        "join is broadcast-sized regardless of corpus size.",
-      (s, d) => {
-        val e = Tables.embeddings(s, d)
-        val q = e.filter(col("vec_id") < 20)
-          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-        val c = e.select(col("vec_id").as("cid"), col("label").as("c_lab"),
-          col("embedding").as("ce"))
-        // exact ground truth: brute-force cosine top-3 (v01 logic, k=3)
-        val truthW = Window.partitionBy(col("qid"))
-          .orderBy(col("cos").desc, col("cid").asc)
-        val truth = c.join(broadcast(q), col("qid") =!= col("cid"))
-          .withColumn("cos", cosine("qe", "ce"))
-          .withColumn("rank", row_number().over(truthW))
-          .filter(col("rank") <= 3)
-          .select(col("qid"), col("cid"))
-        // ANN side: v02's 1-probe IVF top-3
-        val long = e.select(col("vec_id"), col("label"),
-            posexplode(col("embedding")))
-          .select(col("vec_id"), col("label"), col("pos"),
-            col("col").cast("double").as("v"))
-        val cent = long.groupBy(col("label").as("c_label"), col("pos"))
-          .agg(avg(col("v")).as("cv"))
-        val qlong = long.filter(col("vec_id") < 20)
-          .select(col("vec_id").as("qid"), col("pos"), col("v").as("qv"))
-        val assignW = Window.partitionBy(col("qid"))
-          .orderBy(col("dot").desc, col("c_label").asc)
-        val probe = qlong.join(cent, Seq("pos"))
-          .groupBy(col("qid"), col("c_label"))
-          .agg(sum(col("qv") * col("cv")).as("dot"))
-          .withColumn("rn", row_number().over(assignW))
-          .filter(col("rn") === 1)
-          .select(col("qid"), col("c_label").as("probe_label"))
-        val rankW = Window.partitionBy(col("qid"))
-          .orderBy(col("cos").desc, col("cid").asc)
-        val ann = c.join(broadcast(probe.join(q, Seq("qid"))),
-            col("c_lab") === col("probe_label") && col("cid") =!= col("qid"))
-          .withColumn("cos", cosine("qe", "ce"))
-          .withColumn("rank", row_number().over(rankW))
-          .filter(col("rank") <= 3)
-          .select(col("qid"), col("cid"))
-        // recall: integer intersection per query point
-        val hits = truth.join(ann, Seq("qid", "cid"), "left_semi")
-          .groupBy(col("qid")).agg(count(lit(1)).as("h"))
-        truth.groupBy(col("qid")).agg(count(lit(1)).as("n_truth"))
-          .join(hits, Seq("qid"), "left")
-          .select(col("qid").as("query_id"), col("n_truth"),
-            coalesce(col("h"), lit(0L)).as("n_hit"))
-      },
-      Some("""
-        WITH q AS (SELECT vec_id qid, embedding::DOUBLE[] qe FROM embeddings WHERE vec_id < 20),
-        c AS (SELECT vec_id cid, label c_lab, embedding::DOUBLE[] ce FROM embeddings),
-        bf AS (SELECT qid, cid, list_dot_product(qe, ce)
-                      / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))) AS cos
-               FROM q, c WHERE qid <> cid),
-        truth AS (SELECT qid, cid
-                  FROM (SELECT *, row_number() OVER (PARTITION BY qid
-                          ORDER BY cos DESC, cid ASC) rn FROM bf)
-                  WHERE rn <= 3),
-        long AS (SELECT vec_id, label, unnest(embedding)::DOUBLE AS v,
-                        unnest(range(len(embedding))) AS pos
-                 FROM embeddings),
-        cent AS (SELECT label AS c_label, pos, avg(v) AS cv
-                 FROM long GROUP BY 1, 2),
-        qlong AS (SELECT vec_id AS qid, pos, v AS qv FROM long WHERE vec_id < 20),
-        assign AS (SELECT qid, c_label, sum(qv * cv) AS dot
-                   FROM qlong JOIN cent USING (pos) GROUP BY 1, 2),
-        probe AS (SELECT qid, c_label AS probe_label
-                  FROM (SELECT *, row_number() OVER (PARTITION BY qid
-                          ORDER BY dot DESC, c_label ASC) rn FROM assign)
-                  WHERE rn = 1),
-        sc AS (SELECT p.qid, c.cid,
-                      list_dot_product(q.qe, c.ce)
-                      / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(c.ce, c.ce))) AS cos
-               FROM probe p JOIN q ON p.qid = q.qid
-               JOIN c ON c.c_lab = p.probe_label AND c.cid <> p.qid),
-        ann AS (SELECT qid, cid
-                FROM (SELECT *, row_number() OVER (PARTITION BY qid
-                        ORDER BY cos DESC, cid ASC) rn FROM sc)
-                WHERE rn <= 3),
-        hits AS (SELECT t.qid, count(*) AS h
-                 FROM truth t JOIN ann a ON t.qid = a.qid AND t.cid = a.cid
-                 GROUP BY 1)
-        SELECT t.qid AS query_id, count(*) AS n_truth,
-               coalesce(any_value(h.h), 0) AS n_hit
-        FROM truth t LEFT JOIN hits h ON t.qid = h.qid
-        GROUP BY t.qid""")),
+        "v02c doubles the probes and v09 is the production fix " +
+        "(geometric KMeans cells: 15/60 at the same nprobe=1). " +
+        "nprobe=n_clusters degenerates to v01's exact scan. Scale: " +
+        "both sides are top-3-per-query frames (query-set-sized), so " +
+        "the recall join is broadcast-sized regardless of corpus size.",
+      (s, d) => recallOf(bruteTruth(s, d), labelAnn(s, d, nprobe = 1)),
+      Some(s"""
+        WITH $TruthSql,
+        ${labelAnnSql(nprobe = 1)},
+        $RecallTailSql""")),
 
     // ----- multi-probe recall: the nprobe knob demonstrated ----------------------
     Q(
       "v02c_ann_recall_multiprobe",
-      "v02b's recall gate at nprobe=2 — the tradeoff made concrete: " +
+      "v02b's recall gate at nprobe=2 - the tradeoff made concrete: " +
         "each query searches its TWO nearest centroids' partitions " +
         "(2x the scan of v02) and recall@3 rises with coverage " +
         "(measured at the gate SF: 4/60 -> 13/60 -> 22/60 -> 32/60 " +
-        "at nprobe=1..4 — near-linear in partitions scanned, the " +
+        "at nprobe=1..4 - near-linear in partitions scanned, the " +
         "signature of label-partitioned cells with no geometric " +
-        "locality). The probe set is rn <= 2 of the same " +
-        "deterministic (dot desc, label asc) centroid ranking; " +
-        "everything else — exact integer intersection, " +
-        "query-set-sized recall join — is v02b.",
-      (s, d) => {
-        val e = Tables.embeddings(s, d)
-        val q = e.filter(col("vec_id") < 20)
-          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-        val c = e.select(col("vec_id").as("cid"), col("label").as("c_lab"),
-          col("embedding").as("ce"))
-        val truthW = Window.partitionBy(col("qid"))
-          .orderBy(col("cos").desc, col("cid").asc)
-        val truth = c.join(broadcast(q), col("qid") =!= col("cid"))
-          .withColumn("cos", cosine("qe", "ce"))
-          .withColumn("rank", row_number().over(truthW))
-          .filter(col("rank") <= 3)
-          .select(col("qid"), col("cid"))
-        val long = e.select(col("vec_id"), col("label"),
-            posexplode(col("embedding")))
-          .select(col("vec_id"), col("label"), col("pos"),
-            col("col").cast("double").as("v"))
-        val cent = long.groupBy(col("label").as("c_label"), col("pos"))
-          .agg(avg(col("v")).as("cv"))
-        val qlong = long.filter(col("vec_id") < 20)
-          .select(col("vec_id").as("qid"), col("pos"), col("v").as("qv"))
-        val assignW = Window.partitionBy(col("qid"))
-          .orderBy(col("dot").desc, col("c_label").asc)
-        val probes = qlong.join(cent, Seq("pos"))
-          .groupBy(col("qid"), col("c_label"))
-          .agg(sum(col("qv") * col("cv")).as("dot"))
-          .withColumn("rn", row_number().over(assignW))
-          .filter(col("rn") <= 2)
-          .select(col("qid"), col("c_label").as("probe_label"))
-        val rankW = Window.partitionBy(col("qid"))
-          .orderBy(col("cos").desc, col("cid").asc)
-        val ann = c.join(broadcast(probes.join(q, Seq("qid"))),
-            col("c_lab") === col("probe_label") && col("cid") =!= col("qid"))
-          .withColumn("cos", cosine("qe", "ce"))
-          .withColumn("rank", row_number().over(rankW))
-          .filter(col("rank") <= 3)
-          .select(col("qid"), col("cid"))
-        val hits = truth.join(ann, Seq("qid", "cid"), "left_semi")
-          .groupBy(col("qid")).agg(count(lit(1)).as("h"))
-        truth.groupBy(col("qid")).agg(count(lit(1)).as("n_truth"))
-          .join(hits, Seq("qid"), "left")
-          .select(col("qid").as("query_id"), col("n_truth"),
-            coalesce(col("h"), lit(0L)).as("n_hit"))
-      },
-      Some("""
-        WITH q AS (SELECT vec_id qid, embedding::DOUBLE[] qe FROM embeddings WHERE vec_id < 20),
-        c AS (SELECT vec_id cid, label c_lab, embedding::DOUBLE[] ce FROM embeddings),
-        bf AS (SELECT qid, cid, list_dot_product(qe, ce)
-                      / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))) AS cos
-               FROM q, c WHERE qid <> cid),
-        truth AS (SELECT qid, cid
-                  FROM (SELECT *, row_number() OVER (PARTITION BY qid
-                          ORDER BY cos DESC, cid ASC) rn FROM bf)
-                  WHERE rn <= 3),
-        long AS (SELECT vec_id, label, unnest(embedding)::DOUBLE AS v,
-                        unnest(range(len(embedding))) AS pos
-                 FROM embeddings),
-        cent AS (SELECT label AS c_label, pos, avg(v) AS cv
-                 FROM long GROUP BY 1, 2),
-        qlong AS (SELECT vec_id AS qid, pos, v AS qv FROM long WHERE vec_id < 20),
-        assign AS (SELECT qid, c_label, sum(qv * cv) AS dot
-                   FROM qlong JOIN cent USING (pos) GROUP BY 1, 2),
-        probes AS (SELECT qid, c_label AS probe_label
-                   FROM (SELECT *, row_number() OVER (PARTITION BY qid
-                           ORDER BY dot DESC, c_label ASC) rn FROM assign)
-                   WHERE rn <= 2),
-        sc AS (SELECT p.qid, c.cid,
-                      list_dot_product(q.qe, c.ce)
-                      / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(c.ce, c.ce))) AS cos
-               FROM probes p JOIN q ON p.qid = q.qid
-               JOIN c ON c.c_lab = p.probe_label AND c.cid <> p.qid),
-        ann AS (SELECT qid, cid
-                FROM (SELECT *, row_number() OVER (PARTITION BY qid
-                        ORDER BY cos DESC, cid ASC) rn FROM sc)
-                WHERE rn <= 3),
-        hits AS (SELECT t.qid, count(*) AS h
-                 FROM truth t JOIN ann a ON t.qid = a.qid AND t.cid = a.cid
-                 GROUP BY 1)
-        SELECT t.qid AS query_id, count(*) AS n_truth,
-               coalesce(any_value(h.h), 0) AS n_hit
-        FROM truth t LEFT JOIN hits h ON t.qid = h.qid
-        GROUP BY t.qid""")),
+        "locality; v09's KMeans cells hit 15/60 at nprobe=1). The " +
+        "probe set is rn <= 2 of the same deterministic (dot desc, " +
+        "label asc) centroid ranking; truth, ANN ranking and the " +
+        "exact-intersection recall join are the shared gate " +
+        "machinery (recallOf/labelAnn - one copy, v02b the other " +
+        "caller).",
+      (s, d) => recallOf(bruteTruth(s, d), labelAnn(s, d, nprobe = 2)),
+      Some(s"""
+        WITH $TruthSql,
+        ${labelAnnSql(nprobe = 2)},
+        $RecallTailSql""")),
+
+    // ----- geometric IVF: KMeans cells as the coarse quantizer -------------------
+    Q(
+      "v09_ivf_geo_recall",
+      "Geometric IVF recall@3 (the production fix v02b/v02c's measured " +
+        "4/60-13/60 recall names): coarse cells are v05d's CONVERGED " +
+        "KMeans centroids instead of label partitions, so a probe " +
+        "searches the cell that is geometrically nearest the query. " +
+        "Same exact integer-intersection recall gate as v02b. " +
+        "MEASURED recall@3 at the gate SF (tools.IvfProbe, " +
+        "reproducible), v09 KMeans cells vs v02b/c label cells at " +
+        "equal nprobe:\n" +
+        "    nprobe   1      2      3      4\n" +
+        "    label    4/60  13/60  22/60  32/60\n" +
+        "    kmeans  15/60  33/60  45/60  48/60\n" +
+        "- 3.8x the recall at nprobe=1 and 80% by nprobe=4 (half the " +
+        "cells scanned) where the label scheme is still under half; " +
+        "the residual gap to 60/60 is the coarse build itself (k=8 " +
+        "cells, the 2 bracketing-pinned Lloyd iterations of v05d - " +
+        "recall rises with k and iterations, scan fraction is " +
+        "nprobe/k either way). The oracle replays the " +
+        "full 2-Lloyd-iteration centroid build (the v05c/v05d CTE " +
+        "chain, KmeansSql.UpToCent2) plus assignment, probe and " +
+        "recall in SQL - the hash matches only if the END-TO-END " +
+        "index build + probe pipeline agrees cross-engine.",
+      (s, d) => recallOf(bruteTruth(s, d), geoAnn(s, d, nprobe = 1)),
+      Some(s"""
+        WITH ${KmeansSql.UpToCent2},
+        $TruthSql,
+        ${geoAnnSql(nprobe = 1)},
+        $RecallTailSql""")),
+
+    Q(
+      "v09b_ivf_geo_recall_multiprobe",
+      "v09 at nprobe=2 (33/60 measured vs v02c's 13/60 at the same " +
+        "probe budget) - the recall/scan-fraction curve of a real IVF " +
+        "index: with geometric cells the early probes buy the big " +
+        "increments (15 -> 33 -> 45 -> 48, flattening) because the " +
+        "nearest cells hold most true neighbors, where the label " +
+        "scheme's near-linear curve showed its cells carried no " +
+        "locality at all. Shares every stage with v09 " +
+        "(geoAnn/recallOf + the KmeansSql oracle chain).",
+      (s, d) => recallOf(bruteTruth(s, d), geoAnn(s, d, nprobe = 2)),
+      Some(s"""
+        WITH ${KmeansSql.UpToCent2},
+        $TruthSql,
+        ${geoAnnSql(nprobe = 2)},
+        $RecallTailSql""")),
 
     // ----- codegen'd Catalyst expression variant ---------------------------------
     Q(
