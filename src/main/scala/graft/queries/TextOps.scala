@@ -1825,6 +1825,70 @@ object TextOps {
                coalesce(c.nc, 0) > 0 AS contaminated
         FROM tot t LEFT JOIN con c ON t.doc_id = c.doc_id""")),
 
+    // ----- decontamination at scale: hash grams, not strings ---------------------
+    Q(
+      "t28b_contamination_hashed",
+      "t28's decontamination scan in its 100-TB form (the scale path " +
+        "t28's own doc names): the semi-join carries a 48-bit " +
+        "md5-prefix HASH of each 8-gram (the t05/t26 deterministic-" +
+        "hash convention; a production engine would swap in xxhash64) " +
+        "instead of the ~50-byte gram string, so the train-side " +
+        "distinct and the eval-train join shuffle 8-byte longs - the " +
+        "plan shape is identical to t28, only the key width changes. " +
+        "Contamination counts are per distinct gram HASH; a 48-bit " +
+        "collision could merge two grams, but both engines hash " +
+        "identically so the gate is exact cross-engine, and at 48 " +
+        "bits the birthday term is negligible at the gate SF. At " +
+        "100 TB the train grams are written bucketed by hash prefix " +
+        "and the eval side shuffles into the same buckets - the " +
+        "BucketingSpec-pinned layout drops the train-side exchange " +
+        "entirely.",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val tagged = docs.select(col("doc_id"), col("text"),
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("long") % 10 === 0).as("is_eval"))
+        val grams = tagged
+          .select(col("doc_id"), col("is_eval"), split(col("text"), " ").as("w"))
+          .filter(size(col("w")) >= 8)
+          .select(col("doc_id"), col("is_eval"), explode(expr(
+            "transform(sequence(1, size(w) - 7), " +
+              "i -> concat_ws(' ', slice(w, i, 8)))")).as("g"))
+          // hash BEFORE the exchange: everything downstream (distinct,
+          // semi-join, per-doc countDistinct) shuffles longs only
+          .select(col("doc_id"), col("is_eval"),
+            conv(substring(md5(col("g")), 1, 12), 16, 10)
+              .cast("long").as("h"))
+        val evalG = grams.filter(col("is_eval")).select(col("doc_id"), col("h"))
+        val trainH = grams.filter(!col("is_eval")).select(col("h")).distinct()
+        val tot = evalG.groupBy(col("doc_id"))
+          .agg(countDistinct(col("h")).as("n_grams"))
+        val con = evalG.join(trainH, Seq("h"), "left_semi")
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("h")).as("nc"))
+        tot.join(con, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_grams"),
+            coalesce(col("nc"), lit(0L)).as("n_contaminated"),
+            (coalesce(col("nc"), lit(0L)) > 0).as("contaminated"))
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
+                          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::UBIGINT % 10 = 0 AS is_eval
+                   FROM documents),
+        g AS (SELECT doc_id, is_eval,
+                     ('0x' || substr(md5(array_to_string(w[i:i+7], ' ')), 1, 12))::UBIGINT AS h
+              FROM (SELECT doc_id, is_eval, w, unnest(range(1, len(w) - 6)) AS i
+                    FROM t WHERE len(w) >= 8)),
+        ev AS (SELECT doc_id, h FROM g WHERE is_eval),
+        tr AS (SELECT DISTINCT h FROM g WHERE NOT is_eval),
+        tot AS (SELECT doc_id, count(DISTINCT h) AS n_grams FROM ev GROUP BY 1),
+        con AS (SELECT ev.doc_id, count(DISTINCT ev.h) AS nc
+                FROM ev JOIN tr ON ev.h = tr.h GROUP BY 1)
+        SELECT t.doc_id, t.n_grams,
+               coalesce(c.nc, 0) AS n_contaminated,
+               coalesce(c.nc, 0) > 0 AS contaminated
+        FROM tot t LEFT JOIN con c ON t.doc_id = c.doc_id""")),
+
     // ----- BM25 retrieval scoring ------------------------------------------------
     Q(
       "t24_bm25_scoring",

@@ -68,6 +68,63 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("bucketed train grams: the t28b decontamination semi-join " +
+      "shuffles only the eval side") {
+    val s = spark
+    val root = java.nio.file.Files.createTempDirectory("graft-bkt3").toString
+    // t28b's two sides: 48-bit md5-prefix hashes of 8-grams, split
+    // eval/train by the doc_id md5 bucket convention
+    val grams = Tables.documents(s, sf)
+      .select(col("doc_id"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % 10 === 0).as("is_eval"),
+        split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 8)
+      .select(col("doc_id"), col("is_eval"), explode(expr(
+        "transform(sequence(1, size(w) - 7), " +
+          "i -> concat_ws(' ', slice(w, i, 8)))")).as("g"))
+      .select(col("doc_id"), col("is_eval"),
+        conv(substring(md5(col("g")), 1, 12), 16, 10).cast("long").as("h"))
+    val train = grams.filter(!col("is_eval")).select(col("h")).distinct()
+    val evalG = grams.filter(col("is_eval")).select(col("doc_id"), col("h"))
+
+    // the 100-TB layout: train grams bucketed by hash ONCE at write
+    // time (the corpus side is huge and reused across eval sets);
+    // each decontamination run then shuffles only its eval side
+    LakeIO.saveBucketed(train, "bkt_train_grams", "h", 8,
+      Some(s"$root/train_grams"))
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val semi = evalG.join(s.table("bkt_train_grams"), Seq("h"), "left_semi")
+      semi.collect()
+      // AQE's toString appends the pre-adaptive "Initial Plan" — count
+      // exchanges in the FINAL plan section only
+      val p = semi.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(p.contains("SortMergeJoin") && p.contains("LeftSemi"),
+        p.take(2000))
+      assert("Exchange".r.findAllIn(p).size == 1,
+        s"only the eval side may shuffle:\n${p.take(3000)}")
+      assert(p.contains("Bucketed: true"),
+        s"train side must read pre-bucketed:\n${p.take(3000)}")
+
+      // contamination counts match the plain (both-sides-shuffled) form
+      val expect = evalG.join(train, Seq("h"), "left_semi")
+        .groupBy(col("doc_id")).agg(countDistinct(col("h")).as("nc"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val got = semi.groupBy(col("doc_id"))
+        .agg(countDistinct(col("h")).as("nc"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect)
+      assert(got.nonEmpty, "degenerate fixture: no contaminated eval docs")
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      s.sql("DROP TABLE IF EXISTS bkt_train_grams")
+      deleteRecursively(root)
+    }
+  }
+
   test("groupBy on the bucket key aggregates without an exchange") {
     val s = spark
     val root = java.nio.file.Files.createTempDirectory("graft-bkt2").toString
