@@ -64,13 +64,26 @@ object AdjustedEfficiencies {
     gameTeams
       .join(broadcast(d1), Seq("teamId"), "left_semi") // this side D1
       .join(meta, Seq("gameId"))
-      .withColumn("ts", parseStats(col("teamStats")))
-      .withColumn("os", parseStats(col("opponentStats")))
+      // Parse each stats string EXACTLY once. The explode(array(...))
+      // Generate is a deliberate optimizer barrier: without it,
+      // PushDownPredicates pushes the validity filter through the parse
+      // projection and its alias substitution re-evaluates the whole
+      // regex+from_json chain once per predicate — 6 parses per row
+      // instead of 2, measured ~3x the g06 wall time. Predicates on a
+      // generator's output can't be pushed below the Generate, so the
+      // filter stays above and reads cheap struct fields. One-element
+      // array → exactly one output row per input row, no skew, same
+      // whole-stage-codegen span.
+      .select(col("gameId"), col("teamId"), col("game_date"),
+        col("neutral"), col("homeTeamId"),
+        explode(array(struct(
+          parseStats(col("teamStats")).as("ts"),
+          parseStats(col("opponentStats")).as("os")))).as("p"))
       .select(col("gameId"), col("teamId"),
-        col("ts.possessions").as("poss"),
-        col("ts.points.total").as("pts"),
-        col("os.possessions").as("opp_poss"),
-        col("os.points.total").as("opp_pts"),
+        col("p.ts.possessions").as("poss"),
+        col("p.ts.points.total").as("pts"),
+        col("p.os.possessions").as("opp_poss"),
+        col("p.os.points.total").as("opp_pts"),
         col("game_date"), col("neutral"),
         (col("teamId") === col("homeTeamId")).as("is_home"))
       .filter(col("poss").isNotNull && col("poss") > 0 &&

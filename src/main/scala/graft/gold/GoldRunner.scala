@@ -58,11 +58,25 @@ object GoldRunner {
 
   /** Run one or all transforms; errors per table are caught and reported
     * so the run continues (reference runner.py:98-108). Returns
-    * table -> Right(rowCount) | Left(error). */
+    * table -> Right(rowCount) | Left(error).
+    *
+    * Transforms run CONCURRENTLY (4-way): the registry is a flat DAG —
+    * every transform reads only silver inputs, none reads another's
+    * gold output — so the per-table result is independent of execution
+    * order, and interleaving their many small jobs across the
+    * scheduler hides the driver-loop latency that dominated a
+    * sequential run (each builder is a chain of sub-second jobs; the
+    * two adjusted-efficiency builders also run driver-side solver
+    * loops between jobs). Error isolation stays per-table: a failed
+    * build/write lands in its own Left without disturbing the rest. */
   def run(spark: SparkSession, root: String, season: Int,
       only: Option[String] = None, dryRun: Boolean = false): Map[String, Either[String, Long]] = {
     val selected = only.fold(transforms)(t => transforms.filter(_._1 == t))
-    selected.map { case (name, build) =>
+    import scala.collection.parallel.CollectionConverters._
+    val par = selected.toSeq.par
+    par.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(
+      new java.util.concurrent.ForkJoinPool(4))
+    par.map { case (name, build) =>
       name -> (try {
         // schema contract before the sink (reference runner applies
         // normalize_records inside each builder's return)
@@ -75,7 +89,7 @@ object GoldRunner {
           Right(spark.read.parquet(s"$root/gold/$name").count())
         }
       } catch { case e: Throwable => Left(e.getMessage) })
-    }
+    }.seq.toMap
   }
 
   /** CLI entry mirroring the reference runner (runner.py:31-79):

@@ -267,19 +267,27 @@ object GoldGate {
       .distinct().orderBy(col("gd").asc).limit(3)
       .collect().map(_.getString(0)).toSeq
     val g3 = g.filter(substring(col("startDate"), 1, 10).isin(dates3: _*))
-    def write(df: DataFrame, name: String): Unit =
-      df.write.mode("overwrite").parquet(s"$root/$name")
-    write(dimD1(s, d), "dim_teams")
-    write(g3, "fct_games")
-    write(lines(s, d), "fct_lines")
-    write(adj(s, d), "fct_ratings_adjusted")
-    write(srs(s, d), "fct_ratings_srs")
-    write(polls(s, d), "fct_rankings")
-    write(pbpRollup(s, d), "fct_pbp_team_daily_rollup")
-    write(pbpAdj(s, d), "fct_pbp_team_daily_rollup_adj")
-    write(recruiting(s, d), "fct_recruiting_players")
-    write(gameTeamsOf(g3), "fct_game_teams")
-    write(pbpFlat(g3), "fct_pbp_game_teams_flat_garbage_removed")
+    // the 11 table writes are independent — run them concurrently so
+    // the scheduler interleaves their small jobs (pass-1-only cost;
+    // passes 2..N hit the memo)
+    val tables: Seq[(String, DataFrame)] = Seq(
+      "dim_teams" -> dimD1(s, d),
+      "fct_games" -> g3,
+      "fct_lines" -> lines(s, d),
+      "fct_ratings_adjusted" -> adj(s, d),
+      "fct_ratings_srs" -> srs(s, d),
+      "fct_rankings" -> polls(s, d),
+      "fct_pbp_team_daily_rollup" -> pbpRollup(s, d),
+      "fct_pbp_team_daily_rollup_adj" -> pbpAdj(s, d),
+      "fct_recruiting_players" -> recruiting(s, d),
+      "fct_game_teams" -> gameTeamsOf(g3),
+      "fct_pbp_game_teams_flat_garbage_removed" -> pbpFlat(g3))
+    import scala.collection.parallel.CollectionConverters._
+    val par = tables.par
+    par.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(
+      new java.util.concurrent.ForkJoinPool(4))
+    par.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$root/$name") }
     // poison: an unreadable parquet footer fails player_season_impact at
     // read time; the runner must isolate it and continue
     val pDir = new java.io.File(s"$root/fct_player_season_stats")
@@ -1005,7 +1013,12 @@ object GoldGate {
         import s.implicits._
         val root = memoizedPoisonedRunnerLake(s, d)
         val res = graft.gold.GoldRunner.run(s, root, Season)
-        val rows = graft.gold.GoldRunner.transforms.keys.toSeq.sorted.map { t =>
+        // read-back audits are independent per table — interleave them
+        import scala.collection.parallel.CollectionConverters._
+        val audits = graft.gold.GoldRunner.transforms.keys.toSeq.sorted.par
+        audits.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(
+          new java.util.concurrent.ForkJoinPool(4))
+        val rows = audits.map { t =>
           res(t) match {
             case Right(_) =>
               val df = s.read.parquet(s"$root/gold/$t")
@@ -1017,7 +1030,7 @@ object GoldGate {
               (t, "published", a.getLong(0), a.getLong(1))
             case Left(_) => (t, "error", -1L, -1L)
           }
-        }
+        }.seq
         // the memoized lake is deleted by its JVM shutdown hook, NOT
         // here — deleting per invocation would leave later bench passes
         // a cached path to a vanished dir (every table would "error")
