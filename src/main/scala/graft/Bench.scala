@@ -19,6 +19,11 @@ import org.apache.spark.sql.SparkSession
   *   the per-query MEDIAN RATIO (detail file `ratios`) moves with host
   *   contention the same way the query does, so it is the
   *   cross-round-comparable number even when wall times aren't.
+  * - ADAPTIVE RE-RUNS (VERDICT r9 #5): queries flagged contended after
+  *   the main passes get up to 2 extra interleaved samples each before
+  *   medians/flags are fixed; re-run queries are then judged on the
+  *   worst-sample-trimmed spread (see flagSpread) so one polluted pass
+  *   can be outvoted by clean evidence.
   * - stdout stays ONE compact JSON line — the driver's contract, with a
   *   ~2000-char capture window. Per-query flat keys cost ~13 chars each
   *   (~1633 chars at 134 queries — r7's looming wall), so the encoding
@@ -44,6 +49,21 @@ object Bench {
       case (name, median, spread) if median > 0 && spread / median > bound =>
         name
     }
+
+  /** The spread that feeds the contention flag. Plain max−min for a
+    * query with only its main-pass samples; once a query has ADAPTIVE
+    * RE-RUN samples (size > runs), the single worst sample is excluded
+    * — it is exactly the suspected contention window the re-run was
+    * testing, and max−min can only grow with more samples, so without
+    * the trim a single polluted pass would flag a query forever no
+    * matter how much clean evidence accumulates. A query whose
+    * TRIMMED spread still exceeds the bound is genuinely noisy and
+    * stays flagged. Pure so BenchStatsSpec can pin both regimes. */
+  private[graft] def flagSpread(ts: Seq[Double], runs: Int): Double = {
+    val x = ts.sorted
+    if (ts.size > runs && x.size >= 2) x(x.size - 2) - x.head
+    else x.last - x.head
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -112,13 +132,39 @@ object Bench {
         if (refNow > 0) ratioSamples(name) = ratioSamples(name) :+ dt / refNow
       }
     }
+    def med(ts: Seq[Double]): Double = { val x = ts.sorted; x(x.size / 2) }
+    // ---- adaptive re-runs (VERDICT r9 #5): a query flagged contended
+    // after the main passes gets up to SPARK_GRAFT_CONTENTION_RERUNS
+    // (default 2) extra samples, each preceded by a fresh interleaved
+    // reference run, BEFORE its median and flag are fixed. The flag is
+    // then judged on flagSpread (worst sample excluded for re-run
+    // queries) — one polluted pass stops flagging a query once clean
+    // evidence outweighs it; genuinely noisy queries stay flagged.
+    val contBound =
+      sys.env.getOrElse("SPARK_GRAFT_CONTENTION_BOUND", "1.0").toDouble
+    val rerunsMax =
+      sys.env.getOrElse("SPARK_GRAFT_CONTENTION_RERUNS", "2").toInt
+    (1 to rerunsMax).foreach { _ =>
+      val flagged = contendedFlags(
+        samples.toSeq.map { case (n, ts) =>
+          (n, med(ts), flagSpread(ts, runs)) }, contBound).toSet
+      queries.foreach { case (name, fn) =>
+        if (flagged.contains(name)) {
+          val refNow = timeRef()
+          val t0 = System.nanoTime()
+          try run(fn(spark, sfDir)) catch { case _: Throwable => () }
+          val dt = (System.nanoTime() - t0) / 1e9
+          samples(name) = samples(name) :+ dt
+          if (refNow > 0) ratioSamples(name) = ratioSamples(name) :+ dt / refNow
+        }
+      }
+    }
     val refMedian =
       if (refSamples.isEmpty) -1.0
       else { val s = refSamples.sorted; s(s.size / 2) }
     def ms(x: Double): Double = math.rint(x * 1000) / 1000
     val results = samples.toSeq.map { case (name, ts) =>
-      val s = ts.sorted
-      (name, s(s.size / 2), s.last - s.head, ts)
+      (name, med(ts), flagSpread(ts, runs), ts)
     }
     // stdout keying: operator-id prefix ("j01" for j01_broadcast_chain),
     // split into family letters + id ("j" + "01"); uniqueness required so
@@ -166,9 +212,10 @@ object Bench {
     // cross-pass spread exceeds `bound × median` was sampled through at
     // least one host-contention window — its MEDIAN is still the
     // reported number, but round-over-round diffs should compare it via
-    // `ratios` (the contention-normalized view), not wall seconds
-    val contBound =
-      sys.env.getOrElse("SPARK_GRAFT_CONTENTION_BOUND", "1.0").toDouble
+    // `ratios` (the contention-normalized view), not wall seconds.
+    // The spread feeding the flag (and the `spread` detail field) is
+    // flagSpread: trimmed for adaptively re-run queries, raw otherwise;
+    // every raw sample is in `samples`.
     val contended =
       contendedFlags(results.map { case (k, m, sp, _) => (k, m, sp) }, contBound)
         .map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -805,6 +805,87 @@ object Windows {
                CASE WHEN c.c_custkey % 7 = 0 THEN 'PROMO'
                     ELSE c.c_mktsegment END AS seg
         FROM events e
-        LEFT JOIN customer c ON e.user_id = c.c_custkey"""))
+        LEFT JOIN customer c ON e.user_id = c.c_custkey""")),
+
+    Q(
+      "st12_streaming_heavy_hitters",
+      "Streaming heavy hitters under the HASH GATE (the sk04 answer " +
+        "computed by the foreachBatch state machine instead of the " +
+        "batch operator): the documents' bigram stream replayed as 3 " +
+        "deterministic micro-batches (doc_id % 3) through " +
+        "StreamingHeavyHitters.applyBatch - each batch treeAggregates " +
+        "its own 1023-counter Misra-Gries summary and merges it into " +
+        "the k-bounded persisted state - then exactOverLake recounts " +
+        "the STREAMED candidates against the accumulated token lake " +
+        "at threshold N/850. Mergeable-summaries soundness (the " +
+        "streamed candidate set dominates the batch operator's) is " +
+        "what makes this equal sk04's oracle hash-for-hash regardless " +
+        "of batch boundaries; the spec pins the same parity on a " +
+        "zipf eviction stream, this row pins it cross-engine.",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("graft_st12_")
+        org.apache.commons.io.FileUtils.forceDeleteOnExit(dir.toFile)
+        val docs = Tables.documents(s, d)
+        val toks = docs
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .filter(size(col("w")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(w) - 1)," +
+              " i -> concat(w[i-1], ' ', w[i]))")).as("tok"))
+        (0 until 3).foreach { b =>
+          graft.streaming.StreamingHeavyHitters.applyBatch(
+            toks.filter(pmod(col("doc_id"), lit(3)) === b).select(col("tok")),
+            "tok", b.toLong, k = 1023, dir.toString)
+        }
+        graft.streaming.StreamingHeavyHitters.exactOverLake(
+          toks.select(col("tok")), "tok", dir.toString, denom = 850.0)
+      },
+      Some("""
+        WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+        b AS (SELECT w[i] || ' ' || w[i+1] AS tok
+              FROM (SELECT w, unnest(range(1, len(w))) AS i FROM w)),
+        tot AS (SELECT count(*) AS n FROM b)
+        SELECT tok, cnt FROM
+          (SELECT tok, count(*) AS cnt FROM b GROUP BY 1), tot
+        WHERE cnt >= n / 850.0""")),
+
+    Q(
+      "st13_streaming_weighted_sample",
+      "Streaming weighted sampling under the HASH GATE (the t26 " +
+        "Efraimidis-Spirakis sample computed by the foreachBatch " +
+        "top-k-merge state machine): documents replayed as 3 " +
+        "deterministic micro-batches (doc_id % 3) through " +
+        "StreamingWeightedSample.applyBatch - each batch's " +
+        "TakeOrderedAndProject top-20 merges with the persisted " +
+        "<=20-row state - and the final state must be BIT-IDENTICAL " +
+        "to the one-shot batch sampler (top-k is exactly mergeable " +
+        "and t26's md5-derived keys are deterministic), so the t26 " +
+        "oracle gates it regardless of batch boundaries.",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("graft_st13_")
+        org.apache.commons.io.FileUtils.forceDeleteOnExit(dir.toFile)
+        val docs = Tables.documents(s, d)
+        val keyed = docs.select(col("doc_id").as("id"), col("n_chars"),
+            (conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+              .cast("long") + 1L).as("v"))
+          .select(col("id"), col("n_chars"),
+            round(log(col("v").cast("double") / lit(281474976710657.0))
+              / col("n_chars"), 12).as("key"))
+        (0 until 3).foreach { b =>
+          graft.streaming.StreamingWeightedSample.applyBatch(
+            keyed.filter(pmod(col("id"), lit(3)) === b),
+            k = 20, b.toLong, dir.toString)
+        }
+        graft.streaming.StreamingWeightedSample.read(s, dir.toString)
+          .select(col("id").as("doc_id"), col("n_chars"), col("key"))
+      },
+      Some("""
+        WITH k AS (
+          SELECT doc_id, n_chars,
+                 round(ln(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::UBIGINT + 1 AS DOUBLE)
+                    / 281474976710657.0) / n_chars, 12) AS key
+          FROM documents)
+        SELECT doc_id, n_chars, key
+        FROM k ORDER BY key DESC, doc_id ASC LIMIT 20"""))
   )
 }

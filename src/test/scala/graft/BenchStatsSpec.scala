@@ -19,4 +19,18 @@ class BenchStatsSpec extends AnyFunSuite {
       Seq("steady", "spiky", "boundary", "justover"))
     assert(Bench.contendedFlags(rs, 2.0) == Seq.empty)
   }
+
+  test("flagSpread trims the single worst sample only after re-runs") {
+    // 5 main-pass samples, one polluted (9.0): raw spread regime
+    val main = Seq(1.0, 1.1, 9.0, 1.0, 1.2)
+    assert(Bench.flagSpread(main, runs = 5) == 8.0)
+    // +2 adaptive re-run samples, both clean: the polluted sample is
+    // excluded, spread collapses to the clean envelope
+    val rerun = main ++ Seq(1.05, 1.15)
+    assert(math.abs(Bench.flagSpread(rerun, runs = 5) - 0.2) < 1e-9)
+    // re-runs that are ALSO slow keep the query flagged: only ONE
+    // sample is trimmed, the second-worst still stretches the spread
+    val noisy = main ++ Seq(7.5, 1.0)
+    assert(math.abs(Bench.flagSpread(noisy, runs = 5) - 6.5) < 1e-9)
+  }
 }
