@@ -915,6 +915,114 @@ object CarveOutGate {
           FROM r)
         SELECT r2.*, m2.* FROM r2, m2""")),
 
+    // ----- multi-season backtest aggregation --------------------------------------
+    Q(
+      "bt02_backtest_multi_season",
+      "The multi-season backtest aggregation END-TO-END (I5, " +
+        "backtest_spreads.py save_multi_season_report:425-497): bt01's " +
+        "dyadic fixture split into 3 seasons (o_orderkey % 3), each " +
+        "run through the REAL Backtest.errorMetrics + roiTable, " +
+        "collected by BacktestReport.collectResult (absent thresholds " +
+        "zero-filled), and pooled by BacktestReport.aggregateSeasons - " +
+        "the exact code path renderMultiSeasonReport prints: " +
+        "games-weighted MAE means, summed CLV counters, per-threshold " +
+        "pooled W/L/P with -110 ROI. The oracle replays the " +
+        "per-season-then-pool arithmetic (weighted mean of per-season " +
+        "means, not one global mean - numerically equal only if the " +
+        "season plumbing neither drops nor double-counts a season). " +
+        "Closes the last spec-only math in the report layer.",
+      (s, d) => {
+        import s.implicits._
+        val preds0 = Tables.orders(s, d).select(
+          (((col("o_orderkey") % 41) - 20).cast("double") * 0.25)
+            .as("model_margin"),
+          (((col("o_custkey") % 29) - 14).cast("double") * 0.5)
+            .as("book_spread"),
+          ((col("o_orderkey") % 33) - 16).cast("double").as("actual_margin"),
+          (lit(2023) + col("o_orderkey") % 3).cast("int").as("season"))
+        val perSeason = Seq(2023, 2024, 2025).map { yr =>
+          val p = preds0.filter(col("season") === yr)
+          (yr,
+            graft.ratings.BacktestReport.collectResult(
+              "adjusted", Backtest.errorMetrics(p), Backtest.roiTable(p)),
+            4.0266)
+        }
+        val (tot, rows) =
+          graft.ratings.BacktestReport.aggregateSeasons(perSeason)
+        // round like the SQL round(x, 6): HALF_UP, away from zero
+        def r6(x: Double): Double =
+          BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        rows.map(r => (r.threshold, r.bets, r.wins, r.losses, r.pushes,
+            r6(r.winPct), r6(r.roi), tot.games, r6(tot.modelMae),
+            r6(tot.bookMae), tot.clvWins, tot.clvTotal, r6(tot.clvRate)))
+          .toDF("threshold", "bets", "wins", "losses", "pushes",
+            "win_pct", "roi", "total_games", "model_mae_w", "book_mae_w",
+            "clv_wins", "clv_total", "clv_rate")
+      },
+      Some("""
+        WITH preds AS (
+          SELECT CAST(o_orderkey % 41 - 20 AS DOUBLE) * 0.25 AS model_margin,
+                 CAST(o_custkey % 29 - 14 AS DOUBLE) * 0.5 AS book_spread,
+                 CAST(o_orderkey % 33 - 16 AS DOUBLE) AS actual_margin,
+                 CAST(2023 + o_orderkey % 3 AS INT) AS season
+          FROM orders),
+        e AS (
+          SELECT *,
+                 model_margin - actual_margin AS model_err,
+                 (-book_spread) - actual_margin AS book_err,
+                 model_margin - (-book_spread) AS diff,
+                 actual_margin + book_spread AS ats
+          FROM preds),
+        sm AS (
+          SELECT season, count(*) AS n,
+                 avg(abs(model_err)) AS mmae, avg(abs(book_err)) AS bmae,
+                 sum(CASE WHEN abs(diff) > 3 THEN 1 ELSE 0 END) AS clv_t,
+                 sum(CASE WHEN abs(diff) > 3
+                           AND abs(model_err) < abs(book_err)
+                          THEN 1 ELSE 0 END) AS clv_w
+          FROM e GROUP BY 1),
+        tot AS (
+          SELECT CAST(sum(n) AS BIGINT) AS total_games,
+                 round(sum(mmae * n) / sum(n), 6) AS model_mae_w,
+                 round(sum(bmae * n) / sum(n), 6) AS book_mae_w,
+                 CAST(sum(clv_w) AS BIGINT) AS clv_wins,
+                 CAST(sum(clv_t) AS BIGINT) AS clv_total,
+                 round(CASE WHEN sum(clv_t) > 0
+                            THEN CAST(sum(clv_w) AS DOUBLE) / sum(clv_t)
+                            ELSE 0.0 END, 6) AS clv_rate
+          FROM sm),
+        thr AS (SELECT * FROM (VALUES (1),(2),(3),(4),(5),(6),(7)) AS t(threshold)),
+        b AS (
+          SELECT thr.threshold,
+                 CASE WHEN ats = 0 THEN 'push'
+                      WHEN (diff > 0 AND ats > 0) OR (diff < 0 AND ats < 0)
+                      THEN 'win' ELSE 'loss' END AS outcome
+          FROM e JOIN thr ON abs(e.diff) >= thr.threshold),
+        r0 AS (
+          SELECT threshold,
+                 CAST(count(*) AS BIGINT) AS bets,
+                 CAST(sum(CASE WHEN outcome = 'win' THEN 1 ELSE 0 END) AS BIGINT) AS wins,
+                 CAST(sum(CASE WHEN outcome = 'loss' THEN 1 ELSE 0 END) AS BIGINT) AS losses,
+                 CAST(sum(CASE WHEN outcome = 'push' THEN 1 ELSE 0 END) AS BIGINT) AS pushes
+          FROM b GROUP BY 1),
+        r AS (
+          SELECT thr.threshold,
+                 coalesce(r0.bets, 0) AS bets, coalesce(r0.wins, 0) AS wins,
+                 coalesce(r0.losses, 0) AS losses, coalesce(r0.pushes, 0) AS pushes
+          FROM thr LEFT JOIN r0 USING (threshold))
+        SELECT r.threshold, r.bets, r.wins, r.losses, r.pushes,
+               round(CASE WHEN r.wins + r.losses > 0
+                          THEN CAST(r.wins AS DOUBLE) * 100.0 / (r.wins + r.losses)
+                          ELSE 0.0 END, 6) AS win_pct,
+               round(CASE WHEN r.wins + r.losses > 0
+                          THEN (CAST(r.wins AS DOUBLE) * 100.0
+                                - CAST(r.losses AS DOUBLE) * 110.0)
+                               / (CAST(r.wins + r.losses AS DOUBLE) * 110.0) * 100.0
+                          ELSE 0.0 END, 6) AS roi,
+               t.total_games, t.model_mae_w, t.book_mae_w,
+               t.clv_wins, t.clv_total, t.clv_rate
+        FROM r, tot t""")),
+
     // ----- tuning grid: full holdout sweep table at a pinned 1-sweep solve ---------
     Q(
       "tu01_holdout_sweep",

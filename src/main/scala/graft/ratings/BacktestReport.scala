@@ -100,6 +100,45 @@ object BacktestReport {
     else (w * 100.0 - l * 110.0) / (resolved * 110.0) * 100.0
   }
 
+  /** One aggregate-ROI-table row (all seasons pooled) at a threshold. */
+  final case class AggRoiRow(threshold: Int, bets: Long, wins: Long,
+      losses: Long, pushes: Long, winPct: Double, roi: Double)
+
+  /** The games-weighted TOTAL row of the multi-season report. */
+  final case class SeasonTotals(games: Long, modelMae: Double,
+      bookMae: Double, clvWins: Long, clvTotal: Long, clvRate: Double)
+
+  /** The cross-season aggregation rendered by
+    * [[renderMultiSeasonReport]] (save_multi_season_report:455-497),
+    * extracted so the bt02 gate hashes the same code path the report
+    * prints: seasons with zero games are dropped, MAEs are
+    * games-weighted means of the per-season means, CLV counters sum,
+    * and the ROI table pools per-season W/L/P at every threshold
+    * (zero-filled where no season attracted bets). */
+  def aggregateSeasons(seasonResults: Seq[(Int, VariantResult, Double)])
+      : (SeasonTotals, Seq[AggRoiRow]) = {
+    val shown = seasonResults.sortBy(_._1).filter(_._2.nGames > 0)
+    val aggGames = shown.map(_._2.nGames).sum
+    val mae =
+      if (aggGames > 0) shown.map(x => x._2.modelMae * x._2.nGames).sum / aggGames
+      else 0.0
+    val bmae =
+      if (aggGames > 0) shown.map(x => x._2.bookMae * x._2.nGames).sum / aggGames
+      else 0.0
+    val clvW = shown.map(_._2.clvWins).sum
+    val clvT = shown.map(_._2.clvTotal).sum
+    val clvRate = if (clvT > 0) clvW.toDouble / clvT else 0.0
+    val rows = Backtest.Thresholds.map { t =>
+      val rs = shown.flatMap(_._2.roi.filter(_.threshold == t))
+      val (w, l, p) =
+        (rs.map(_.wins).sum, rs.map(_.losses).sum, rs.map(_.pushes).sum)
+      val resolved = w + l
+      val winPct = if (resolved > 0) w.toDouble / resolved * 100 else 0.0
+      AggRoiRow(t, w + l + p, w, l, p, winPct, roiOf(w, l))
+    }
+    (SeasonTotals(aggGames, mae, bmae, clvW, clvT, clvRate), rows)
+  }
+
   /** reports/backtest_multi_season.md (save_multi_season_report:425-497):
     * per-season summary rows, a games-weighted TOTAL row, and the
     * bet-count-aggregated ROI table across all seasons. */
@@ -118,34 +157,20 @@ object BacktestReport {
         f" ${r.bookMae}%.3f | ${pct1(r.clvRate)} |" +
         f" $roi3%.1f%% | $roi5%.1f%% | $hca%.2f |\n"
     }
-    val aggGames = shown.map(_._2.nGames).sum
-    if (aggGames > 0) {
-      val mae = shown.map(x => x._2.modelMae * x._2.nGames).sum / aggGames
-      val bmae = shown.map(x => x._2.bookMae * x._2.nGames).sum / aggGames
-      val clvW = shown.map(_._2.clvWins).sum
-      val clvT = shown.map(_._2.clvTotal).sum
-      val clvRate = if (clvT > 0) clvW.toDouble / clvT else 0.0
-      def aggWlp(t: Int): (Long, Long, Long) = {
-        val rows = shown.flatMap(_._2.roi.filter(_.threshold == t))
-        (rows.map(_.wins).sum, rows.map(_.losses).sum, rows.map(_.pushes).sum)
-      }
-      val (w3, l3, _) = aggWlp(3)
-      val (w5, l5, _) = aggWlp(5)
-      sb ++= f"| **TOTAL** | **$aggGames** | **$mae%.3f** |" +
-        f" **$bmae%.3f** | **${pct1(clvRate)}** |" +
-        f" **${roiOf(w3, l3)}%.1f%%** | **${roiOf(w5, l5)}%.1f%%** | — |\n"
+    val (totals, aggRows) = aggregateSeasons(seasonResults)
+    if (totals.games > 0) {
+      def aggRoi(t: Int): Double =
+        aggRows.find(_.threshold == t).map(_.roi).getOrElse(0.0)
+      sb ++= f"| **TOTAL** | **${totals.games}** | **${totals.modelMae}%.3f** |" +
+        f" **${totals.bookMae}%.3f** | **${pct1(totals.clvRate)}** |" +
+        f" **${aggRoi(3)}%.1f%%** | **${aggRoi(5)}%.1f%%** | — |\n"
     }
     sb ++= "\n## Aggregate Betting ROI (-110 juice, all seasons)\n\n"
     sb ++= "| Threshold | Bets | W | L | P | Win% | ROI% |\n"
     sb ++= "|-----------|------|---|---|---|------|------|\n"
-    Backtest.Thresholds.foreach { t =>
-      val rows = shown.flatMap(_._2.roi.filter(_.threshold == t))
-      val (w, l, p) = (rows.map(_.wins).sum, rows.map(_.losses).sum,
-        rows.map(_.pushes).sum)
-      val resolved = w + l
-      val winPct = if (resolved > 0) w.toDouble / resolved * 100 else 0.0
-      sb ++= f"| $t | ${w + l + p} | $w | $l | $p | $winPct%.1f%% |" +
-        f" ${roiOf(w, l)}%.1f%% |\n"
+    aggRows.foreach { r =>
+      sb ++= f"| ${r.threshold} | ${r.bets} | ${r.wins} | ${r.losses} |" +
+        f" ${r.pushes} | ${r.winPct}%.1f%% | ${r.roi}%.1f%% |\n"
     }
     sb.toString
   }
