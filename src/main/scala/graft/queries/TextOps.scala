@@ -1859,6 +1859,14 @@ object TextOps {
           .select(col("doc_id"), col("is_eval"),
             conv(substring(md5(col("g")), 1, 12), 16, 10)
               .cast("long").as("h"))
+          // exchange-reuse point (the v07/signatures trick): three
+          // consumers read the gram frame (train distinct, eval tot,
+          // eval semi-join) — without a shared exchange each would
+          // re-run the explode+md5 pipeline, and at 10x data the
+          // triple hashing made this SLOWER than string t28 (measured
+          // 10.2x vs 6.4x); with it the grams are hashed once and
+          // every consumer reads the reused long-keyed shuffle
+          .repartition(col("h"))
         val evalG = grams.filter(col("is_eval")).select(col("doc_id"), col("h"))
         val trainH = grams.filter(!col("is_eval")).select(col("h")).distinct()
         val tot = evalG.groupBy(col("doc_id"))
