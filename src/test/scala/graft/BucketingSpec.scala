@@ -125,6 +125,53 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("IVF cell layout: a probe scan prunes to the probed cells' partitions") {
+    val s = spark
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    // v09's index-build output: every vector assigned to its max-dot
+    // converged-KMeans cell (k=8)
+    val e = Tables.embeddings(s, sf)
+    val (_, cent, _) = graft.operators.KMeans.fitConverged(
+      s, e, k = 8, maxIter = 25, tol = 0.12)
+    import s.implicits._
+    val centDf = cent.zipWithIndex
+      .map { case (v, ci) => (ci.toLong, v.toSeq) }.toSeq.toDF("cell", "cv")
+    val asg = e.select(col("vec_id"), col("embedding"))
+      .join(broadcast(centDf), lit(true))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(cv, embedding, (x, y) -> x * CAST(y AS DOUBLE)), " +
+          "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"))
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(col("cell"), struct(col("dot"), (-col("cell")).as("nc")))
+          .as("cell"),
+        first(col("embedding")).as("embedding"))
+    // the 100-TB layout v09's doc names: corpus written partitioned by
+    // cell, so an nprobe-cell probe READS only those partitions
+    LakeIO.writePartitioned(asg, s"$root/ivf", Seq("cell"))
+    try {
+      val probed = Seq(3L, 5L)
+      val probe = s.read.parquet(s"$root/ivf")
+        .filter(col("cell").isin(probed: _*))
+      val plan = probe.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      assert(plan.contains("PartitionFilters"), plan.take(2000))
+      probe.collect()
+      val scan = probe.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head
+      val np = scan.metrics.get("numPartitions").map(_.value)
+      assert(np.contains(2L),
+        s"probe must read exactly the 2 probed cell partitions, got $np")
+      // and the probe returns exactly those cells' vectors
+      val expect = asg.filter(col("cell").isin(probed: _*))
+        .agg(count(lit(1)), sum(col("vec_id"))).head()
+      val got = probe.agg(count(lit(1)), sum(col("vec_id"))).head()
+      assert(got == expect)
+      assert(got.getLong(0) > 0, "degenerate fixture: probed cells empty")
+    } finally deleteRecursively(root)
+  }
+
   test("groupBy on the bucket key aggregates without an exchange") {
     val s = spark
     val root = java.nio.file.Files.createTempDirectory("graft-bkt2").toString
