@@ -152,34 +152,43 @@ object VectorOps {
     * within the probed cells only. At 100 TB the corpus is written
     * bucketed by cell id and a probe reads ~nprobe/k of it — the same
     * scan shape as v02, now with geometric locality behind it. */
+  /** Top-`n` nearest cells of a vector column against driver-held
+    * centroids, as ONE map-side expression: per-cell dots via
+    * codegen'd zip_with/aggregate over centroid LITERALS, ranked by
+    * lexicographic struct sort on (dot desc, cell asc). No join, no
+    * shuffle — k×dim literal doubles ride the plan the way a broadcast
+    * rides the task, which is the textbook IVF assignment shape (the
+    * centroid table is tiny; the corpus should never shuffle for it). */
+  private def nearestCells(cent: Array[Array[Double]], vec: String,
+      n: Int): Column = {
+    val ranked = cent.indices.map { i =>
+      val cv = array(cent(i).map(lit(_)): _*)
+      val prod = zip_with(cv, col(vec), (x, y) => x * y.cast("double"))
+      struct(
+        aggregate(prod, lit(0.0), (acc, v) => acc + v).as("dot"),
+        lit(-i.toLong).as("nc"))
+    }
+    // array_sort asc on (dot, nc), reversed → (dot desc, -cell desc)
+    // = (dot desc, cell asc): v02's deterministic probe tiebreak
+    slice(reverse(array_sort(array(ranked: _*))), 1, n)
+  }
+
   private[graft] def geoAnn(s: SparkSession, d: String, nprobe: Int)
       : org.apache.spark.sql.DataFrame = {
-    import s.implicits._
     val e = Tables.embeddings(s, d)
     val (_, cent, _) = graft.operators.KMeans.fitConverged(
       s, e, k = 8, maxIter = 25, tol = 0.12)
-    val centDf = cent.zipWithIndex
-      .map { case (v, ci) => (ci.toLong, v.toSeq) }.toSeq
-      .toDF("cell", "cv")
-    val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    // corpus assignment is map-only (no exchange anywhere before the
+    // broadcast probe join — the 100-TB index build writes this frame
+    // partitioned by cell, BucketingSpec pins the pruned probe scan)
+    val asg = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
       .filter(col("cid").isNotNull)
-    // argmax via max_by (hash agg, no per-key sort); first(ce) carries
-    // the vector through the agg (functionally dependent on cid)
-    val asg = c.join(broadcast(centDf), lit(true))
-      .withColumn("dot", dot("cv", "ce"))
-      .groupBy(col("cid"))
-      .agg(
-        max_by(col("cell"), struct(col("dot"), (-col("cell")).as("nc")))
-          .as("cell"),
-        first(col("ce")).as("ce"))
+      .withColumn("cell",
+        -element_at(nearestCells(cent, "ce", 1), 1).getField("nc"))
     val probes = e.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      .join(broadcast(centDf), lit(true))
-      .withColumn("dot", dot("cv", "qe"))
-      .withColumn("rn", row_number().over(Window.partitionBy(col("qid"))
-        .orderBy(col("dot").desc, col("cell").asc)))
-      .filter(col("rn") <= nprobe)
-      .select(col("qid"), col("cell"), col("qe"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        explode(nearestCells(cent, "embedding", nprobe)).as("pc"))
+      .select(col("qid"), (-col("pc.nc")).as("cell"), col("qe"))
     val rankW = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("cid").asc)
     asg.join(broadcast(probes), Seq("cell"))

@@ -97,9 +97,20 @@ object LakeIO {
     * bucket files are also sorted by the key so the join skips the
     * per-partition sort when Spark can prove per-file sortedness. */
   def saveBucketed(df: DataFrame, name: String, key: String,
-      buckets: Int, path: Option[String] = None): Unit = {
+      buckets: Int, path: Option[String] = None): Unit =
+    saveBucketed(df, name, Seq(key), buckets, path)
+
+  /** Composite-key form: bucket AND sort by all of `keys` — a join (or
+    * self-join) whose equi-keys cover every bucket column co-locates
+    * with zero exchanges. The MinHash-LSH band table is the canonical
+    * user: bucketed by (band_index, band_hash), the candidate-pair
+    * self-join reads both sides pre-shuffled. */
+  def saveBucketed(df: DataFrame, name: String, keys: Seq[String],
+      buckets: Int, path: Option[String]): Unit = {
+    require(keys.nonEmpty)
     val w = df.write.mode(SaveMode.Overwrite).format("parquet")
-      .bucketBy(buckets, key).sortBy(key)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
     path.fold(w.saveAsTable(name))(p => w.option("path", p).saveAsTable(name))
   }
 }

@@ -125,6 +125,54 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("bucketed LSH band table: the d02 candidate self-join runs " +
+      "with zero exchanges") {
+    val s = spark
+    val root = java.nio.file.Files.createTempDirectory("graft-bkt4").toString
+    // d02's band table shape: (doc_id, band index, band hash) — the
+    // candidate pair join is an equi-self-join on (b, h)
+    val docs = Tables.documents(s, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 4)
+    val bands = docs.select(col("doc_id"), explode(expr(
+        "transform(sequence(0, 3), b -> struct(b AS b, " +
+          "md5(concat_ws('|', b, slice(w, 1, 3))) AS h))")).as("m"))
+      .select(col("doc_id"), col("m.b").as("b"), col("m.h").as("h"))
+    // composite-key bucketing: bucket AND sort by (b, h) — the write
+    // IS the shuffle the self-join would otherwise pay on both sides
+    LakeIO.saveBucketed(bands, "bkt_bands", Seq("b", "h"), 8,
+      Some(s"$root/bands"))
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val t = s.table("bkt_bands")
+      val pairs = t.as("x").join(t.as("y"),
+          col("x.b") === col("y.b") && col("x.h") === col("y.h") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      pairs.collect()
+      val p = pairs.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(p.contains("SortMergeJoin"), p.take(2000))
+      assert(!p.contains("Exchange"),
+        s"bucketed band self-join must not shuffle:\n${p.take(3000)}")
+      // parity with the plain (shuffled) self-join
+      val expect = bands.as("x").join(bands.as("y"),
+          col("x.b") === col("y.b") && col("x.h") === col("y.h") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id"), col("y.doc_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val got = pairs.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got == expect)
+      assert(got.nonEmpty, "degenerate fixture: no candidate pairs")
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      s.sql("DROP TABLE IF EXISTS bkt_bands")
+      deleteRecursively(root)
+    }
+  }
+
   test("IVF cell layout: a probe scan prunes to the probed cells' partitions") {
     val s = spark
     val root = java.nio.file.Files.createTempDirectory("graft-ivf").toString
