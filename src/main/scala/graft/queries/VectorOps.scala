@@ -525,11 +525,16 @@ object VectorOps {
     Q(
       "v05_kmeans_build",
       "IVF index BUILD: deterministic Lloyd's k-means " +
-        "(graft.operators.KMeans — driver-held centroids, one " +
+        "(graft.operators.KMeans - driver-held centroids, one " +
         "distributed assignment + partial-sum pass per iteration) over " +
         "the embeddings; output = per-cluster occupancy stats, the " +
-        "index metadata an IVF probe consumes. Iterative -> rows-only " +
-        "check; geometry proven in KMeansSpec.",
+        "index metadata an IVF probe consumes. HASH-GATED since r10: " +
+        "fit(iterations=2) returns exactly the second-iteration " +
+        "assignment that v05c's SQL replay reproduces (a2 in the " +
+        "shared KmeansSql chain), so the occupancy rollup is " +
+        "SQL-expressible and the long-standing rows-only carve-out " +
+        "closes - only unbounded-iteration production runs stay " +
+        "procedural (and v05d gates the convergence test itself).",
       (s, d) => {
         val e = Tables.embeddings(s, d)
         val (assign, _) = graft.operators.KMeans.fit(s, e, k = 8, iterations = 2)
@@ -538,7 +543,12 @@ object VectorOps {
             min(col("vec_id")).as("min_vec"), max(col("vec_id")).as("max_vec"))
           .orderBy(col("cluster"))
       },
-      None),
+      Some(s"""
+        WITH ${KmeansSql.UpToCent2}
+        SELECT CAST(cluster AS INT) AS cluster,
+               count(*) AS n_vectors,
+               min(vec_id) AS min_vec, max(vec_id) AS max_vec
+        FROM a2 GROUP BY 1""")),
 
     // ----- hyperplane-LSH near-dup pairs ----------------------------------------
     Q(
