@@ -74,6 +74,23 @@ object BpeTrainer {
     (enc.withColumn("syms", symbols(col("enc"))), merges.toSeq)
   }
 
+  /** ENCODE with a trained merge list (tokenizer APPLICATION — the
+    * production half of the build): fold each merge, in application
+    * order, over the word's initial char encoding. Exactly the
+    * training-side replace semantics, so train-then-apply round-trips.
+    * A real vocabulary is tens of thousands of merges — a chained
+    * replace() per merge is planner-infeasible there; the scale shape
+    * (t19c) is to encode each DISTINCT word once (vocabulary-sized
+    * compute, where a specialized per-word encoder is fine) and join
+    * the corpus against that word→tokens table. */
+  def applyMerges(word: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(encode(word)) { case (enc, (x, y)) =>
+      replace(enc, lit(L + x + R + L + y + R), lit(L + x + y + R))
+    }
+
+  /** Token count of an encoded word: its symbol-array size. */
+  def tokenCount(enc: Column): Column = size(symbols(enc))
+
   /** Pair-count table over the current encoding (the t19 statistic,
     * recomputed after the merges): ("x y", sum of word counts). */
   def pairCounts(encoded: DataFrame): DataFrame =

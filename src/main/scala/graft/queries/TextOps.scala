@@ -22,6 +22,56 @@ import graft.sources.Tables
   * ordered as strings, so min() minhash components agree bit-for-bit
   * with the oracle without sharing any RNG.
   */
+
+/** The t19b oracle CTE chain — a full SQL replay of BpeTrainer.fit's
+  * two merge iterations over the documents word-frequency table
+  * (bracketed char encoding, pair counts, top-merge pick with the
+  * (count desc, pair asc) tiebreak, left-to-right whole-symbol-anchored
+  * replace). Shared by t19b (recounted pair table) and t19c (corpus
+  * tokenization with the trained merges) so the replay exists once.
+  */
+private[queries] object BpeSql {
+  val UpToE2: String = """
+        w AS (
+          SELECT tok AS w, count(*) AS wc
+          FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+          WHERE length(tok) >= 2
+          GROUP BY 1),
+        e0 AS (
+          SELECT w, wc,
+                 array_to_string(list_transform(regexp_extract_all(w, '.'),
+                                 c -> chr(1) || c || chr(2)), '') AS enc
+          FROM w),
+        p1 AS (
+          SELECT pair, sum(wc) AS cnt FROM (
+            SELECT wc, unnest(list_transform(range(len(syms) - 1),
+                              i -> syms[i + 1] || ' ' || syms[i + 2])) AS pair
+            FROM (SELECT wc, string_split(substr(enc, 2, length(enc) - 2),
+                                          chr(2) || chr(1)) AS syms FROM e0))
+          GROUP BY 1),
+        m1 AS (SELECT split_part(pair, ' ', 1) AS x, split_part(pair, ' ', 2) AS y
+               FROM p1 ORDER BY cnt DESC, pair ASC LIMIT 1),
+        e1 AS (
+          SELECT w, wc,
+                 replace(enc, chr(1) || m1.x || chr(2) || chr(1) || m1.y || chr(2),
+                         chr(1) || m1.x || m1.y || chr(2)) AS enc
+          FROM e0, m1),
+        p2 AS (
+          SELECT pair, sum(wc) AS cnt FROM (
+            SELECT wc, unnest(list_transform(range(len(syms) - 1),
+                              i -> syms[i + 1] || ' ' || syms[i + 2])) AS pair
+            FROM (SELECT wc, string_split(substr(enc, 2, length(enc) - 2),
+                                          chr(2) || chr(1)) AS syms FROM e1))
+          GROUP BY 1),
+        m2 AS (SELECT split_part(pair, ' ', 1) AS x, split_part(pair, ' ', 2) AS y
+               FROM p2 ORDER BY cnt DESC, pair ASC LIMIT 1),
+        e2 AS (
+          SELECT w, wc,
+                 replace(enc, chr(1) || m2.x || chr(2) || chr(1) || m2.y || chr(2),
+                         chr(1) || m2.x || m2.y || chr(2)) AS enc
+          FROM e1, m2)"""
+}
+
 object TextOps {
 
   private val StopWords = Seq("the", "a", "of", "and", "to", "in", "is")
@@ -1094,45 +1144,8 @@ object TextOps {
           .orderBy(col("n_occurrences").desc, col("pair").asc)
           .limit(10)
       },
-      Some("""
-        WITH w AS (
-          SELECT tok AS w, count(*) AS wc
-          FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
-          WHERE length(tok) >= 2
-          GROUP BY 1),
-        e0 AS (
-          SELECT w, wc,
-                 array_to_string(list_transform(regexp_extract_all(w, '.'),
-                                 c -> chr(1) || c || chr(2)), '') AS enc
-          FROM w),
-        p1 AS (
-          SELECT pair, sum(wc) AS cnt FROM (
-            SELECT wc, unnest(list_transform(range(len(syms) - 1),
-                              i -> syms[i + 1] || ' ' || syms[i + 2])) AS pair
-            FROM (SELECT wc, string_split(substr(enc, 2, length(enc) - 2),
-                                          chr(2) || chr(1)) AS syms FROM e0))
-          GROUP BY 1),
-        m1 AS (SELECT split_part(pair, ' ', 1) AS x, split_part(pair, ' ', 2) AS y
-               FROM p1 ORDER BY cnt DESC, pair ASC LIMIT 1),
-        e1 AS (
-          SELECT w, wc,
-                 replace(enc, chr(1) || m1.x || chr(2) || chr(1) || m1.y || chr(2),
-                         chr(1) || m1.x || m1.y || chr(2)) AS enc
-          FROM e0, m1),
-        p2 AS (
-          SELECT pair, sum(wc) AS cnt FROM (
-            SELECT wc, unnest(list_transform(range(len(syms) - 1),
-                              i -> syms[i + 1] || ' ' || syms[i + 2])) AS pair
-            FROM (SELECT wc, string_split(substr(enc, 2, length(enc) - 2),
-                                          chr(2) || chr(1)) AS syms FROM e1))
-          GROUP BY 1),
-        m2 AS (SELECT split_part(pair, ' ', 1) AS x, split_part(pair, ' ', 2) AS y
-               FROM p2 ORDER BY cnt DESC, pair ASC LIMIT 1),
-        e2 AS (
-          SELECT w, wc,
-                 replace(enc, chr(1) || m2.x || chr(2) || chr(1) || m2.y || chr(2),
-                         chr(1) || m2.x || m2.y || chr(2)) AS enc
-          FROM e1, m2),
+      Some(s"""
+        WITH ${BpeSql.UpToE2},
         p3 AS (
           SELECT pair, sum(wc) AS cnt FROM (
             SELECT wc, unnest(list_transform(range(len(syms) - 1),
@@ -1142,6 +1155,52 @@ object TextOps {
           GROUP BY 1)
         SELECT pair, CAST(cnt AS BIGINT) AS n_occurrences
         FROM p3 ORDER BY n_occurrences DESC, pair ASC LIMIT 10""")),
+
+    // ----- tokenizer APPLICATION: encode the corpus with the trained vocab --------
+    Q(
+      "t19c_bpe_tokenize",
+      "Tokenizer APPLICATION (the production half t19/t19b's build " +
+        "feeds): encode the whole corpus with the 2-merge vocabulary " +
+        "BpeTrainer.fit trains, via the scale shape - each DISTINCT " +
+        "word is encoded ONCE (vocabulary-sized compute; a 50k-merge " +
+        "chained replace would be planner-infeasible over the corpus) " +
+        "and the doc word stream joins that word->n_tokens table. " +
+        "Output per doc: word count + BPE token count under the " +
+        "trained merges. The oracle replays train AND apply (the " +
+        "shared BpeSql chain's e2 IS the encoded vocabulary), so the " +
+        "hash breaks if either the merge selection or the application " +
+        "semantics drift cross-engine.",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val words = docs
+          .select(explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")) >= 2)
+          .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+        val (_, merges) = graft.operators.BpeTrainer.fit(words, iterations = 2)
+        val vocab = words.select(col("w"),
+          graft.operators.BpeTrainer.tokenCount(
+            graft.operators.BpeTrainer.applyMerges(col("w"), merges))
+            .cast("long").as("n_toks"))
+        docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")) >= 2)
+          .join(vocab, Seq("w"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_words"), sum(col("n_toks")).as("n_tokens"))
+      },
+      Some(s"""
+        WITH ${BpeSql.UpToE2},
+        vocab AS (
+          SELECT w, CAST(len(string_split(substr(enc, 2, length(enc) - 2),
+                                          chr(2) || chr(1))) AS BIGINT) AS n_toks
+          FROM e2),
+        dw AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents)
+        SELECT dw.doc_id, count(*) AS n_words,
+               CAST(sum(v.n_toks) AS BIGINT) AS n_tokens
+        FROM dw JOIN vocab v USING (w)
+        WHERE length(dw.w) >= 2
+        GROUP BY 1""")),
 
     // ----- the composed corpus-prep pipeline ------------------------------------
     Q(

@@ -59,6 +59,26 @@ class BpeTrainerSpec extends SparkSpec {
     assert(e3.select(col("syms")).collect().head.getSeq[String](0) == Seq("xa"))
   }
 
+  test("applyMerges round-trips the trainer's encoding (train-then-apply)") {
+    val s = spark
+    import s.implicits._
+    val words = Seq(("low", 5L), ("lower", 2L), ("lowest", 3L),
+      ("newer", 4L), ("wider", 1L)).toDF("w", "wc")
+    val (encoded, merges) = BpeTrainer.fit(words, iterations = 4)
+    assert(merges.size == 4)
+    // re-encoding fresh words with the returned merge list must equal
+    // the trainer's own final encoding, word for word
+    val reapplied = words
+      .select(col("w"), BpeTrainer.applyMerges(col("w"), merges).as("enc2"))
+      .join(encoded.select(col("w"), col("enc"), col("syms")), Seq("w"))
+    assert(reapplied.filter(col("enc2") =!= col("enc")).count() == 0)
+    // tokenCount equals the trainer's symbol-array size
+    val tc = reapplied
+      .select(col("w"), BpeTrainer.tokenCount(col("enc2")).as("n"),
+        org.apache.spark.sql.functions.size(col("syms")).as("m"))
+    assert(tc.filter(col("n") =!= col("m")).count() == 0)
+  }
+
   test("deep merge runs cross the lineage-checkpoint boundary and exhaust cleanly") {
     val s = spark
     import s.implicits._
