@@ -72,11 +72,7 @@ object GoldRunner {
   def run(spark: SparkSession, root: String, season: Int,
       only: Option[String] = None, dryRun: Boolean = false): Map[String, Either[String, Long]] = {
     val selected = only.fold(transforms)(t => transforms.filter(_._1 == t))
-    import scala.collection.parallel.CollectionConverters._
-    val par = selected.toSeq.par
-    par.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(
-      new java.util.concurrent.ForkJoinPool(4))
-    par.map { case (name, build) =>
+    graft.Par.map(selected.toSeq) { case (name, build) =>
       name -> (try {
         // schema contract before the sink (reference runner applies
         // normalize_records inside each builder's return)
@@ -89,7 +85,7 @@ object GoldRunner {
           Right(spark.read.parquet(s"$root/gold/$name").count())
         }
       } catch { case e: Throwable => Left(e.getMessage) })
-    }.seq.toMap
+    }.toMap
   }
 
   /** CLI entry mirroring the reference runner (runner.py:31-79):

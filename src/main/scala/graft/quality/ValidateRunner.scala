@@ -65,11 +65,14 @@ object ValidateRunner {
           else {
             // exact PK grouping (the Contracts.conformance form) — a
             // concat-based countDistinct collided composite keys (the
-            // separator can occur in data) and collapsed nulls
-            val r = df.groupBy(pks.map(col): _*).count()
+            // separator can occur in data) and collapsed nulls. The
+            // per-group count is aliased: a PK column literally named
+            // "count" would otherwise capture the reference
+            val r = df.groupBy(pks.map(col): _*)
+              .agg(count(lit(1)).as("__graft_n"))
               .agg(
-                coalesce(sum(col("count")), lit(0L)).as("n"),
-                coalesce(sum(when(col("count") > 1, col("count") - 1)
+                coalesce(sum(col("__graft_n")), lit(0L)).as("n"),
+                coalesce(sum(when(col("__graft_n") > 1, col("__graft_n") - 1)
                   .otherwise(lit(0L))), lit(0L)).as("d")).head()
             (r.getLong(0), r.getLong(1))
           }

@@ -282,11 +282,7 @@ object GoldGate {
       "fct_recruiting_players" -> recruiting(s, d),
       "fct_game_teams" -> gameTeamsOf(g3),
       "fct_pbp_game_teams_flat_garbage_removed" -> pbpFlat(g3))
-    import scala.collection.parallel.CollectionConverters._
-    val par = tables.par
-    par.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(
-      new java.util.concurrent.ForkJoinPool(4))
-    par.foreach { case (name, df) =>
+    graft.Par.foreach(tables) { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$root/$name") }
     // poison: an unreadable parquet footer fails player_season_impact at
     // read time; the runner must isolate it and continue
@@ -1014,11 +1010,8 @@ object GoldGate {
         val root = memoizedPoisonedRunnerLake(s, d)
         val res = graft.gold.GoldRunner.run(s, root, Season)
         // read-back audits are independent per table — interleave them
-        import scala.collection.parallel.CollectionConverters._
-        val audits = graft.gold.GoldRunner.transforms.keys.toSeq.sorted.par
-        audits.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(
-          new java.util.concurrent.ForkJoinPool(4))
-        val rows = audits.map { t =>
+        val rows = graft.Par.map(
+          graft.gold.GoldRunner.transforms.keys.toSeq.sorted) { t =>
           res(t) match {
             case Right(_) =>
               val df = s.read.parquet(s"$root/gold/$t")
@@ -1030,7 +1023,7 @@ object GoldGate {
               (t, "published", a.getLong(0), a.getLong(1))
             case Left(_) => (t, "error", -1L, -1L)
           }
-        }.seq
+        }
         // the memoized lake is deleted by its JVM shutdown hook, NOT
         // here — deleting per invocation would leave later bench passes
         // a cached path to a vanished dir (every table would "error")

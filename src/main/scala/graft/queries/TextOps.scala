@@ -74,6 +74,27 @@ private[queries] object BpeSql {
 
 object TextOps {
 
+  /** t28b's gram-hash frame — (doc_id, is_eval, h): docs split
+    * eval/train by the t05 md5 bucket, 8-grams exploded, each gram
+    * hashed to its 48-bit md5-prefix long BEFORE any exchange. One
+    * copy shared by the t28b gate, the bucketed-layout plan spec
+    * (BucketingSpec), and the A/B probe (tools.BucketAb) so the three
+    * claims about the same layout can never drift apart. */
+  private[graft] def gramHashes(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % 10 === 0).as("is_eval"),
+        split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 8)
+      .select(col("doc_id"), col("is_eval"), explode(expr(
+        "transform(sequence(1, size(w) - 7), " +
+          "i -> concat_ws(' ', slice(w, i, 8)))")).as("g"))
+      .select(col("doc_id"), col("is_eval"),
+        conv(substring(md5(col("g")), 1, 12), 16, 10)
+          .cast("long").as("h"))
+
+
   private val StopWords = Seq("the", "a", "of", "and", "to", "in", "is")
 
   /** Shared by t16 (composed) and t16b (native token_stats+gram_stats)
@@ -1903,29 +1924,14 @@ object TextOps {
         "BucketingSpec-pinned layout drops the train-side exchange " +
         "entirely.",
       (s, d) => {
-        val docs = Tables.documents(s, d)
-        val tagged = docs.select(col("doc_id"), col("text"),
-          (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-            .cast("long") % 10 === 0).as("is_eval"))
-        val grams = tagged
-          .select(col("doc_id"), col("is_eval"), split(col("text"), " ").as("w"))
-          .filter(size(col("w")) >= 8)
-          .select(col("doc_id"), col("is_eval"), explode(expr(
-            "transform(sequence(1, size(w) - 7), " +
-              "i -> concat_ws(' ', slice(w, i, 8)))")).as("g"))
-          // hash BEFORE the exchange: everything downstream (distinct,
-          // semi-join, per-doc countDistinct) shuffles longs only
-          .select(col("doc_id"), col("is_eval"),
-            conv(substring(md5(col("g")), 1, 12), 16, 10)
-              .cast("long").as("h"))
-          // exchange-reuse point (the v07/signatures trick): three
-          // consumers read the gram frame (train distinct, eval tot,
-          // eval semi-join) — without a shared exchange each would
-          // re-run the explode+md5 pipeline, and at 10x data the
-          // triple hashing made this SLOWER than string t28 (measured
-          // 10.2x vs 6.4x); with it the grams are hashed once and
-          // every consumer reads the reused long-keyed shuffle
-          .repartition(col("h"))
+        // exchange-reuse point (the v07/signatures trick): three
+        // consumers read the gram frame (train distinct, eval tot,
+        // eval semi-join) — without a shared exchange each would
+        // re-run the explode+md5 pipeline, and at 10x data the
+        // triple hashing made this SLOWER than string t28 (measured
+        // 10.2x vs 6.4x); with it the grams are hashed once and
+        // every consumer reads the reused long-keyed shuffle
+        val grams = gramHashes(Tables.documents(s, d)).repartition(col("h"))
         val evalG = grams.filter(col("is_eval")).select(col("doc_id"), col("h"))
         val trainH = grams.filter(!col("is_eval")).select(col("h")).distinct()
         val tot = evalG.groupBy(col("doc_id"))

@@ -63,7 +63,11 @@ object StreamingHeavyHitters {
     else {
       val parts = new String(Files.readAllBytes(m), StandardCharsets.UTF_8)
         .trim.split(" ")
-      (parts(0).toLong, parts(1).toLong, parts(2).toInt)
+      // 2-field markers predate k persistence: fall back to the
+      // "unknown k" sentinel (guards relax) instead of crashing a
+      // restarted stream on its own state
+      val k = if (parts.length > 2) parts(2).toInt else -1
+      (parts(0).toLong, parts(1).toLong, k)
     }
   }
 
@@ -86,7 +90,7 @@ object StreamingHeavyHitters {
       dir: String): Unit = {
     val (applied, nPrev, kPrev) = marker(dir)
     if (batchId <= applied) return // redelivery after restart
-    require(applied < 0 || k == kPrev,
+    require(applied < 0 || kPrev < 0 || k == kPrev,
       s"state at $dir was built with k=$kPrev; cannot continue with k=$k")
     val spark = batch.sparkSession
     Files.createDirectories(Paths.get(dir))

@@ -41,22 +41,39 @@ object StreamingWeightedSample {
 
   private def versionPath(dir: String, batchId: Long) = s"$dir/v$batchId"
 
-  private[graft] def lastApplied(dir: String): Long = {
+  /** (lastAppliedBatchId, k); (-1, -1) before the first publish. k is
+    * persisted with the marker because it is part of what the state
+    * MEANS: a top-k merged under bound k is only the stream's top-k at
+    * that bound — continuing with a larger k would silently claim
+    * rows that earlier merges permanently evicted (the same defect
+    * class StreamingHeavyHitters guards against). 1-field markers
+    * predate k persistence and read as k = -1 (guard relaxes). */
+  private[graft] def marker(dir: String): (Long, Int) = {
     val m = Paths.get(dir, "_current")
-    if (!Files.exists(m)) -1L
-    else new String(Files.readAllBytes(m), StandardCharsets.UTF_8).trim.toLong
+    if (!Files.exists(m)) (-1L, -1)
+    else {
+      val parts = new String(Files.readAllBytes(m), StandardCharsets.UTF_8)
+        .trim.split(" ")
+      (parts(0).toLong, if (parts.length > 1) parts(1).toInt else -1)
+    }
   }
+
+  private[graft] def lastApplied(dir: String): Long = marker(dir)._1
 
   /** The current top-k sample (empty-schema error before first batch —
     * callers gate on a published marker existing, like readDim). */
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(versionPath(dir, lastApplied(dir)))
 
-  /** Fold one micro-batch into the sample. Idempotent on redelivery. */
+  /** Fold one micro-batch into the sample. Idempotent on redelivery.
+    * k must stay constant across the state's life — rows outside an
+    * earlier, smaller top-k are gone and cannot come back. */
   def applyBatch(batch: DataFrame, k: Int, batchId: Long, dir: String): Unit = {
     require(k > 0)
-    val applied = lastApplied(dir)
+    val (applied, kPrev) = marker(dir)
     if (batchId <= applied) return // redelivery after restart
+    require(applied < 0 || kPrev < 0 || k == kPrev,
+      s"sample state at $dir was built with k=$kPrev; cannot continue with k=$k")
     val spark = batch.sparkSession
     Files.createDirectories(Paths.get(dir))
     // batch-side cut is a TakeOrderedAndProject (k-bounded heap, no
@@ -70,7 +87,7 @@ object StreamingWeightedSample {
     merged.repartition(1) // ≤k rows: always leave one footer-bearing file
       .write.mode("overwrite").parquet(versionPath(dir, batchId))
     val tmp = Paths.get(dir, s"_current__tmp$batchId")
-    Files.write(tmp, batchId.toString.getBytes(StandardCharsets.UTF_8))
+    Files.write(tmp, s"$batchId $k".getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, Paths.get(dir, "_current"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     val keep = Set("v" + batchId, "v" + applied)

@@ -28,17 +28,7 @@ object BucketAb {
     spark.sparkContext.setLogLevel("ERROR")
     val root = java.nio.file.Files.createTempDirectory("graft-bktab").toString
 
-    val grams = Tables.documents(spark, d)
-      .select(col("doc_id"),
-        (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-          .cast("long") % 10 === 0).as("is_eval"),
-        split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= 8)
-      .select(col("doc_id"), col("is_eval"), explode(expr(
-        "transform(sequence(1, size(w) - 7), " +
-          "i -> concat_ws(' ', slice(w, i, 8)))")).as("g"))
-      .select(col("doc_id"), col("is_eval"),
-        conv(substring(md5(col("g")), 1, 12), 16, 10).cast("long").as("h"))
+    val grams = graft.queries.TextOps.gramHashes(Tables.documents(spark, d))
     grams.filter(!col("is_eval")).select(col("h")).distinct()
       .write.mode("overwrite").parquet(s"$root/train_plain")
     grams.filter(col("is_eval")).select(col("doc_id"), col("h"))

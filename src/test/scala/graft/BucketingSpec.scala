@@ -72,19 +72,8 @@ class BucketingSpec extends SparkSpec {
       "shuffles only the eval side") {
     val s = spark
     val root = java.nio.file.Files.createTempDirectory("graft-bkt3").toString
-    // t28b's two sides: 48-bit md5-prefix hashes of 8-grams, split
-    // eval/train by the doc_id md5 bucket convention
-    val grams = Tables.documents(s, sf)
-      .select(col("doc_id"),
-        (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-          .cast("long") % 10 === 0).as("is_eval"),
-        split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= 8)
-      .select(col("doc_id"), col("is_eval"), explode(expr(
-        "transform(sequence(1, size(w) - 7), " +
-          "i -> concat_ws(' ', slice(w, i, 8)))")).as("g"))
-      .select(col("doc_id"), col("is_eval"),
-        conv(substring(md5(col("g")), 1, 12), 16, 10).cast("long").as("h"))
+    // t28b's two sides, from the SAME gram-hash frame the gate runs
+    val grams = graft.queries.TextOps.gramHashes(Tables.documents(s, sf))
     val train = grams.filter(!col("is_eval")).select(col("h")).distinct()
     val evalG = grams.filter(col("is_eval")).select(col("doc_id"), col("h"))
 

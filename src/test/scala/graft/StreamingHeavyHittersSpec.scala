@@ -110,6 +110,28 @@ class StreamingHeavyHittersSpec extends SparkSpec {
     } finally cleanup(dir)
   }
 
+  test("a pre-k (2-field) marker reads as unknown k without crashing") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    try {
+      val b0 = Seq("a", "a", "b").toDF("tok")
+      StreamingHeavyHitters.applyBatch(b0, "tok", 0L, k = 4, dir)
+      // simulate a state written before k persistence
+      val (applied, n, _) = StreamingHeavyHitters.marker(dir)
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_current"),
+        s"$applied $n".getBytes("UTF-8"))
+      val st = StreamingHeavyHitters.readState(s, dir).get
+      assert(st.k == -1 && st.n == 3L)
+      // unknown k: the denom guard relaxes, the answer still computes
+      assert(StreamingHeavyHitters.exactOverLake(b0, "tok", dir, 2.0)
+        .collect().map(_.getString(0)).toSet == Set("a"))
+      // and the stream can continue (guard relaxes on kPrev = -1)
+      StreamingHeavyHitters.applyBatch(b0, "tok", 1L, k = 4, dir)
+      assert(StreamingHeavyHitters.readState(s, dir).get.k == 4)
+    } finally cleanup(dir)
+  }
+
   test("empty state answers empty; empty batch publishes readable state") {
     val s = spark
     import s.implicits._

@@ -72,6 +72,42 @@ class StreamingWeightedSampleSpec extends SparkSpec {
     } finally cleanup(dir)
   }
 
+  test("continuing a sample state under a different k is rejected") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    try {
+      val b0 = (1 to 30).map(i => (i.toLong, i.toDouble)).toDF("id", "key")
+      StreamingWeightedSample.applyBatch(b0, k = 20, 0L, dir)
+      // a larger k would claim rows the k=20 merges permanently
+      // evicted — must fail loudly, like StreamingHeavyHitters
+      intercept[IllegalArgumentException] {
+        StreamingWeightedSample.applyBatch(b0, k = 30, 1L, dir)
+      }
+      // same k continues fine
+      StreamingWeightedSample.applyBatch(
+        (31 to 40).map(i => (i.toLong, 0.5)).toDF("id", "key"), k = 20, 1L, dir)
+      assert(StreamingWeightedSample.read(s, dir).count() == 20)
+    } finally cleanup(dir)
+  }
+
+  test("a pre-k (1-field) marker reads as unknown k and still continues") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    try {
+      val b0 = (1 to 5).map(i => (i.toLong, i.toDouble)).toDF("id", "key")
+      StreamingWeightedSample.applyBatch(b0, k = 3, 0L, dir)
+      // simulate a state written before k persistence
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_current"),
+        "0".getBytes("UTF-8"))
+      assert(StreamingWeightedSample.marker(dir) == (0L, -1))
+      // unknown k relaxes the guard rather than crashing the stream
+      StreamingWeightedSample.applyBatch(b0, k = 3, 1L, dir)
+      assert(StreamingWeightedSample.marker(dir) == (1L, 3))
+    } finally cleanup(dir)
+  }
+
   test("real stream wiring via MemoryStream matches the one-shot cut") {
     val s = spark
     import s.implicits._
