@@ -886,6 +886,61 @@ object Windows {
                     / 281474976710657.0) / n_chars, 12) AS key
           FROM documents)
         SELECT doc_id, n_chars, key
-        FROM k ORDER BY key DESC, doc_id ASC LIMIT 20"""))
+        FROM k ORDER BY key DESC, doc_id ASC LIMIT 20""")),
+
+    Q(
+      "st14_incremental_dedup",
+      "Incremental exact dedup against HISTORY (streaming/" +
+        "IncrementalDedup - the continuously-ingesting form of d01): " +
+        "documents replayed as 3 deterministic micro-batches " +
+        "(doc_id % 3), each deduplicated within itself (first-wins by " +
+        "doc_id, the d01 min-id convention) AND against every " +
+        "normalized-content hash seen in earlier batches via a " +
+        "hash-keyed anti-join; only genuinely new documents emit, and " +
+        "each batch appends only its own new hashes (history is never " +
+        "rewritten - per-batch I/O is delta-sized). The final emitted " +
+        "corpus must equal first-seen-wins dedup over the whole " +
+        "stream: per hash, the min doc_id of the EARLIEST batch " +
+        "containing it - which the oracle replays as one ranked " +
+        "window over (batch, doc_id). At 100 TB the seen lake is " +
+        "written bucketed by hash so the anti-join's history side " +
+        "never shuffles (the BucketingSpec layout).",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("graft_st14_")
+        org.apache.commons.io.FileUtils.forceDeleteOnExit(dir.toFile)
+        // the test corpus has no exact dups, so plant them the st02
+        // way: every 10th doc is re-delivered under a new id (+100000
+        // = +1 mod 3, so the copy always lands in a DIFFERENT batch
+        // than its original - including copies arriving EARLIER in
+        // batch order, which must then win first-seen)
+        val docs = Tables.documents(s, d)
+        val stream = docs.select(col("doc_id"), col("text"))
+          .unionByName(docs.filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+        val hashed = stream.select(col("doc_id"),
+          md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("h"))
+        (0 until 3).foreach { b =>
+          graft.streaming.IncrementalDedup.applyBatch(
+            hashed.filter(pmod(col("doc_id"), lit(3)) === b),
+            "doc_id", "h", b.toLong, dir.toString)
+        }
+        graft.streaming.IncrementalDedup.readEmitted(s, dir.toString)
+          .select(col("doc_id"), col("h"))
+      },
+      Some("""
+        WITH stream AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0),
+        n AS (
+          SELECT doc_id,
+                 md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h,
+                 doc_id % 3 AS b
+          FROM stream),
+        r AS (
+          SELECT doc_id, h,
+                 row_number() OVER (PARTITION BY h ORDER BY b, doc_id) AS rn
+          FROM n)
+        SELECT doc_id, h FROM r WHERE rn = 1"""))
   )
 }
