@@ -22,13 +22,9 @@ object Verify {
     // run queries concurrently: the Spark scheduler interleaves their
     // jobs across the local cores, hiding per-query planning latency;
     // each query writes its own directory so there is no write contention
-    import scala.collection.parallel.CollectionConverters._
     val selected = SparkEntry.queries.filter { case (n, _) =>
       only.forall(_.exists(n.startsWith)) }
-    val par = selected.toSeq.sortBy(_._1).par
-    par.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(
-      new java.util.concurrent.ForkJoinPool(4))
-    par.foreach { case (name, fn) =>
+    Par.foreach(selected.toSeq.sortBy(_._1)) { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

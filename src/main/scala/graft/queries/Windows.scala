@@ -902,9 +902,11 @@ object Windows {
         "corpus must equal first-seen-wins dedup over the whole " +
         "stream: per hash, the min doc_id of the EARLIEST batch " +
         "containing it - which the oracle replays as one ranked " +
-        "window over (batch, doc_id). At 100 TB the seen lake is " +
-        "written bucketed by hash so the anti-join's history side " +
-        "never shuffles (the BucketingSpec layout).",
+        "window over (batch, doc_id). Here the seen lake is plain " +
+        "parquet (both join sides shuffle 8-byte hashes); the 100-TB " +
+        "layout writes it bucketed by hash so the history side reads " +
+        "pre-shuffled - the exact layout BucketingSpec pins for the " +
+        "t28b semi-join.",
       (s, d) => {
         val dir = java.nio.file.Files.createTempDirectory("graft_st14_")
         org.apache.commons.io.FileUtils.forceDeleteOnExit(dir.toFile)

@@ -55,12 +55,8 @@ object IncrementalAggregate {
   /** Live version = pointer file content; -1 before the first publish.
     * Version dirs not named by the pointer are crash leftovers and are
     * never read. */
-  private[graft] def lastApplied(tableDir: String): Long = {
-    val m = Paths.get(tableDir, "_current")
-    if (Files.exists(m))
-      new String(Files.readAllBytes(m), StandardCharsets.UTF_8).trim.toLong
-    else -1L
-  }
+  private[graft] def lastApplied(tableDir: String): Long =
+    StateMarker.lastApplied(tableDir)
 
   private[graft] def applyBatch(batch: DataFrame, batchId: Long,
       key: String, valueCol: String, tableDir: String): Unit = {
@@ -77,10 +73,7 @@ object IncrementalAggregate {
         .agg(sum(col("n")).as("n"), sum(col("total")).as("total"))
     merged.write.mode(SaveMode.Overwrite).parquet(versionPath(tableDir, batchId))
     // publish: replace the pointer in one atomic rename
-    val tmp = Paths.get(tableDir, s"_current__tmp$batchId")
-    Files.write(tmp, batchId.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, Paths.get(tableDir, "_current"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    StateMarker.publish(tableDir, batchId)
     // best-effort GC deferred by ONE version: keep the just-superseded
     // dir (`applied`) so a reader that resolved `_current` immediately
     // before the pointer swap can still finish its read; only versions

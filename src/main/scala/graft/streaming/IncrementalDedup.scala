@@ -25,18 +25,16 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * directories and re-publishes the same marker (idempotent).
   *
   * Scale: the only history-sized work is the anti-join of the delta
-  * against the seen lake. Written bucketed by hash (LakeIO.saveBucketed
-  * — the BucketingSpec layout), the seen side joins with ZERO exchange
-  * and the delta shuffles into its buckets; unbucketed, it is one
-  * hash-keyed shuffle of (8-byte) hashes, never of documents.
+  * against the seen lake — a hash-keyed shuffle of hashes, never of
+  * documents. THIS implementation writes the seen lake as plain
+  * parquet, so both join sides shuffle; at 100 TB the production
+  * layout writes it bucketed by hash (LakeIO.saveBucketed — the
+  * layout BucketingSpec pins for the t28b semi-join) so the history
+  * side is read pre-shuffled and only the delta moves.
   */
 object IncrementalDedup {
 
-  private def marker(dir: String): Long = {
-    val m = Paths.get(dir, "_current")
-    if (!Files.exists(m)) -1L
-    else new String(Files.readAllBytes(m), StandardCharsets.UTF_8).trim.toLong
-  }
+  private def marker(dir: String): Long = StateMarker.lastApplied(dir)
 
   private def seenDirs(dir: String, upTo: Long): Seq[String] =
     (0L to upTo).map(b => s"$dir/seen/b$b")
@@ -77,10 +75,7 @@ object IncrementalDedup {
     spark.read.parquet(s"$dir/out/b$batchId").select(col(hashCol))
       .repartition(1)
       .write.mode("overwrite").parquet(s"$dir/seen/b$batchId")
-    val tmp = Paths.get(dir, s"_current__tmp$batchId")
-    Files.write(tmp, batchId.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, Paths.get(dir, "_current"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    StateMarker.publish(dir, batchId)
   }
 
   /** Everything emitted so far (the deduplicated corpus). */

@@ -45,38 +45,25 @@ object IncrementalJoin {
   private def dimDir(dir: String) = dir + "/dim"
   private def viewDir(dir: String) = dir + "/view"
 
-  private[graft] def lastApplied(dir: String): Long = {
-    val m = Paths.get(dir, "_applied")
-    if (Files.exists(m))
-      new String(Files.readAllBytes(m), StandardCharsets.UTF_8).trim.toLong
-    else -1L
-  }
+  private[graft] def lastApplied(dir: String): Long =
+    StateMarker.lastApplied(dir, "_applied")
 
-  private def publishMarker(dir: String, batchId: Long): Unit = {
-    val tmp = Paths.get(dir, s"_applied__tmp$batchId")
-    Files.write(tmp, batchId.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, Paths.get(dir, "_applied"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-  }
+  private def publishMarker(dir: String, batchId: Long): Unit =
+    StateMarker.publish(dir, batchId, name = "_applied")
 
   /** Latest-per-key dim state as of the last applied batch (empty
     * schema-less None if no dim batch ever landed). */
   private def readDim(spark: SparkSession, dir: String): Option[DataFrame] = {
-    val p = Paths.get(dimDir(dir), "_current")
-    if (!Files.exists(p)) None
-    else Some(spark.read.parquet(
-      dimDir(dir) + "/v" + new String(Files.readAllBytes(p),
-        StandardCharsets.UTF_8).trim))
+    val v = StateMarker.lastApplied(dimDir(dir))
+    if (v < 0) None
+    else Some(spark.read.parquet(dimDir(dir) + "/v" + v))
   }
 
   private def publishDim(merged: DataFrame, dir: String, batchId: Long): Unit = {
     merged.write.mode(SaveMode.Overwrite)
       .parquet(dimDir(dir) + "/v" + batchId)
-    val tmp = Paths.get(dimDir(dir), s"_current__tmp$batchId")
     Files.createDirectories(Paths.get(dimDir(dir)))
-    Files.write(tmp, batchId.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, Paths.get(dimDir(dir), "_current"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    StateMarker.publish(dimDir(dir), batchId)
   }
 
   /** The maintained view (fact columns + dim columns, left-join

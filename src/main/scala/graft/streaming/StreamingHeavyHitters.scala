@@ -58,11 +58,9 @@ object StreamingHeavyHitters {
     * exactness for denom < k+1, and a caller can't be trusted to
     * remember which k built the state. */
   private[graft] def marker(dir: String): (Long, Long, Int) = {
-    val m = Paths.get(dir, "_current")
-    if (!Files.exists(m)) (-1L, 0L, -1)
+    val parts = StateMarker.read(dir)
+    if (parts.isEmpty) (-1L, 0L, -1)
     else {
-      val parts = new String(Files.readAllBytes(m), StandardCharsets.UTF_8)
-        .trim.split(" ")
       // 2-field markers predate k persistence: fall back to the
       // "unknown k" sentinel (guards relax) instead of crashing a
       // restarted stream on its own state
@@ -107,10 +105,13 @@ object StreamingHeavyHitters {
     mergedMap.toSeq.sortBy(_._1).toDF("token", "cnt")
       .repartition(1)
       .write.mode("overwrite").parquet(versionPath(dir, batchId))
-    val tmp = Paths.get(dir, s"_current__tmp$batchId")
-    Files.write(tmp, s"$batchId $n $k".getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, Paths.get(dir, "_current"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // a legacy (pre-k) state has UNKNOWN history: keep the -1 sentinel
+    // instead of stamping the caller's k as if it had governed every
+    // earlier merge — that would launder an unverifiable bound into a
+    // confidently-claimed one and re-arm exactOverLake's denom guard
+    // against a k that never bounded the old merges
+    val kOut = if (applied >= 0 && kPrev < 0) -1 else k
+    StateMarker.publish(dir, batchId, Seq(n.toString, kOut.toString))
     val keep = Set("v" + batchId, "v" + applied)
     val dirs = Paths.get(dir).toFile.listFiles()
     if (dirs != null) dirs.foreach { f =>

@@ -49,13 +49,9 @@ object StreamingWeightedSample {
     * class StreamingHeavyHitters guards against). 1-field markers
     * predate k persistence and read as k = -1 (guard relaxes). */
   private[graft] def marker(dir: String): (Long, Int) = {
-    val m = Paths.get(dir, "_current")
-    if (!Files.exists(m)) (-1L, -1)
-    else {
-      val parts = new String(Files.readAllBytes(m), StandardCharsets.UTF_8)
-        .trim.split(" ")
-      (parts(0).toLong, if (parts.length > 1) parts(1).toInt else -1)
-    }
+    val parts = StateMarker.read(dir)
+    if (parts.isEmpty) (-1L, -1)
+    else (parts(0).toLong, if (parts.length > 1) parts(1).toInt else -1)
   }
 
   private[graft] def lastApplied(dir: String): Long = marker(dir)._1
@@ -86,10 +82,9 @@ object StreamingWeightedSample {
         .orderBy(col("key").desc, col("id").asc).limit(k)
     merged.repartition(1) // ≤k rows: always leave one footer-bearing file
       .write.mode("overwrite").parquet(versionPath(dir, batchId))
-    val tmp = Paths.get(dir, s"_current__tmp$batchId")
-    Files.write(tmp, s"$batchId $k".getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, Paths.get(dir, "_current"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // legacy (pre-k) history stays unknown-k — see StreamingHeavyHitters
+    val kOut = if (applied >= 0 && kPrev < 0) -1 else k
+    StateMarker.publish(dir, batchId, Seq(kOut.toString))
     val keep = Set("v" + batchId, "v" + applied)
     val dirs = Paths.get(dir).toFile.listFiles()
     if (dirs != null) dirs.foreach { f =>

@@ -126,9 +126,12 @@ class StreamingHeavyHittersSpec extends SparkSpec {
       // unknown k: the denom guard relaxes, the answer still computes
       assert(StreamingHeavyHitters.exactOverLake(b0, "tok", dir, 2.0)
         .collect().map(_.getString(0)).toSet == Set("a"))
-      // and the stream can continue (guard relaxes on kPrev = -1)
+      // and the stream can continue (guard relaxes on kPrev = -1) —
+      // but the unknown-k sentinel PROPAGATES: the history was never
+      // provably bounded by the caller's k, so the state must not
+      // start claiming it was
       StreamingHeavyHitters.applyBatch(b0, "tok", 1L, k = 4, dir)
-      assert(StreamingHeavyHitters.readState(s, dir).get.k == 4)
+      assert(StreamingHeavyHitters.readState(s, dir).get.k == -1)
     } finally cleanup(dir)
   }
 

@@ -102,9 +102,10 @@ class StreamingWeightedSampleSpec extends SparkSpec {
       java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_current"),
         "0".getBytes("UTF-8"))
       assert(StreamingWeightedSample.marker(dir) == (0L, -1))
-      // unknown k relaxes the guard rather than crashing the stream
+      // unknown k relaxes the guard rather than crashing the stream,
+      // and the sentinel propagates (history was never provably top-3)
       StreamingWeightedSample.applyBatch(b0, k = 3, 1L, dir)
-      assert(StreamingWeightedSample.marker(dir) == (1L, 3))
+      assert(StreamingWeightedSample.marker(dir) == (1L, -1))
     } finally cleanup(dir)
   }
 
