@@ -186,6 +186,23 @@ class PlanSpec extends SparkSpec {
     assert(planOf("t16b_quality_gate_native").contains("token_stats"))
   }
 
+  test("v09 geoAnn assigns cells map-side: the corpus never shuffles " +
+      "before the broadcast probe join") {
+    val ann = graft.queries.VectorOps.geoAnn(spark, sf, nprobe = 1)
+    val p = ann.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // one BroadcastHashJoin on cell (probes side broadcast), and the
+    // ONLY shuffle Exchange is the top-3 window's qid partitioning —
+    // the centroid-literal argmax keeps the assignment in the scan
+    // projection, so the full-corpus (cell, embedding) frame reaches
+    // the join without ever moving
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"assignment must not shuffle the corpus:\n${p.take(3000)}")
+    assert(p.contains("hashpartitioning(qid"),
+      s"the one exchange must be the per-query rank window:\n${p.take(3000)}")
+  }
+
   test("no query plans an unpartitioned window outside documented bounded sites") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     // Bounded-by-construction exemption: GlobalRank's offsets window runs
