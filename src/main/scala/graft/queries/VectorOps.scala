@@ -278,6 +278,18 @@ object VectorOps {
                         ORDER BY cos DESC, cid ASC) rn FROM sc)
                 WHERE rn <= 3)"""
 
+  /** Oracle CTEs for v06-convention int8 quantization (sc, quant) —
+    * shared by the v08 and v08b serving gates. */
+  private val QuantSql = """
+        sc AS (SELECT vec_id, label, embedding::DOUBLE[] AS de,
+                      greatest(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))), 1e-30)
+                        / 127.0 AS scale
+               FROM embeddings),
+        quant AS (SELECT vec_id, label, scale,
+                         list_transform(de, x ->
+                           CAST(least(greatest(floor(x / scale + 0.5), -127.0), 127.0) AS BIGINT)) AS q
+                  FROM sc)"""
+
   /** Oracle tail: the exact-intersection recall rollup. */
   private val RecallTailSql = """
         hits AS (SELECT t.qid, count(*) AS h
@@ -776,15 +788,8 @@ object VectorOps {
             col("cid").as("neighbor_id"), col("idot"),
             round(col("score"), 6).as("approx_ip"))
       },
-      Some("""
-        WITH sc AS (SELECT vec_id, label, embedding::DOUBLE[] AS de,
-                           greatest(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))), 1e-30)
-                             / 127.0 AS scale
-                    FROM embeddings),
-        quant AS (SELECT vec_id, label, scale,
-                         list_transform(de, x ->
-                           CAST(least(greatest(floor(x / scale + 0.5), -127.0), 127.0) AS BIGINT)) AS q
-                  FROM sc),
+      Some(s"""
+        WITH $QuantSql,
         long AS (SELECT vec_id, label, unnest(embedding)::DOUBLE AS v,
                         unnest(range(len(embedding))) AS pos
                  FROM embeddings),
@@ -811,6 +816,91 @@ object VectorOps {
                           idot * q_scale * c_scale AS score
                    FROM cand)
         SELECT qid AS query_id, probe_label, CAST(rn AS INT) AS rank,
+               cid AS neighbor_id, idot, round(score, 6) AS approx_ip
+        FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                ORDER BY score DESC, cid ASC) rn FROM scored)
+        WHERE rn <= 3""")),
+
+    // ----- IVF-PQ serving on GEOMETRIC cells (both production fixes composed) ----
+    Q(
+      "v08b_ivf_pq_geo",
+      "The production ANN serving shape with BOTH fixes composed: " +
+        "v08's int8 quantized scoring routed by v09's geometric KMeans " +
+        "cells instead of label partitions. Everything before the " +
+        "final per-query rank is MAP-SIDE per-row expression work - " +
+        "cell assignment (centroid-literal argmax, the v09 PlanSpec " +
+        "shape), absmax scale and int8 codes (v06) - so the corpus " +
+        "never shuffles and the candidate payload is the 4x-compressed " +
+        "codes; the integer dot is exact in both engines, making " +
+        "scores bit-identical cross-engine. The oracle replays the " +
+        "whole thing: 2-Lloyd-iteration centroid build (KmeansSql), " +
+        "quantization (QuantSql), assignment, probe, quantized " +
+        "scoring.",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val (_, cent, _) = graft.operators.KMeans.fitConverged(
+          s, e, k = 8, maxIter = 25, tol = 0.12)
+        def quantized(df: org.apache.spark.sql.DataFrame) = df
+          .withColumn("de", expr("transform(__v, x -> CAST(x AS DOUBLE))"))
+          .withColumn("__scale",
+            expr("greatest(array_max(transform(de, x -> abs(x))), 1e-30d) / 127.0d"))
+          .withColumn("__q", expr(
+            "transform(de, x -> CAST(least(greatest(floor(x / __scale + 0.5d), " +
+              "-127.0d), 127.0d) AS BIGINT))"))
+        val corpus = quantized(
+          e.select(col("vec_id").as("cid"), col("embedding").as("__v"))
+            .filter(col("cid").isNotNull)
+            .withColumn("cell",
+              -element_at(nearestCells(cent, "__v", 1), 1).getField("nc")))
+          .select(col("cid"), col("cell"),
+            col("__scale").as("c_scale"), col("__q").as("qb"))
+        val probes = quantized(
+          e.filter(col("vec_id") < 20)
+            .select(col("vec_id").as("qid"), col("embedding").as("__v"))
+            .withColumn("pc", explode(nearestCells(cent, "__v", 1)))
+            .withColumn("cell", -col("pc.nc")))
+          .select(col("qid"), col("cell"),
+            col("__scale").as("q_scale"), col("__q").as("qa"))
+        val rankW = Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("cid").asc)
+        corpus.join(broadcast(probes), Seq("cell"))
+          .filter(col("cid") =!= col("qid"))
+          .withColumn("idot",
+            expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+          .withColumn("score", col("idot") * col("q_scale") * col("c_scale"))
+          .withColumn("rank", row_number().over(rankW))
+          .filter(col("rank") <= 3)
+          .select(col("qid").as("query_id"), col("cell"), col("rank"),
+            col("cid").as("neighbor_id"), col("idot"),
+            round(col("score"), 6).as("approx_ip"))
+      },
+      Some(s"""
+        WITH ${KmeansSql.UpToCent2},
+        $QuantSql,
+        d3g AS (SELECT l.vec_id, c2.cluster, sum(l.v * c2.cv) AS dot
+                FROM long l JOIN cent2 c2 USING (pos) GROUP BY 1, 2),
+        a3 AS (SELECT vec_id, cluster AS cell FROM (
+                 SELECT vec_id, cluster,
+                        row_number() OVER (PARTITION BY vec_id
+                          ORDER BY dot DESC, cluster ASC) AS rn
+                 FROM d3g) WHERE rn = 1),
+        probes AS (SELECT vec_id AS qid, cluster AS cell FROM (
+                 SELECT vec_id, cluster,
+                        row_number() OVER (PARTITION BY vec_id
+                          ORDER BY dot DESC, cluster ASC) AS rn
+                 FROM d3g WHERE vec_id < 20) WHERE rn <= 1),
+        cand AS (SELECT p.qid, p.cell, a.vec_id AS cid,
+                        CAST(list_sum(list_transform(range(len(qq.q)), i ->
+                          qq.q[i + 1] * cq.q[i + 1])) AS BIGINT) AS idot,
+                        qq.scale AS q_scale, cq.scale AS c_scale
+                 FROM probes p
+                 JOIN a3 a ON a.cell = p.cell AND a.vec_id <> p.qid
+                 JOIN quant qq ON qq.vec_id = p.qid
+                 JOIN quant cq ON cq.vec_id = a.vec_id),
+        scored AS (SELECT qid, cell, cid, idot,
+                          idot * q_scale * c_scale AS score
+                   FROM cand)
+        SELECT qid AS query_id, cell, CAST(rn AS INT) AS rank,
                cid AS neighbor_id, idot, round(score, 6) AS approx_ip
         FROM (SELECT *, row_number() OVER (PARTITION BY qid
                 ORDER BY score DESC, cid ASC) rn FROM scored)
