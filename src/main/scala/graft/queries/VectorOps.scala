@@ -728,6 +728,75 @@ object VectorOps {
         FROM asg g LEFT JOIN dup ON dup.b_id = g.vec_id
         GROUP BY 1""")),
 
+    // ----- SemDeDup on geometric cells (the paper's actual design) ---------------
+    Q(
+      "v07b_semantic_dedup_geo",
+      "SemDeDup with the clustering the paper actually prescribes " +
+        "(Abbas et al. 2023 run k-means and compare within clusters; " +
+        "v07 approximated the clusters with md5-seed assignment): " +
+        "every embedding lands in its v05d converged-KMeans cell via " +
+        "the map-side centroid-literal argmax (the v09 shape - no " +
+        "shuffle to build the clustering), pairs compare ONLY within " +
+        "a cell, and the higher vec_id of any pair with cosine >= 0.2 " +
+        "drops. Per-cell keep/drop stats out. Same quadratic-bounding " +
+        "scale story as v07 (pair volume = sum of per-cell m^2, k " +
+        "tracks sqrt(n)), now with cells that are geometrically real: " +
+        "near-dups actually co-locate, so the within-cell compare " +
+        "FINDS them instead of missing cross-seed pairs. Oracle " +
+        "replays centroid build + assignment + pair compare + drop.",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val (_, cent, _) = graft.operators.KMeans.fitConverged(
+          s, e, k = 8, maxIter = 25, tol = 0.12)
+        val asg = e.select(col("vec_id"), col("embedding").as("ce"))
+          .filter(col("vec_id").isNotNull)
+          .withColumn("cell",
+            -element_at(nearestCells(cent, "ce", 1), 1).getField("nc"))
+          // the cell exchange is the AQE reuse point for the three
+          // consumers (both pair-join sides + the rollup), exactly as
+          // in v07 - without it the per-row assignment would recompute
+          .repartition(col("cell"))
+        val a = asg.select(col("cell"), col("vec_id").as("a_id"), col("ce").as("ae"))
+        val b = asg.select(col("cell"), col("vec_id").as("b_id"), col("ce").as("be"))
+        graft.plans.CosineSimilarity.register(s)
+        val dropped = a.join(b, Seq("cell"))
+          .filter(col("a_id") < col("b_id"))
+          .filter(expr("cosine_sim(ae, be)") >= 0.2)
+          .select(col("cell"), col("b_id")).distinct()
+          .groupBy(col("cell")).agg(count(lit(1)).as("n_dropped"))
+        val totals = asg.groupBy(col("cell"))
+          .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("first_kept"))
+        totals.join(dropped, Seq("cell"), "left")
+          .select(col("cell"), col("n_vecs"),
+            coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+            col("first_kept"))
+      },
+      Some(s"""
+        WITH ${KmeansSql.UpToCent2},
+        d3g AS (SELECT l.vec_id, c2.cluster, sum(l.v * c2.cv) AS dot
+                FROM long l JOIN cent2 c2 USING (pos) GROUP BY 1, 2),
+        a3 AS (SELECT vec_id, cluster AS cell FROM (
+                 SELECT vec_id, cluster,
+                        row_number() OVER (PARTITION BY vec_id
+                          ORDER BY dot DESC, cluster ASC) AS rn
+                 FROM d3g) WHERE rn = 1),
+        c AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings),
+        pairs AS (
+          SELECT g.cell, b.vec_id AS b_id
+          FROM a3 g JOIN a3 b ON g.cell = b.cell AND g.vec_id < b.vec_id
+          JOIN c ca ON ca.vec_id = g.vec_id
+          JOIN c cb ON cb.vec_id = b.vec_id
+          WHERE list_dot_product(ca.ce, cb.ce)
+                / (sqrt(list_dot_product(ca.ce, ca.ce))
+                   * sqrt(list_dot_product(cb.ce, cb.ce))) >= 0.2),
+        dup AS (SELECT DISTINCT cell, b_id FROM pairs)
+        SELECT g.cell, count(*) AS n_vecs,
+               CAST(sum(CASE WHEN dup.b_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dropped,
+               min(g.vec_id) AS first_kept
+        FROM a3 g LEFT JOIN dup ON dup.cell = g.cell AND dup.b_id = g.vec_id
+        GROUP BY 1""")),
+
     // ----- IVF + int8 quantized scoring (the IVF-PQ serving shape) --------------
     Q(
       "v08_ivf_pq",
