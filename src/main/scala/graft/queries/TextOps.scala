@@ -280,6 +280,81 @@ object TextOps {
     .map(j => s"CASE WHEN sa.mh$j = sb.mh$j THEN 1 ELSE 0 END")
     .mkString(" + ")
 
+  /** t24's BM25 pipeline as a reusable frame: (doc_id, bm25) for the
+    * fixed 3-term query, positive scores only, top 20 by
+    * (bm25 desc, doc_id asc). Shared by the t24 gate and v10's lexical
+    * retrieval arm so the scoring recipe (and its float-determinism
+    * conventions — fixed pivot columns, expression-order sum, 4dp
+    * round) exists in exactly one copy. See t24's doc for the plan
+    * rationale (single tokenize + localCheckpoint, broadcast corpus
+    * stats). */
+  private[graft] def bm25Top20(s: SparkSession, d: String): DataFrame = {
+    val k1 = 1.2; val b = 0.75
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val tf = toks.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("dl"),
+        sum(when(col("tok") === "table", 1).otherwise(0)).as("tf1"),
+        sum(when(col("tok") === "query", 1).otherwise(0)).as("tf2"),
+        sum(when(col("tok") === "join", 1).otherwise(0)).as("tf3"))
+      .localCheckpoint(true)
+    // every doc emits >=1 token (split of "" is [""]), so tf covers
+    // all docs and N/df/avgdl are derivable without re-tokenizing
+    val n = tf.agg(count(lit(1)).as("n_docs"))
+    val dfs = tf.agg(
+      sum(when(col("tf1") > 0, 1).otherwise(0)).as("df1"),
+      sum(when(col("tf2") > 0, 1).otherwise(0)).as("df2"),
+      sum(when(col("tf3") > 0, 1).otherwise(0)).as("df3"))
+    val avgdl = tf.agg(avg(col("dl")).as("avgdl"))
+    def part(tfc: Column, dfc: Column, nd: Column, dl: Column, ad: Column) =
+      log(((nd - dfc + 0.5) / (dfc + 0.5)) + 1.0) *
+        (tfc * (k1 + 1.0)) /
+        (tfc + lit(k1) * (lit(1.0 - b) + lit(b) * dl / ad))
+    tf.crossJoin(broadcast(n)).crossJoin(broadcast(dfs))
+      .crossJoin(broadcast(avgdl))
+      .select(col("doc_id"),
+        round(
+          part(col("tf1"), col("df1"), col("n_docs"), col("dl"), col("avgdl"))
+            + part(col("tf2"), col("df2"), col("n_docs"), col("dl"), col("avgdl"))
+            + part(col("tf3"), col("df3"), col("n_docs"), col("dl"), col("avgdl")),
+          4).as("bm25"))
+      .filter(col("bm25") > 0)
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
+  /** Oracle CTE chain for the BM25 recipe, ending in
+    * `bm25_scored(doc_id, bm25)` (positive scores, unordered — each
+    * consumer orders/limits). Shared by the t24 and v10 oracles. */
+  private[graft] val Bm25Sql: String = """
+        toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+        tf AS (SELECT doc_id, count(*) AS dl,
+                      sum(CASE WHEN tok = 'table' THEN 1 ELSE 0 END) AS tf1,
+                      sum(CASE WHEN tok = 'query' THEN 1 ELSE 0 END) AS tf2,
+                      sum(CASE WHEN tok = 'join' THEN 1 ELSE 0 END) AS tf3
+               FROM toks GROUP BY 1),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        dfs AS (SELECT
+                  count(DISTINCT CASE WHEN tok = 'table' THEN doc_id END) AS df1,
+                  count(DISTINCT CASE WHEN tok = 'query' THEN doc_id END) AS df2,
+                  count(DISTINCT CASE WHEN tok = 'join' THEN doc_id END) AS df3
+                FROM toks),
+        a AS (SELECT avg(dl) AS avgdl FROM tf),
+        bm25_all AS (SELECT doc_id,
+               round(
+                 ln((n_docs - df1 + 0.5)/(df1 + 0.5) + 1.0)
+                   * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                 + ln((n_docs - df2 + 0.5)/(df2 + 0.5) + 1.0)
+                   * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                 + ln((n_docs - df3 + 0.5)/(df3 + 0.5) + 1.0)
+                   * (tf3 * 2.2) / (tf3 + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+                 4) AS bm25
+               FROM tf, n, dfs, a),
+        bm25_scored AS (SELECT doc_id, bm25 FROM bm25_all WHERE bm25 > 0)"""
+
   def defs: Seq[Q] = Seq(
 
     // ----- text quality scoring ---------------------------------------------
@@ -1980,76 +2055,13 @@ object TextOps {
         "prunes different columns into the shared subtree), and " +
         "N/df/avgdl all derive from it as single-row broadcast sides " +
         "— so the token stream is scanned and shuffled exactly once " +
-        "no matter how many corpus statistics BM25 needs.",
-      (s, d) => {
-        val k1 = 1.2; val b = 0.75
-        val docs = Tables.documents(s, d)
-        val toks = docs.select(col("doc_id"),
-          explode(split(col("text"), " ")).as("tok"))
-        val tf = toks.groupBy(col("doc_id"))
-          .agg(
-            count(lit(1)).as("dl"),
-            sum(when(col("tok") === "table", 1).otherwise(0)).as("tf1"),
-            sum(when(col("tok") === "query", 1).otherwise(0)).as("tf2"),
-            sum(when(col("tok") === "join", 1).otherwise(0)).as("tf3"))
-          .localCheckpoint(true)
-        // every doc emits >=1 token (split of "" is [""]), so tf covers
-        // all docs and N/df/avgdl are derivable without re-tokenizing
-        val n = tf.agg(count(lit(1)).as("n_docs"))
-        val dfs = tf.agg(
-          sum(when(col("tf1") > 0, 1).otherwise(0)).as("df1"),
-          sum(when(col("tf2") > 0, 1).otherwise(0)).as("df2"),
-          sum(when(col("tf3") > 0, 1).otherwise(0)).as("df3"))
-        val avgdl = tf.agg(avg(col("dl")).as("avgdl"))
-        def part(tfc: Column, dfc: Column, nd: Column, dl: Column, ad: Column) =
-          log(((nd - dfc + 0.5) / (dfc + 0.5)) + 1.0) *
-            (tfc * (k1 + 1.0)) /
-            (tfc + lit(k1) * (lit(1.0 - b) + lit(b) * dl / ad))
-        tf.crossJoin(broadcast(n)).crossJoin(broadcast(dfs))
-          .crossJoin(broadcast(avgdl))
-          .select(col("doc_id"),
-            round(
-              part(col("tf1"), col("df1"), col("n_docs"), col("dl"), col("avgdl"))
-                + part(col("tf2"), col("df2"), col("n_docs"), col("dl"), col("avgdl"))
-                + part(col("tf3"), col("df3"), col("n_docs"), col("dl"), col("avgdl")),
-              4).as("bm25"))
-          .filter(col("bm25") > 0)
-          .orderBy(col("bm25").desc, col("doc_id").asc)
-          .limit(20)
-      },
-      Some("""
-        WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-                      FROM documents),
-        tf AS (SELECT doc_id, count(*) AS dl,
-                      sum(CASE WHEN tok = 'table' THEN 1 ELSE 0 END) AS tf1,
-                      sum(CASE WHEN tok = 'query' THEN 1 ELSE 0 END) AS tf2,
-                      sum(CASE WHEN tok = 'join' THEN 1 ELSE 0 END) AS tf3
-               FROM toks GROUP BY 1),
-        n AS (SELECT count(*) AS n_docs FROM documents),
-        dfs AS (SELECT
-                  count(DISTINCT CASE WHEN tok = 'table' THEN doc_id END) AS df1,
-                  count(DISTINCT CASE WHEN tok = 'query' THEN doc_id END) AS df2,
-                  count(DISTINCT CASE WHEN tok = 'join' THEN doc_id END) AS df3
-                FROM toks),
-        a AS (SELECT avg(dl) AS avgdl FROM tf)
-        SELECT doc_id,
-               round(
-                 ln((n_docs - df1 + 0.5)/(df1 + 0.5) + 1.0)
-                   * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-                 + ln((n_docs - df2 + 0.5)/(df2 + 0.5) + 1.0)
-                   * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-                 + ln((n_docs - df3 + 0.5)/(df3 + 0.5) + 1.0)
-                   * (tf3 * 2.2) / (tf3 + 1.2 * (0.25 + 0.75 * dl / avgdl)),
-                 4) AS bm25
-        FROM tf, n, dfs, a
-        WHERE round(
-                 ln((n_docs - df1 + 0.5)/(df1 + 0.5) + 1.0)
-                   * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-                 + ln((n_docs - df2 + 0.5)/(df2 + 0.5) + 1.0)
-                   * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-                 + ln((n_docs - df3 + 0.5)/(df3 + 0.5) + 1.0)
-                   * (tf3 * 2.2) / (tf3 + 1.2 * (0.25 + 0.75 * dl / avgdl)),
-                 4) > 0
+        "no matter how many corpus statistics BM25 needs. The whole " +
+        "recipe lives in bm25Top20/Bm25Sql (one copy), shared with " +
+        "v10's lexical retrieval arm.",
+      (s, d) => bm25Top20(s, d),
+      Some(s"""
+        WITH $Bm25Sql
+        SELECT doc_id, bm25 FROM bm25_scored
         ORDER BY bm25 DESC, doc_id ASC LIMIT 20""")),
 
     // ----- per-source distribution drift ------------------------------------------

@@ -973,7 +973,81 @@ object VectorOps {
                cid AS neighbor_id, idot, round(score, 6) AS approx_ip
         FROM (SELECT *, row_number() OVER (PARTITION BY qid
                 ORDER BY score DESC, cid ASC) rn FROM scored)
-        WHERE rn <= 3"""))
+        WHERE rn <= 3""")),
+
+    // ----- hybrid retrieval: reciprocal-rank fusion ------------------------------
+    Q(
+      "v10_rrf_hybrid",
+      "Hybrid retrieval with reciprocal-rank fusion (the standard " +
+        "RAG-stack combiner, Cormack et al. SIGIR'09): the lexical arm " +
+        "is t24's BM25 top-20 (the shared bm25Top20/Bm25Sql recipe - " +
+        "one copy), the vector arm is cosine top-20 to a fixed query " +
+        "embedding (vec_id 0, the engine-neutral stand-in for an " +
+        "encoded query string), and the fused score is RRF_60: the sum " +
+        "of 1/(60+rank) over the arms a doc appears in. Determinism: " +
+        "ranks are integers from the arms' (score desc, id asc) " +
+        "row_number convention, each RRF term is ONE correctly-rounded " +
+        "division and the two-term sum evaluates in fixed expression " +
+        "order - bit-identical cross-engine, so ordering on the raw " +
+        "double is safe; 6dp round on output only. Absent ranks " +
+        "surface as 0 (never in 1..20, unambiguous). Scale: each arm " +
+        "is top-k-bounded BEFORE fusion (TakeOrderedAndProject, never " +
+        "a global sort of the corpus), so the full-outer fuse joins " +
+        "two <=20-row frames - trivial at any corpus size; the rank " +
+        "windows run on post-LIMIT frames (bounded by k, not data - " +
+        "the documented PlanSpec exemption).",
+      (s, d) => {
+        val lexW = Window.orderBy(col("bm25").desc, col("doc_id").asc)
+        val lex = TextOps.bm25Top20(s, d)
+          .withColumn("lex_rank", row_number().over(lexW))
+          .select(col("doc_id"), col("lex_rank"))
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qe"))
+        val vecW = Window.orderBy(col("cos").desc, col("doc_id").asc)
+        val vec = e.filter(col("vec_id") =!= 0)
+          .select(col("vec_id").as("doc_id"), col("embedding").as("ce"))
+          .crossJoin(broadcast(q))
+          .withColumn("cos", cosine("qe", "ce"))
+          .orderBy(col("cos").desc, col("doc_id").asc).limit(20)
+          .withColumn("vec_rank", row_number().over(vecW))
+          .select(col("doc_id"), col("vec_rank"))
+        lex.join(vec, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"), col("lex_rank"), col("vec_rank"),
+            (coalesce(lit(1.0) / (col("lex_rank") + 60), lit(0.0)) +
+              coalesce(lit(1.0) / (col("vec_rank") + 60), lit(0.0))).as("rrf"))
+          .orderBy(col("rrf").desc, col("doc_id").asc)
+          .limit(10)
+          .select(col("doc_id"),
+            coalesce(col("lex_rank"), lit(0)).as("lex_rank"),
+            coalesce(col("vec_rank"), lit(0)).as("vec_rank"),
+            round(col("rrf"), 6).as("rrf_score"))
+      },
+      Some(s"""
+        WITH ${TextOps.Bm25Sql},
+        lex AS (SELECT doc_id,
+                       CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS INT) AS lex_rank
+                FROM (SELECT doc_id, bm25 FROM bm25_scored
+                      ORDER BY bm25 DESC, doc_id ASC LIMIT 20)),
+        vq AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+        vc AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS ce
+               FROM embeddings WHERE vec_id <> 0),
+        vs AS (SELECT doc_id, list_dot_product(qe, ce)
+                      / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))) AS cos
+               FROM vc, vq),
+        vec AS (SELECT doc_id,
+                       CAST(row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS INT) AS vec_rank
+                FROM (SELECT doc_id, cos FROM vs
+                      ORDER BY cos DESC, doc_id ASC LIMIT 20)),
+        fused AS (SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+                         l.lex_rank, v.vec_rank,
+                         coalesce(CAST(1.0 AS DOUBLE) / (l.lex_rank + 60), 0.0)
+                           + coalesce(CAST(1.0 AS DOUBLE) / (v.vec_rank + 60), 0.0) AS rrf
+                  FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id)
+        SELECT doc_id, coalesce(lex_rank, 0) AS lex_rank,
+               coalesce(vec_rank, 0) AS vec_rank,
+               round(rrf, 6) AS rrf_score
+        FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 10"""))
   )
 
   /** Random-hyperplane LSH near-dup pairing at a given code width:

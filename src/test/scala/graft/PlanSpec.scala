@@ -207,8 +207,10 @@ class PlanSpec extends SparkSpec {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     // Bounded-by-construction exemption: GlobalRank's offsets window runs
     // over the per-partition COUNT table (≤ `partitions` rows, bounded by
-    // config not data) — recognizable by its `__pid` child column. The only
-    // other allowed site is w08's documented nation-bounded rank.
+    // config not data) — recognizable by its `__pid` child column. The
+    // other allowed sites: w08's documented nation-bounded rank, and
+    // v10's two fusion-arm ranks, which run over post-LIMIT frames
+    // (≤20 rows by construction — bounded by k, not data).
     def bounded(w: LWindow): Boolean = w.child.output.exists(_.name == "__pid")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
       val plan = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
@@ -216,7 +218,8 @@ class PlanSpec extends SparkSpec {
         case w: LWindow if w.partitionSpec.isEmpty && !bounded(w) => w
       }.nonEmpty
     }
-    assert(offenders == Seq("w08_rank"), s"unpartitioned Window in: $offenders")
+    assert(offenders == Seq("v10_rrf_hybrid", "w08_rank"),
+      s"unpartitioned Window in: $offenders")
   }
 
   test("no query in SparkEntry plans a cartesian product") {
