@@ -159,7 +159,7 @@ object VectorOps {
     * shuffle — k×dim literal doubles ride the plan the way a broadcast
     * rides the task, which is the textbook IVF assignment shape (the
     * centroid table is tiny; the corpus should never shuffle for it). */
-  private def nearestCells(cent: Array[Array[Double]], vec: String,
+  private[graft] def nearestCells(cent: Array[Array[Double]], vec: String,
       n: Int): Column = {
     val ranked = cent.indices.map { i =>
       val cv = array(cent(i).map(lit(_)): _*)

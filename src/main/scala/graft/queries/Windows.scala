@@ -943,6 +943,47 @@ object Windows {
           SELECT doc_id, h,
                  row_number() OVER (PARTITION BY h ORDER BY b, doc_id) AS rn
           FROM n)
-        SELECT doc_id, h FROM r WHERE rn = 1"""))
+        SELECT doc_id, h FROM r WHERE rn = 1""")),
+
+    Q(
+      "st15_streaming_vector_index",
+      "Streaming IVF index maintenance (streaming/StreamingVectorIndex " +
+        "- the serving-side continuation of v09's geometric IVF): the " +
+        "coarse quantizer is FIXED (v05d's converged KMeans centroids, " +
+        "k=8/tol=0.12 - trained offline), and the corpus arrives as 3 " +
+        "deterministic micro-batches (vec_id % 3), each assigned to " +
+        "its nearest-centroid cell MAP-SIDE (the v09 centroid-literal " +
+        "argmax, zero shuffle) and appended to a cell-partitioned lake " +
+        "under an atomic-pointer marker (append-only; per-batch I/O is " +
+        "delta-sized, redelivery is a no-op). Assignment is a pure " +
+        "per-row function of the fixed centroids, so the final index " +
+        "is independent of batch boundaries - the oracle replays the " +
+        "whole 2-Lloyd-iteration build (KmeansSql.UpToCent2) plus an " +
+        "ALL-AT-ONCE assignment, and the hash matches only if the " +
+        "streamed index equals the batch-built one vector for vector.",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("graft_st15_")
+        org.apache.commons.io.FileUtils.forceDeleteOnExit(dir.toFile)
+        val e = Tables.embeddings(s, d)
+        val (_, cent, _) = graft.operators.KMeans.fitConverged(
+          s, e, k = 8, maxIter = 25, tol = 0.12)
+        (0 until 3).foreach { b =>
+          graft.streaming.StreamingVectorIndex.applyBatch(
+            e.filter(pmod(col("vec_id"), lit(3)) === b)
+              .select(col("vec_id"), col("embedding")),
+            cent, "vec_id", "embedding", b.toLong, dir.toString)
+        }
+        graft.streaming.StreamingVectorIndex.readIndex(s, dir.toString)
+          .select(col("vec_id"), col("cell").cast("long").as("cell"))
+      },
+      Some(s"""
+        WITH ${KmeansSql.UpToCent2},
+        d3g AS (SELECT l.vec_id, c2.cluster, sum(l.v * c2.cv) AS dot
+                FROM long l JOIN cent2 c2 USING (pos) GROUP BY 1, 2)
+        SELECT vec_id, cluster AS cell FROM (
+          SELECT vec_id, cluster,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY dot DESC, cluster ASC) AS rn
+          FROM d3g) WHERE rn = 1"""))
   )
 }

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{StateMarker, StreamingVectorIndex}
+
+/** Streaming IVF index maintenance: batch-boundary independence
+  * (streamed index == all-at-once assignment), append-only delta
+  * writes with idempotent redelivery, and cell-partition pruning on
+  * the probe path. */
+class StreamingVectorIndexSpec extends SparkSpec {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-svidx").toString
+
+  private def cleanup(d: String): Unit =
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))
+
+  // two well-separated 2-d centroids: x-axis sign decides the cell
+  private val cent = Array(Array(1.0, 0.0), Array(-1.0, 0.0))
+
+  private def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+
+  test("streamed index equals the all-at-once assignment") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    try {
+      val rows = Seq(
+        (1L, vec(0.9, 0.1)), (2L, vec(-0.8, 0.2)),
+        (3L, vec(0.7, -0.3)), (4L, vec(-0.6, -0.4)),
+        (5L, vec(0.5, 0.5)))
+      // three batches with different boundaries than id order
+      val batches = Seq(Seq(rows(0), rows(3)), Seq(rows(2)),
+        Seq(rows(1), rows(4)))
+      batches.zipWithIndex.foreach { case (b, i) =>
+        StreamingVectorIndex.applyBatch(
+          b.toDF("vec_id", "embedding"), cent, "vec_id", "embedding",
+          i.toLong, dir)
+      }
+      val got = StreamingVectorIndex.readIndex(s, dir)
+        .select(col("vec_id"), col("cell").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // x > 0 → cell 0, x < 0 → cell 1 (max dot, tie impossible here)
+      assert(got == Set((1L, 0L), (2L, 1L), (3L, 0L), (4L, 1L), (5L, 0L)))
+    } finally cleanup(dir)
+  }
+
+  test("redelivery no-ops and earlier batches are never rewritten") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    try {
+      StreamingVectorIndex.applyBatch(
+        Seq((1L, vec(0.9, 0.1))).toDF("vec_id", "embedding"),
+        cent, "vec_id", "embedding", 0L, dir)
+      val b0 = new java.io.File(s"$dir/cells/b0")
+      val stamp0 = b0.lastModified()
+      StreamingVectorIndex.applyBatch(
+        Seq((2L, vec(-0.9, 0.1))).toDF("vec_id", "embedding"),
+        cent, "vec_id", "embedding", 1L, dir)
+      // redelivered batch 1 (and a stale batch 0) must be no-ops
+      StreamingVectorIndex.applyBatch(
+        Seq((9L, vec(1.0, 0.0))).toDF("vec_id", "embedding"),
+        cent, "vec_id", "embedding", 1L, dir)
+      StreamingVectorIndex.applyBatch(
+        Seq((9L, vec(1.0, 0.0))).toDF("vec_id", "embedding"),
+        cent, "vec_id", "embedding", 0L, dir)
+      assert(StateMarker.lastApplied(dir) == 1L)
+      assert(b0.lastModified() == stamp0)
+      val ids = StreamingVectorIndex.readIndex(s, dir)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 2L))
+    } finally cleanup(dir)
+  }
+
+  test("a cell probe prunes to the probed cell's partitions") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    try {
+      StreamingVectorIndex.applyBatch(
+        Seq((1L, vec(0.9, 0.1)), (2L, vec(-0.8, 0.2)),
+          (3L, vec(0.7, -0.3))).toDF("vec_id", "embedding"),
+        cent, "vec_id", "embedding", 0L, dir)
+      val probe = StreamingVectorIndex.readIndex(s, dir)
+        .filter(col("cell") === 0)
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters"), plan.take(2000))
+      val files = probe.select(input_file_name()).distinct()
+        .collect().map(_.getString(0))
+      assert(files.nonEmpty && files.forall(_.contains("cell=0")),
+        files.mkString("\n"))
+    } finally cleanup(dir)
+  }
+}
