@@ -647,9 +647,12 @@ object VectorOps {
         "within a cluster, and drop the higher vec_id of any pair with " +
         "cosine >= 0.2 — per-cluster keep/drop stats out. The cluster " +
         "bounds the quadratic: pair volume is the sum of per-cluster " +
-        "m², never corpus n², and k tracks sqrt(n) at scale so " +
-        "per-cluster occupancy (and thus per-vector compare cost) " +
-        "stays constant. Seeds are broadcast; the pair join shuffles " +
+        "m², never corpus n², and k GROWS with n at scale — the " +
+        "paper's k ~ sqrt(n) balances the n*k assignment term against " +
+        "the n²/k pair term (tools.SemDedupKAb measures it: at 10x " +
+        "data, fixed k=8 pays ~100x the pair volume, sqrt-scaled k=25 " +
+        "cuts that 3.1x and halves the pair-stage wall time — " +
+        "BENCH_SCALE). Seeds are broadcast; the pair join shuffles " +
         "on cluster id only.",
       (s, d) => {
         val e = Tables.embeddings(s, d)
@@ -739,8 +742,10 @@ object VectorOps {
         "shuffle to build the clustering), pairs compare ONLY within " +
         "a cell, and the higher vec_id of any pair with cosine >= 0.2 " +
         "drops. Per-cell keep/drop stats out. Same quadratic-bounding " +
-        "scale story as v07 (pair volume = sum of per-cell m^2, k " +
-        "tracks sqrt(n)), now with cells that are geometrically real: " +
+        "scale story as v07 (pair volume = sum of per-cell m^2; k " +
+        "grows ~sqrt(n), the assignment-vs-pair-cost balance point - " +
+        "measured in tools.SemDedupKAb / BENCH_SCALE), now with cells " +
+        "that are geometrically real: " +
         "near-dups actually co-locate, so the within-cell compare " +
         "FINDS them instead of missing cross-seed pairs. Oracle " +
         "replays centroid build + assignment + pair compare + drop.",
