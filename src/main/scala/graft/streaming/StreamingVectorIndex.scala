@@ -63,18 +63,58 @@ object StreamingVectorIndex {
     StateMarker.publish(dir, batchId)
   }
 
-  /** The whole index (every applied batch); `cell` is a partition
-    * column in each batch directory, so a `filter(col("cell") === c)`
-    * probe prunes to the probed cells' files. Each batch root gets
-    * its own partition discovery (one shared root would make Spark
-    * reject the `b<id>` level as a conflicting partition layer) and
-    * the union lets the probe's cell filter push into every scan's
-    * PartitionFilters; collapsing many closed batch roots into one
-    * compacted per-cell layout is the offline OPTIMIZE pass. */
-  def readIndex(spark: SparkSession, dir: String): DataFrame =
-    (0L to StateMarker.lastApplied(dir))
-      .map(b => s"$dir/cells/b$b")
-      .filter(p => new java.io.File(p).isDirectory)
-      .map(p => spark.read.option("basePath", p).parquet(p))
+  /** The whole index: the compacted root (if `compact` has run) plus
+    * every batch applied after it; `cell` is a partition column in
+    * each root, so a `filter(col("cell") === c)` probe prunes to the
+    * probed cells' files. Each root gets its own partition discovery
+    * (one shared root would make Spark reject the `b<id>` level as a
+    * conflicting partition layer) and the union lets the probe's cell
+    * filter push into every scan's PartitionFilters. */
+  def readIndex(spark: SparkSession, dir: String): DataFrame = {
+    val upTo = compactedUpTo(dir)
+    val roots =
+      (if (upTo >= 0) Seq(s"$dir/compacted") else Nil) ++
+        ((upTo + 1) to StateMarker.lastApplied(dir))
+          .map(b => s"$dir/cells/b$b")
+          .filter(p => new java.io.File(p).isDirectory)
+    roots.map(p => spark.read.option("basePath", p).parquet(p))
       .reduce(_ unionByName _)
+  }
+
+  /** Highest batch id folded into dir/compacted; -1 before the first
+    * compaction. */
+  def compactedUpTo(dir: String): Long =
+    StateMarker.lastApplied(dir, name = "_compacted")
+
+  /** The offline OPTIMIZE pass: rewrite every applied batch (plus any
+    * prior compaction) into ONE cell-partitioned root, so a probe
+    * reads one file set per cell instead of one per (cell, batch).
+    * Publish order makes a crash at any point harmless: the new root
+    * is staged then atomically renamed into place, the `_compacted`
+    * marker flips AFTER the rename (a crash between leaves readers on
+    * the batch dirs, which still exist), and batch dirs are deleted
+    * only after the marker — a redelivery of a purged batch id still
+    * no-ops on the `_current` marker, which compaction never touches.
+    * At 100 TB this is the per-cell small-file merge every streaming
+    * lake runs off the hot path; it never rewrites cells that got no
+    * new batches if run per-partition, but THIS single-node form
+    * rewrites the whole index in one pass. */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val upTo = StateMarker.lastApplied(dir)
+    if (upTo < 0) return
+    val all = readIndex(spark, dir)
+    val staged = s"$dir/compacted__staging"
+    all.write.mode("overwrite").partitionBy("cell").parquet(staged)
+    val live = Paths.get(s"$dir/compacted")
+    val old = Paths.get(s"$dir/compacted__old")
+    org.apache.commons.io.FileUtils.deleteQuietly(old.toFile)
+    if (Files.exists(live)) Files.move(live, old)
+    Files.move(Paths.get(staged), live)
+    StateMarker.publish(dir, upTo, name = "_compacted")
+    org.apache.commons.io.FileUtils.deleteQuietly(old.toFile)
+    (0L to upTo).foreach { b =>
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$dir/cells/b$b"))
+    }
+  }
 }

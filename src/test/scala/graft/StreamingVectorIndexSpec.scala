@@ -74,6 +74,51 @@ class StreamingVectorIndexSpec extends SparkSpec {
     } finally cleanup(dir)
   }
 
+  test("compaction folds batch roots into one, keeps content, purges") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    try {
+      StreamingVectorIndex.applyBatch(
+        Seq((1L, vec(0.9, 0.1)), (2L, vec(-0.8, 0.2)))
+          .toDF("vec_id", "embedding"),
+        cent, "vec_id", "embedding", 0L, dir)
+      StreamingVectorIndex.applyBatch(
+        Seq((3L, vec(0.7, -0.3))).toDF("vec_id", "embedding"),
+        cent, "vec_id", "embedding", 1L, dir)
+      val before = StreamingVectorIndex.readIndex(s, dir)
+        .select(col("vec_id"), col("cell").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      StreamingVectorIndex.compact(s, dir)
+      assert(StreamingVectorIndex.compactedUpTo(dir) == 1L)
+      // batch dirs purged, one compacted root serves the same rows
+      assert(!new java.io.File(s"$dir/cells/b0").exists())
+      assert(!new java.io.File(s"$dir/cells/b1").exists())
+      val after = StreamingVectorIndex.readIndex(s, dir)
+        .select(col("vec_id"), col("cell").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(after == before)
+      // a batch arriving after compaction appends beside the root
+      StreamingVectorIndex.applyBatch(
+        Seq((4L, vec(-0.6, -0.4))).toDF("vec_id", "embedding"),
+        cent, "vec_id", "embedding", 2L, dir)
+      val withNew = StreamingVectorIndex.readIndex(s, dir)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(withNew == Set(1L, 2L, 3L, 4L))
+      // redelivery of a purged batch id still no-ops on _current
+      StreamingVectorIndex.applyBatch(
+        Seq((9L, vec(1.0, 0.0))).toDF("vec_id", "embedding"),
+        cent, "vec_id", "embedding", 0L, dir)
+      assert(!new java.io.File(s"$dir/cells/b0").exists())
+      // second compaction folds the compacted root + the new batch
+      StreamingVectorIndex.compact(s, dir)
+      assert(StreamingVectorIndex.compactedUpTo(dir) == 2L)
+      val again = StreamingVectorIndex.readIndex(s, dir)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(again == Set(1L, 2L, 3L, 4L))
+    } finally cleanup(dir)
+  }
+
   test("a cell probe prunes to the probed cell's partitions") {
     val s = spark
     import s.implicits._
