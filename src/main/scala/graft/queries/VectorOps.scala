@@ -1052,7 +1052,134 @@ object VectorOps {
         SELECT doc_id, coalesce(lex_rank, 0) AS lex_rank,
                coalesce(vec_rank, 0) AS vec_rank,
                round(rrf, 6) AS rrf_score
-        FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 10"""))
+        FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 10""")),
+
+    // ----- MMR diversified selection ---------------------------------------------
+    Q(
+      "v11_mmr_diversify",
+      "Maximal-marginal-relevance re-ranking (Carbonell & Goldstein " +
+        "SIGIR'98 - the diversity pass a RAG stack runs after " +
+        "retrieval): from the cosine top-10 for the fixed query " +
+        "(vec_id 0), greedily pick 5 docs maximizing 0.7*rel - " +
+        "0.3*max(sim to already-picked). The greedy is inherently " +
+        "sequential but k-BOUNDED: the distributed part is the corpus " +
+        "top-10 scan (TakeOrderedAndProject) and the 10x10 pairwise " +
+        "cosines (broadcast self-join of a post-LIMIT frame); the " +
+        "collect is <=10+45 rows REGARDLESS of corpus size (the " +
+        "sanctioned bounded class - BacktestReport precedent), so the " +
+        "driver loop costs O(k^2) doubles at 100 TB exactly as here. " +
+        "Determinism: rel/sim doubles are bit-identical cross-engine " +
+        "(the v01/v04 precedent), the MMR score is two multiplies and " +
+        "a subtract in fixed order with EXPLICIT 0.7/0.3 double " +
+        "literals (never 1-lambda, whose rounding differs from the " +
+        "0.3 literal), argmax ties break on doc_id, and the oracle " +
+        "unrolls the same 5 greedy stages in SQL.",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qe"))
+        val cand = e.filter(col("vec_id") =!= 0)
+          .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+          .crossJoin(broadcast(q))
+          .withColumn("rel", cosine("qe", "ce"))
+          .orderBy(col("rel").desc, col("cid").asc).limit(10)
+          .select(col("cid"), col("rel"), col("ce"))
+          .localCheckpoint(true) // 10 rows; feeds sims twice + collect
+        val a = cand.select(col("cid").as("a_id"), col("ce").as("ae"))
+        val b = cand.select(col("cid").as("b_id"), col("ce").as("be"))
+        val sims = a.join(broadcast(b), col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"), cosine("ae", "be").as("sim"))
+        val rels = cand.select(col("cid"), col("rel")).collect()
+          .map(r => r.getLong(0) -> r.getDouble(1))
+        val simMap = sims.collect()
+          .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+        def simOf(x: Long, y: Long): Double =
+          if (x < y) simMap((x, y)) else simMap((y, x))
+        var picked = Vector.empty[(Long, Double)]
+        var remaining = rels.toVector
+        while (picked.size < 5 && remaining.nonEmpty) {
+          val scored = remaining.map { case (id, rel) =>
+            val pen =
+              if (picked.isEmpty) 0.0
+              else picked.map(p => simOf(id, p._1)).max
+            (id, 0.7 * rel - 0.3 * pen)
+          }
+          val best = scored.minBy { case (id, sc) => (-sc, id) }
+          picked :+= best
+          remaining = remaining.filterNot(_._1 == best._1)
+        }
+        import s.implicits._
+        // raw doubles back through Spark's round() — the same rounding
+        // convention every other gate pairs with DuckDB's round()
+        picked.zipWithIndex.map { case ((id, sc), i) => (i + 1, id, sc) }
+          .toDF("pick", "doc_id", "mmr")
+          .select(col("pick"), col("doc_id"),
+            round(col("mmr"), 6).as("mmr_score"))
+      },
+      Some("""
+        WITH vq AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+        vc AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+               FROM embeddings WHERE vec_id <> 0),
+        cand0 AS (SELECT cid, ce, list_dot_product(qe, ce)
+                       / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))) AS rel
+                  FROM vc, vq),
+        cand AS (SELECT cid, ce, rel FROM cand0
+                 ORDER BY rel DESC, cid ASC LIMIT 10),
+        sims AS (SELECT a.cid AS a_id, b.cid AS b_id,
+                        list_dot_product(a.ce, b.ce)
+                        / (sqrt(list_dot_product(a.ce, a.ce)) * sqrt(list_dot_product(b.ce, b.ce))) AS sim
+                 FROM cand a JOIN cand b ON a.cid < b.cid),
+        p1 AS (SELECT cid, CAST(0.7 AS DOUBLE) * rel AS mmr FROM cand
+               ORDER BY mmr DESC, cid ASC LIMIT 1),
+        picked1 AS (SELECT cid FROM p1),
+        rem1 AS (SELECT c.cid, c.rel FROM cand c
+                 WHERE c.cid NOT IN (SELECT cid FROM picked1)),
+        pen2 AS (SELECT r.cid, r.rel, max(s.sim) AS pen
+                 FROM rem1 r CROSS JOIN picked1 p
+                 JOIN sims s ON s.a_id = least(r.cid, p.cid)
+                           AND s.b_id = greatest(r.cid, p.cid)
+                 GROUP BY 1, 2),
+        p2 AS (SELECT cid, CAST(0.7 AS DOUBLE) * rel
+                           - CAST(0.3 AS DOUBLE) * pen AS mmr
+               FROM pen2 ORDER BY mmr DESC, cid ASC LIMIT 1),
+        picked2 AS (SELECT cid FROM p1 UNION ALL SELECT cid FROM p2),
+        rem2 AS (SELECT c.cid, c.rel FROM cand c
+                 WHERE c.cid NOT IN (SELECT cid FROM picked2)),
+        pen3 AS (SELECT r.cid, r.rel, max(s.sim) AS pen
+                 FROM rem2 r CROSS JOIN picked2 p
+                 JOIN sims s ON s.a_id = least(r.cid, p.cid)
+                           AND s.b_id = greatest(r.cid, p.cid)
+                 GROUP BY 1, 2),
+        p3 AS (SELECT cid, CAST(0.7 AS DOUBLE) * rel
+                           - CAST(0.3 AS DOUBLE) * pen AS mmr
+               FROM pen3 ORDER BY mmr DESC, cid ASC LIMIT 1),
+        picked3 AS (SELECT cid FROM picked2 UNION ALL SELECT cid FROM p3),
+        rem3 AS (SELECT c.cid, c.rel FROM cand c
+                 WHERE c.cid NOT IN (SELECT cid FROM picked3)),
+        pen4 AS (SELECT r.cid, r.rel, max(s.sim) AS pen
+                 FROM rem3 r CROSS JOIN picked3 p
+                 JOIN sims s ON s.a_id = least(r.cid, p.cid)
+                           AND s.b_id = greatest(r.cid, p.cid)
+                 GROUP BY 1, 2),
+        p4 AS (SELECT cid, CAST(0.7 AS DOUBLE) * rel
+                           - CAST(0.3 AS DOUBLE) * pen AS mmr
+               FROM pen4 ORDER BY mmr DESC, cid ASC LIMIT 1),
+        picked4 AS (SELECT cid FROM picked3 UNION ALL SELECT cid FROM p4),
+        rem4 AS (SELECT c.cid, c.rel FROM cand c
+                 WHERE c.cid NOT IN (SELECT cid FROM picked4)),
+        pen5 AS (SELECT r.cid, r.rel, max(s.sim) AS pen
+                 FROM rem4 r CROSS JOIN picked4 p
+                 JOIN sims s ON s.a_id = least(r.cid, p.cid)
+                           AND s.b_id = greatest(r.cid, p.cid)
+                 GROUP BY 1, 2),
+        p5 AS (SELECT cid, CAST(0.7 AS DOUBLE) * rel
+                           - CAST(0.3 AS DOUBLE) * pen AS mmr
+               FROM pen5 ORDER BY mmr DESC, cid ASC LIMIT 1)
+        SELECT CAST(1 AS INT) AS pick, cid AS doc_id, round(mmr, 6) AS mmr_score FROM p1
+        UNION ALL SELECT 2, cid, round(mmr, 6) FROM p2
+        UNION ALL SELECT 3, cid, round(mmr, 6) FROM p3
+        UNION ALL SELECT 4, cid, round(mmr, 6) FROM p4
+        UNION ALL SELECT 5, cid, round(mmr, 6) FROM p5"""))
   )
 
   /** Random-hyperplane LSH near-dup pairing at a given code width:
