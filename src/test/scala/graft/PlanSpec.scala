@@ -155,6 +155,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window "), s"t18's rank step must not be a window:\n$p")
   }
 
+  test("v10's retrieval arms are TakeOrderedAndProject — the corpus is never globally sorted") {
+    val p = planOf("v10_rrf_hybrid")
+    // both arms bound to top-20 via the heap operator; the only sorts
+    // left are the rank windows' single-partition sorts over the
+    // post-LIMIT 20-row frames. A range-partitioned exchange would
+    // mean an arm globally sorts its whole input before the LIMIT —
+    // the shape that dies at 100 TB.
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2, p.take(3000))
+    assert(!p.contains("rangepartitioning"),
+      s"global sort exchange in v10's plan:\n${p.take(3000)}")
+  }
+
   test("v08 broadcasts the probed query set; candidate scoring never shuffles the corpus twice") {
     val p = planOf("v08_ivf_pq")
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
