@@ -199,6 +199,61 @@ object VectorOps {
       .select(col("qid"), col("cid"))
   }
 
+  /** v07's SemDeDup assignment kernel, k-parameterized: deterministic
+    * md5-seed pick, broadcast seed assignment with a max_by argmax
+    * that carries the embedding through the agg, repartitioned on the
+    * cluster key. Shared by the v07 gate (k=8) and tools.SemDedupKAb's
+    * k-scaling A/B so the kernel exists in exactly one copy.
+    *
+    * vec_id.isNotNull is explicit (it is never null in the data) so
+    * constraint inference from the pair join's a_id < b_id can't add
+    * it to only two of the three consumer branches and break
+    * exchange-subplan identity. The assignment frame feeds three
+    * consumers (both pair-join sides + the rollup); first(ce) carries
+    * the embedding through the argmax agg (ce is functionally
+    * dependent on the group key, so "first" is deterministic here)
+    * instead of re-joining the corpus, and the trailing repartition
+    * on the pair-join key is the AQE exchange-reuse point — without
+    * it the alias projections on each side defeat ReusedExchange and
+    * the corpus x seeds assignment would run three times (the j08
+    * rename lesson; same trick as TextOps.signatures). */
+  private[graft] def semDedupAsg(s: SparkSession, d: String, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val seeds = e.select(col("vec_id").as("sid"), col("embedding").as("se"),
+        md5(col("vec_id").cast("string")).as("h"))
+      .orderBy(col("h").asc, col("sid").asc).limit(k)
+      .select(col("sid"), col("se"))
+    val c = e.select(col("vec_id"), col("embedding").as("ce"))
+      .filter(col("vec_id").isNotNull)
+    c.join(broadcast(seeds), lit(true))
+      .withColumn("dot", dot("se", "ce"))
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(col("sid"), struct(col("dot"), (-col("sid")).as("ns")))
+          .as("cluster_seed"),
+        first(col("ce")).as("ce"))
+      .filter(col("cluster_seed").isNotNull)
+      .repartition(col("cluster_seed"))
+  }
+
+  /** The within-cluster pair-compare stage: the DISTINCT set of
+    * (cluster_seed, b_id) where b is the higher id of a pair with
+    * cosine >= 0.2 — cluster-local join, the quadratic the cluster
+    * bounds. */
+  private[graft] def semDedupDropped(s: SparkSession,
+      asg: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val a = asg.select(col("cluster_seed"), col("vec_id").as("a_id"),
+      col("ce").as("ae"))
+    val b = asg.select(col("cluster_seed"), col("vec_id").as("b_id"),
+      col("ce").as("be"))
+    graft.plans.CosineSimilarity.register(s)
+    a.join(b, Seq("cluster_seed"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(expr("cosine_sim(ae, be)") >= 0.2)
+      .select(col("cluster_seed"), col("b_id")).distinct()
+  }
+
   /** Per-query recall row: truth-set size + EXACT integer intersection
     * with the ANN candidate set (left-semi on (qid, cid) — no float
     * thresholds anywhere in the comparison). Both sides are
@@ -655,42 +710,8 @@ object VectorOps {
         "BENCH_SCALE). Seeds are broadcast; the pair join shuffles " +
         "on cluster id only.",
       (s, d) => {
-        val e = Tables.embeddings(s, d)
-        val seeds = e.select(col("vec_id").as("sid"), col("embedding").as("se"),
-            md5(col("vec_id").cast("string")).as("h"))
-          .orderBy(col("h").asc, col("sid").asc).limit(8)
-          .select(col("sid"), col("se"))
-        // vec_id.isNotNull is explicit (it is never null in the data)
-        // so constraint inference from the pair join's a_id < b_id
-        // can't add it to only two of the three consumer branches and
-        // break exchange-subplan identity.
-        val c = e.select(col("vec_id"), col("embedding").as("ce"))
-          .filter(col("vec_id").isNotNull)
-        // The assignment frame feeds three consumers (both pair-join
-        // sides + the final rollup). first(ce) carries the embedding
-        // through the argmax agg (ce is functionally dependent on the
-        // group key, so "first" is deterministic here) instead of
-        // re-joining the corpus, and the trailing repartition on the
-        // pair-join key is the AQE exchange-reuse point — without it
-        // the alias projections on each side defeat ReusedExchange and
-        // the corpus x seeds assignment would run three times (the j08
-        // rename lesson; same trick as TextOps.signatures).
-        val asg = c.join(broadcast(seeds), lit(true))
-          .withColumn("dot", dot("se", "ce"))
-          .groupBy(col("vec_id"))
-          .agg(
-            max_by(col("sid"), struct(col("dot"), (-col("sid")).as("ns")))
-              .as("cluster_seed"),
-            first(col("ce")).as("ce"))
-          .filter(col("cluster_seed").isNotNull)
-          .repartition(col("cluster_seed"))
-        val a = asg.select(col("cluster_seed"), col("vec_id").as("a_id"), col("ce").as("ae"))
-        val b = asg.select(col("cluster_seed"), col("vec_id").as("b_id"), col("ce").as("be"))
-        graft.plans.CosineSimilarity.register(s)
-        val dropped = a.join(b, Seq("cluster_seed"))
-          .filter(col("a_id") < col("b_id"))
-          .filter(expr("cosine_sim(ae, be)") >= 0.2)
-          .select(col("cluster_seed"), col("b_id")).distinct()
+        val asg = semDedupAsg(s, d, k = 8)
+        val dropped = semDedupDropped(s, asg)
           .groupBy(col("cluster_seed")).agg(count(lit(1)).as("n_dropped"))
         // first_kept == min(vec_id): the cluster min has no smaller
         // in-cluster partner, so it can never appear as a dropped b_id.

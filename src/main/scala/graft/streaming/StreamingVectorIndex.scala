@@ -53,65 +53,83 @@ object StreamingVectorIndex {
       idCol: String, vecCol: String, batchId: Long, dir: String): Unit = {
     if (batchId <= StateMarker.lastApplied(dir)) return // redelivery
     Files.createDirectories(Paths.get(dir))
-    val assigned = batch.select(col(idCol), col(vecCol))
-      .withColumn("cell",
-        -element_at(
-          graft.queries.VectorOps.nearestCells(cent, vecCol, 1), 1)
-          .getField("nc"))
-    assigned.write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$dir/cells/b$batchId")
+    // an empty trigger still advances the marker (so redelivery
+    // no-ops) but writes no root — a data-less parquet root would
+    // break schema inference for every later read
+    if (!batch.isEmpty) {
+      val assigned = batch.select(col(idCol), col(vecCol))
+        .withColumn("cell",
+          -element_at(
+            graft.queries.VectorOps.nearestCells(cent, vecCol, 1), 1)
+            .getField("nc"))
+      assigned.write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$dir/cells/b$batchId")
+    }
     StateMarker.publish(dir, batchId)
   }
 
-  /** The whole index: the compacted root (if `compact` has run) plus
-    * every batch applied after it; `cell` is a partition column in
-    * each root, so a `filter(col("cell") === c)` probe prunes to the
-    * probed cells' files. Each root gets its own partition discovery
-    * (one shared root would make Spark reject the `b<id>` level as a
-    * conflicting partition layer) and the union lets the probe's cell
-    * filter push into every scan's PartitionFilters. */
+  /** The whole index: the current compacted root (if `compact` has
+    * run) plus every batch applied after it; `cell` is a partition
+    * column in each root, so a `filter(col("cell") === c)` probe
+    * prunes to the probed cells' files. Each root gets its own
+    * partition discovery (one shared root would make Spark reject the
+    * `b<id>` level as a conflicting partition layer) and the union
+    * lets the probe's cell filter push into every scan's
+    * PartitionFilters. */
   def readIndex(spark: SparkSession, dir: String): DataFrame = {
     val upTo = compactedUpTo(dir)
     val roots =
-      (if (upTo >= 0) Seq(s"$dir/compacted") else Nil) ++
+      (if (upTo >= 0) Seq(s"$dir/compacted_v$upTo") else Nil) ++
         ((upTo + 1) to StateMarker.lastApplied(dir))
           .map(b => s"$dir/cells/b$b")
           .filter(p => new java.io.File(p).isDirectory)
+    require(roots.nonEmpty, s"no index state under $dir " +
+      "(no batch has been applied yet, or the directory is not an index)")
     roots.map(p => spark.read.option("basePath", p).parquet(p))
       .reduce(_ unionByName _)
   }
 
-  /** Highest batch id folded into dir/compacted; -1 before the first
-    * compaction. */
+  /** Highest batch id folded into the live compacted root
+    * (`compacted_v<id>`); -1 before the first compaction. */
   def compactedUpTo(dir: String): Long =
     StateMarker.lastApplied(dir, name = "_compacted")
 
   /** The offline OPTIMIZE pass: rewrite every applied batch (plus any
     * prior compaction) into ONE cell-partitioned root, so a probe
     * reads one file set per cell instead of one per (cell, batch).
-    * Publish order makes a crash at any point harmless: the new root
-    * is staged then atomically renamed into place, the `_compacted`
-    * marker flips AFTER the rename (a crash between leaves readers on
-    * the batch dirs, which still exist), and batch dirs are deleted
-    * only after the marker — a redelivery of a purged batch id still
-    * no-ops on the `_current` marker, which compaction never touches.
-    * At 100 TB this is the per-cell small-file merge every streaming
-    * lake runs off the hot path; it never rewrites cells that got no
-    * new batches if run per-partition, but THIS single-node form
-    * rewrites the whole index in one pass. */
+    * Crash-safe by VERSIONED roots + the atomic marker (the
+    * StreamingHeavyHitters convention — never an in-place swap of a
+    * live directory): the new root is staged and renamed to
+    * `compacted_v<upTo>`, a name no reader resolves until the
+    * `_compacted` marker flips to upTo AFTER the rename; a crash
+    * before the flip leaves readers on the old root + batch dirs
+    * (both untouched), a crash after it leaves only unreferenced
+    * garbage (stale roots / folded batch dirs), which the cleanup
+    * tail — and any later compact — deletes. A redelivery of a purged
+    * batch id still no-ops on the `_current` marker, which compaction
+    * never touches. At 100 TB this is the per-cell small-file merge
+    * every streaming lake runs off the hot path; a production form
+    * would fold only cells that got new batches, but THIS single-node
+    * form rewrites the whole index in one pass. */
   def compact(spark: SparkSession, dir: String): Unit = {
     val upTo = StateMarker.lastApplied(dir)
-    if (upTo < 0) return
+    if (upTo < 0 || upTo == compactedUpTo(dir)) return // nothing new
     val all = readIndex(spark, dir)
-    val staged = s"$dir/compacted__staging"
+    val staged = s"$dir/compacted_v${upTo}__staging"
     all.write.mode("overwrite").partitionBy("cell").parquet(staged)
-    val live = Paths.get(s"$dir/compacted")
-    val old = Paths.get(s"$dir/compacted__old")
-    org.apache.commons.io.FileUtils.deleteQuietly(old.toFile)
-    if (Files.exists(live)) Files.move(live, old)
+    val live = Paths.get(s"$dir/compacted_v$upTo")
+    // an existing target can only be the unpublished leftover of a
+    // crash between rename and marker flip — safe to replace
+    org.apache.commons.io.FileUtils.deleteQuietly(live.toFile)
     Files.move(Paths.get(staged), live)
     StateMarker.publish(dir, upTo, name = "_compacted")
-    org.apache.commons.io.FileUtils.deleteQuietly(old.toFile)
+    // cleanup: everything below is unreferenced once the marker flipped
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter { f =>
+        val n = f.getName
+        n.startsWith("compacted_v") && n != s"compacted_v$upTo"
+      }
+      .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
     (0L to upTo).foreach { b =>
       org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(s"$dir/cells/b$b"))

@@ -33,38 +33,16 @@ object SemDedupKAb {
     println(s"n=$n  dir=$d")
 
     ks.foreach { k =>
-      // the v07 kernel at cluster count k: seed-centroid assignment
-      // (broadcast seeds, max_by argmax), then within-cluster pairs
-      val seeds = e.select(col("vec_id").as("sid"),
-          col("embedding").as("se"),
-          md5(col("vec_id").cast("string")).as("h"))
-        .orderBy(col("h").asc, col("sid").asc).limit(k)
-        .select(col("sid"), col("se"))
-      val c = e.select(col("vec_id"), col("embedding").as("ce"))
-        .filter(col("vec_id").isNotNull)
-      val asg = c.join(broadcast(seeds), lit(true))
-        .withColumn("dot",
-          expr("aggregate(zip_with(se, ce, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"))
-        .groupBy(col("vec_id"))
-        .agg(
-          max_by(col("sid"), struct(col("dot"), (-col("sid")).as("ns")))
-            .as("cluster_seed"),
-          first(col("ce")).as("ce"))
-        .repartition(col("cluster_seed"))
+      // the EXACT v07 kernel at cluster count k (shared helper — the
+      // A/B must measure the gated code path, not a re-implementation)
+      val asg = graft.queries.VectorOps.semDedupAsg(spark, d, k)
         .localCheckpoint(true) // time ONLY the pair stage below
       val occ = asg.groupBy(col("cluster_seed")).agg(count(lit(1)).as("m"))
       val pairVol = occ.agg(sum(col("m") * (col("m") - 1) / 2)).head().getDouble(0)
       val maxOcc = occ.agg(max(col("m"))).head().getLong(0)
 
-      val a = asg.select(col("cluster_seed"), col("vec_id").as("a_id"),
-        col("ce").as("ae"))
-      val b = asg.select(col("cluster_seed"), col("vec_id").as("b_id"),
-        col("ce").as("be"))
       def pairStage(): Long =
-        a.join(b, Seq("cluster_seed"))
-          .filter(col("a_id") < col("b_id"))
-          .filter(expr("cosine_sim(ae, be)") >= 0.2)
-          .select(col("b_id")).distinct().count()
+        graft.queries.VectorOps.semDedupDropped(spark, asg).count()
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime(); val dropped = pairStage()
         ((System.nanoTime() - t0) / 1e9, dropped)

@@ -71,6 +71,16 @@ class StreamingVectorIndexSpec extends SparkSpec {
       val ids = StreamingVectorIndex.readIndex(s, dir)
         .select("vec_id").collect().map(_.getLong(0)).toSet
       assert(ids == Set(1L, 2L))
+      // an empty trigger advances the marker but writes no root —
+      // and the index stays readable
+      StreamingVectorIndex.applyBatch(
+        Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"),
+        cent, "vec_id", "embedding", 2L, dir)
+      assert(StateMarker.lastApplied(dir) == 2L)
+      assert(!new java.io.File(s"$dir/cells/b2").exists())
+      val after = StreamingVectorIndex.readIndex(s, dir)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(after == Set(1L, 2L))
     } finally cleanup(dir)
   }
 
