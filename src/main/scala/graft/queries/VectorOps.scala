@@ -80,7 +80,7 @@ object VectorOps {
     expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
       "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
 
-  private def cosine(a: String, b: String): Column =
+  private[graft] def cosine(a: String, b: String): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
   // ===== shared recall-gate machinery (v02b / v02c / v09 / v09b) ==========

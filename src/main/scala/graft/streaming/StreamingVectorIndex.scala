@@ -94,6 +94,41 @@ object StreamingVectorIndex {
   def compactedUpTo(dir: String): Long =
     StateMarker.lastApplied(dir, name = "_compacted")
 
+  /** Serve a cosine top-k probe from the streamed index — the v09
+    * probe shape over this index's layout: queries route to their
+    * `nprobe` nearest centroid cells map-side (centroid-literal
+    * argmax, no shuffle), the index is read with a cell filter so
+    * only the probed `cell=` partitions scan (the collect behind the
+    * isin is ≤ #cells rows — centroid-bounded, never corpus-sized),
+    * and candidates rank per query with the (cos desc, id asc)
+    * tiebreak. Spec-pinned to exact parity with the batch-built
+    * geometric IVF (VectorOps.geoAnn) over the same centroids. */
+  def probe(spark: SparkSession, dir: String, cent: Array[Array[Double]],
+      queries: DataFrame, idCol: String, vecCol: String,
+      nprobe: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probes = queries
+      .select(col(idCol).as("qid"), col(vecCol).as("qe"),
+        explode(
+          graft.queries.VectorOps.nearestCells(cent, vecCol, nprobe))
+          .as("pc"))
+      .select(col("qid"), (-col("pc.nc")).as("cell"), col("qe"))
+    val cells = probes.select(col("cell")).distinct()
+      .collect().map(_.getLong(0))
+    val idx = readIndex(spark, dir)
+      .filter(col("cell").isin(cells: _*))
+      .select(col(idCol).as("cid"), col(vecCol).as("ce"),
+        col("cell").cast("long").as("cell"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cid").asc)
+    idx.join(broadcast(probes), Seq("cell"))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("cos", graft.queries.VectorOps.cosine("qe", "ce"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"))
+  }
+
   /** The offline OPTIMIZE pass: rewrite every applied batch (plus any
     * prior compaction) into ONE cell-partitioned root, so a probe
     * reads one file set per cell instead of one per (cell, batch).

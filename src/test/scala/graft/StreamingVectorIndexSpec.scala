@@ -129,6 +129,58 @@ class StreamingVectorIndexSpec extends SparkSpec {
     } finally cleanup(dir)
   }
 
+  test("real stream wiring via MemoryStream assigns and appends") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = tmp()
+    val ckpt = tmp()
+    try {
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Array[Float])]
+      val q = StreamingVectorIndex.start(
+        mem.toDF().toDF("vec_id", "embedding"), cent, "vec_id",
+        "embedding", dir, ckpt)
+      try {
+        mem.addData((1L, vec(0.9, 0.1)), (2L, vec(-0.8, 0.2)))
+        q.processAllAvailable()
+        mem.addData((3L, vec(0.7, -0.3)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = StreamingVectorIndex.readIndex(s, dir)
+        .select(col("vec_id"), col("cell").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 0L), (2L, 1L), (3L, 0L)))
+    } finally { cleanup(dir); cleanup(ckpt) }
+  }
+
+  test("probe over the streamed index matches the batch-built geoAnn") {
+    val s = spark
+    val d = "/root/testdata/sf0.001"
+    val dir = tmp()
+    try {
+      val e = graft.sources.Tables.embeddings(s, d)
+      val (_, kcent, _) = graft.operators.KMeans.fitConverged(
+        s, e, k = 8, maxIter = 25, tol = 0.12)
+      (0 until 3).foreach { b =>
+        StreamingVectorIndex.applyBatch(
+          e.filter(pmod(col("vec_id"), lit(3)) === b)
+            .select(col("vec_id"), col("embedding")),
+          kcent, "vec_id", "embedding", b.toLong, dir)
+      }
+      // compaction must not change what a probe serves
+      StreamingVectorIndex.compact(s, dir)
+      val queries = e.filter(col("vec_id") < 20)
+        .select(col("vec_id"), col("embedding"))
+      val served = StreamingVectorIndex.probe(
+          s, dir, kcent, queries, "vec_id", "embedding", nprobe = 1, k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = graft.queries.VectorOps.geoAnn(s, d, nprobe = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(served == batch)
+    } finally cleanup(dir)
+  }
+
   test("a cell probe prunes to the probed cell's partitions") {
     val s = spark
     import s.implicits._
