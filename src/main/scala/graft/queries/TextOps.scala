@@ -2128,6 +2128,81 @@ object TextOps {
         SELECT a.source, round(a.mad, 6) AS linf,
                min(d.w) AS top_word, a.kl
         FROM a JOIN d ON a.source = d.source AND d.ad = a.mad
-        GROUP BY 1, 2, 4"""))
+        GROUP BY 1, 2, 4""")),
+
+    // ----- DSIR importance resampling ---------------------------------------------
+    Q(
+      "t30_dsir_select",
+      "DSIR data selection (Xie et al. NeurIPS'23 - importance " +
+        "resampling for matching a target domain): score every " +
+        "non-English doc by how English-like its unigram statistics " +
+        "are, log w_d = sum_b tf_db * (ln p_target(b) - ln p_raw(b)), " +
+        "and keep the top 50. The models use the paper's HASHED " +
+        "n-gram trick: words hash into 4096 fixed buckets (md5-prefix " +
+        "mod, the t05 engine-neutral convention), so the model is a " +
+        "constant-size bucket table at ANY corpus size - that, not " +
+        "the word-level model, is what ships at 100 TB. Add-1 " +
+        "smoothing over the bucket space keeps every log defined. " +
+        "Plan shape: (doc, bucket, tf) aggregates BEFORE the model " +
+        "join (map-side combine - the t17 lesson), both bucket models " +
+        "derive from that one frame, N_t/N_raw ride as broadcast " +
+        "scalars, and selection is a TakeOrderedAndProject heap on " +
+        "the 4dp-rounded weight (the t24 rank-on-rounded convention, " +
+        "id tiebreak) - the corpus token stream is scanned and " +
+        "shuffled exactly once.",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val toks = docs.select(col("doc_id"), col("lang"),
+            explode(split(col("text"), " ")).as("w"))
+          .select(col("doc_id"), col("lang"),
+            (conv(substring(md5(col("w")), 1, 6), 16, 10).cast("long")
+              % 4096).as("b"))
+        val dtf = toks.groupBy(col("doc_id"), col("lang"), col("b"))
+          .agg(count(lit(1)).as("tf"))
+          .localCheckpoint(true) // one token pass feeds both models + weights
+        val tcnt = dtf.filter(col("lang") === "en")
+          .groupBy(col("b")).agg(sum(col("tf")).as("ct"))
+        val scnt = dtf.filter(col("lang") =!= "en")
+          .groupBy(col("b")).agg(sum(col("tf")).as("cs"))
+        val nt = tcnt.agg(sum(col("ct")).as("nt"))
+        val ns = scnt.agg(sum(col("cs")).as("ns"))
+        val w = dtf.filter(col("lang") =!= "en")
+          .join(tcnt, Seq("b"), "left")
+          .join(scnt, Seq("b"), "left")
+          .crossJoin(broadcast(nt)).crossJoin(broadcast(ns))
+          .select(col("doc_id"), col("lang"),
+            (col("tf") *
+              (log((coalesce(col("ct"), lit(0L)) + 1) / (col("nt") + 4096)) -
+                log((coalesce(col("cs"), lit(0L)) + 1) / (col("ns") + 4096))))
+              .as("term"))
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(round(sum(col("term")), 4).as("dsir_logw"))
+        w.orderBy(col("dsir_logw").desc, col("doc_id").asc).limit(50)
+          .select(col("doc_id"), col("lang"), col("dsir_logw"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, lang,
+                 ('0x' || substr(md5(tok), 1, 6))::UBIGINT % 4096 AS b
+          FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+                FROM documents)),
+        dtf AS (SELECT doc_id, lang, b, count(*) AS tf
+                FROM toks GROUP BY 1, 2, 3),
+        tcnt AS (SELECT b, sum(tf) AS ct FROM dtf WHERE lang = 'en' GROUP BY 1),
+        scnt AS (SELECT b, sum(tf) AS cs FROM dtf WHERE lang <> 'en' GROUP BY 1),
+        nt AS (SELECT sum(ct) AS nt FROM tcnt),
+        ns AS (SELECT sum(cs) AS ns FROM scnt),
+        w AS (SELECT d.doc_id, d.lang,
+                     round(sum(d.tf * (ln((coalesce(t.ct, 0) + 1) / (nt.nt + 4096))
+                                     - ln((coalesce(s.cs, 0) + 1) / (ns.ns + 4096)))),
+                           4) AS dsir_logw
+              FROM dtf d
+              LEFT JOIN tcnt t USING (b)
+              LEFT JOIN scnt s USING (b)
+              CROSS JOIN nt CROSS JOIN ns
+              WHERE d.lang <> 'en'
+              GROUP BY 1, 2)
+        SELECT doc_id, lang, dsir_logw
+        FROM w ORDER BY dsir_logw DESC, doc_id ASC LIMIT 50"""))
   )
 }
