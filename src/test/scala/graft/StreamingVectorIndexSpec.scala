@@ -181,6 +181,50 @@ class StreamingVectorIndexSpec extends SparkSpec {
     } finally cleanup(dir)
   }
 
+  test("property: any batch split (incl. empty batches) equals direct assignment") {
+    val s = spark
+    import s.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val params = Gen.Parameters.default
+    def sample[A](g: Gen[A], seed: Long): A =
+      g(params, Seed(seed)).getOrElse(sys.error("gen failed"))
+    val genCase = for {
+      n <- Gen.choose(1, 12)
+      vecs <- Gen.listOfN(n,
+        Gen.zip(Gen.choose(-1.0, 1.0), Gen.choose(-1.0, 1.0)))
+      nBatches <- Gen.choose(1, 4)
+      assign <- Gen.listOfN(n, Gen.choose(0, nBatches - 1))
+    } yield (vecs, nBatches, assign)
+    (1 to 8).foreach { i =>
+      val (vecs, nBatches, whichBatch) = sample(genCase, i.toLong * 104729)
+      val rows = vecs.zipWithIndex.map { case ((x, y), j) =>
+        (j.toLong, vec(x, y))
+      }
+      val dir = tmp()
+      try {
+        (0 until nBatches).foreach { b =>
+          val part = rows.zip(whichBatch).collect {
+            case (r, w) if w == b => r
+          }
+          StreamingVectorIndex.applyBatch(
+            part.toDF("vec_id", "embedding"), cent, "vec_id",
+            "embedding", b.toLong, dir)
+        }
+        val got = StreamingVectorIndex.readIndex(s, dir)
+          .select(col("vec_id"), col("cell").cast("long"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        // driver-computed truth: argmax dot, ties to the lowest cell
+        val want = rows.map { case (id, v) =>
+          val dots = cent.map(c =>
+            c.zip(v.map(_.toDouble)).map { case (a, b) => a * b }.sum)
+          (id, dots.zipWithIndex.maxBy { case (dt, ci) => (dt, -ci) }._2.toLong)
+        }.toSet
+        assert(got == want, s"seed case $i: $got != $want")
+      } finally cleanup(dir)
+    }
+  }
+
   test("a cell probe prunes to the probed cell's partitions") {
     val s = spark
     import s.implicits._
