@@ -280,6 +280,40 @@ object TextOps {
     .map(j => s"CASE WHEN sa.mh$j = sb.mh$j THEN 1 ELSE 0 END")
     .mkString(" + ")
 
+  /** (doc_id, is_eval, g): t28's deterministic eval/train tag (md5
+    * bucket, ~10% eval) + exploded 8-word-grams. Shared by the batch
+    * decontamination gate (t28) and its streaming replay (st16) so the
+    * gram/split recipe exists in exactly one copy. */
+  private[queries] def contaminationGrams(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % 10 === 0).as("is_eval"),
+        split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 8)
+      .select(col("doc_id"), col("is_eval"), explode(expr(
+        "transform(sequence(1, size(w) - 7), " +
+          "i -> concat_ws(' ', slice(w, i, 8)))")).as("g"))
+
+  /** t28's full oracle (also gates st16's streamed state — the
+    * streaming fold must land on the same per-eval-doc report). */
+  private[queries] val DecontaminationSql: String = """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
+                          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::UBIGINT % 10 = 0 AS is_eval
+                   FROM documents),
+        g AS (SELECT doc_id, is_eval, array_to_string(w[i:i+7], ' ') AS g
+              FROM (SELECT doc_id, is_eval, w, unnest(range(1, len(w) - 6)) AS i
+                    FROM t WHERE len(w) >= 8)),
+        ev AS (SELECT doc_id, g FROM g WHERE is_eval),
+        tr AS (SELECT DISTINCT g FROM g WHERE NOT is_eval),
+        tot AS (SELECT doc_id, count(DISTINCT g) AS n_grams FROM ev GROUP BY 1),
+        con AS (SELECT ev.doc_id, count(DISTINCT ev.g) AS nc
+                FROM ev JOIN tr ON ev.g = tr.g GROUP BY 1)
+        SELECT t.doc_id, t.n_grams,
+               coalesce(c.nc, 0) AS n_contaminated,
+               coalesce(c.nc, 0) > 0 AS contaminated
+        FROM tot t LEFT JOIN con c ON t.doc_id = c.doc_id"""
+
   /** t24's BM25 pipeline as a reusable frame: (doc_id, bm25) for the
     * fixed 3-term query, positive scores only, top 20 by
     * (bm25 desc, doc_id asc). Shared by the t24 gate and v10's lexical
@@ -1941,16 +1975,7 @@ object TextOps {
         "plan shape); this gate joins the strings so both engines " +
         "agree byte-for-byte.",
       (s, d) => {
-        val docs = Tables.documents(s, d)
-        val tagged = docs.select(col("doc_id"), col("text"),
-          (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-            .cast("long") % 10 === 0).as("is_eval"))
-        val grams = tagged
-          .select(col("doc_id"), col("is_eval"), split(col("text"), " ").as("w"))
-          .filter(size(col("w")) >= 8)
-          .select(col("doc_id"), col("is_eval"), explode(expr(
-            "transform(sequence(1, size(w) - 7), " +
-              "i -> concat_ws(' ', slice(w, i, 8)))")).as("g"))
+        val grams = contaminationGrams(s, d)
         val evalG = grams.filter(col("is_eval")).select(col("doc_id"), col("g"))
         val trainG = grams.filter(!col("is_eval")).select(col("g")).distinct()
         val tot = evalG.groupBy(col("doc_id"))
@@ -1963,22 +1988,7 @@ object TextOps {
             coalesce(col("nc"), lit(0L)).as("n_contaminated"),
             (coalesce(col("nc"), lit(0L)) > 0).as("contaminated"))
       },
-      Some("""
-        WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
-                          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::UBIGINT % 10 = 0 AS is_eval
-                   FROM documents),
-        g AS (SELECT doc_id, is_eval, array_to_string(w[i:i+7], ' ') AS g
-              FROM (SELECT doc_id, is_eval, w, unnest(range(1, len(w) - 6)) AS i
-                    FROM t WHERE len(w) >= 8)),
-        ev AS (SELECT doc_id, g FROM g WHERE is_eval),
-        tr AS (SELECT DISTINCT g FROM g WHERE NOT is_eval),
-        tot AS (SELECT doc_id, count(DISTINCT g) AS n_grams FROM ev GROUP BY 1),
-        con AS (SELECT ev.doc_id, count(DISTINCT ev.g) AS nc
-                FROM ev JOIN tr ON ev.g = tr.g GROUP BY 1)
-        SELECT t.doc_id, t.n_grams,
-               coalesce(c.nc, 0) AS n_contaminated,
-               coalesce(c.nc, 0) > 0 AS contaminated
-        FROM tot t LEFT JOIN con c ON t.doc_id = c.doc_id""")),
+      Some(DecontaminationSql)),
 
     // ----- decontamination at scale: hash grams, not strings ---------------------
     Q(

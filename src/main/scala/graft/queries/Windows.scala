@@ -984,6 +984,40 @@ object Windows {
           SELECT vec_id, cluster,
                  row_number() OVER (PARTITION BY vec_id
                    ORDER BY dot DESC, cluster ASC) AS rn
-          FROM d3g) WHERE rn = 1"""))
+          FROM d3g) WHERE rn = 1""")),
+
+    Q(
+      "st16_streaming_decontamination",
+      "Incremental benchmark decontamination (streaming/" +
+        "StreamingDecontamination - t28's GPT-3/PaLM 8-gram scan in " +
+        "the shape a continuously-ingesting crawl needs: static " +
+        "benchmark-sized eval side, streaming train side): the train " +
+        "docs replayed as 3 deterministic micro-batches (doc_id % 3), " +
+        "each semi-joining the static eval grams against the BATCH " +
+        "DELTA only and appending the newly-found (eval doc, gram) " +
+        "hits - history-sized train data is never rescanned, and the " +
+        "state is bounded by |eval grams| forever, not by train " +
+        "volume. Contamination is MONOTONE (append-only train can " +
+        "only add hits), so the union of disjoint per-batch deltas " +
+        "equals the one-shot semi-join regardless of batch boundaries " +
+        "- which is exactly what the gate checks: the streamed " +
+        "state's per-eval-doc report must hash-match t28's batch " +
+        "oracle (same shared gram/split recipe, " +
+        "TextOps.contaminationGrams - one copy).",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("graft_st16_")
+        org.apache.commons.io.FileUtils.forceDeleteOnExit(dir.toFile)
+        val grams = TextOps.contaminationGrams(s, d)
+        val evalG = grams.filter(col("is_eval")).select(col("doc_id"), col("g"))
+        val train = grams.filter(!col("is_eval"))
+        (0 until 3).foreach { b =>
+          graft.streaming.StreamingDecontamination.applyBatch(
+            train.filter(pmod(col("doc_id"), lit(3)) === b).select(col("g")),
+            evalG, "g", b.toLong, dir.toString)
+        }
+        graft.streaming.StreamingDecontamination.report(
+          s, dir.toString, evalG, "g")
+      },
+      Some(TextOps.DecontaminationSql))
   )
 }
