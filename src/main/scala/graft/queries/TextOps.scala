@@ -2213,6 +2213,97 @@ object TextOps {
               WHERE d.lang <> 'en'
               GROUP BY 1, 2)
         SELECT doc_id, lang, dsir_logw
-        FROM w ORDER BY dsir_logw DESC, doc_id ASC LIMIT 50"""))
+        FROM w ORDER BY dsir_logw DESC, doc_id ASC LIMIT 50""")),
+
+    // ----- CCNet perplexity buckets: interpolated bigram LM ----------------------
+    Q(
+      "t31_bigram_perplexity",
+      "CCNet-style perplexity bucketing with a REAL conditional LM " +
+        "(Wenzek et al. LREC'20 bucket docs by LM score into head/" +
+        "middle/tail and train on the head; t17's unigram score was " +
+        "the shape, this is the model): Jelinek-Mercer interpolated " +
+        "bigram probability p(w2|w1) = 0.9*c(w1,w2)/c(w1.) + " +
+        "0.1*c(w2)/N, doc score = tf-weighted mean log-prob over its " +
+        "bigrams, bucket = equal-population-of-distinct-values " +
+        "tertile of the 4dp-rounded score (head = highest log-prob = " +
+        "lowest perplexity). Plan shape: bigrams build MAP-SIDE from " +
+        "the token array (transform over sequence + explode - no " +
+        "positional self-join, the corpus is scanned once), (doc, " +
+        "bigram, tf) aggregates BEFORE the model joins (the t17 " +
+        "map-side-combine lesson), both model tables are Heap's-law " +
+        "bounded so AQE picks broadcast vs shuffle, and the tertile " +
+        "cut is the a18 two-stage GlobalRank - NO unpartitioned " +
+        "window, so the banding survives near-unique scores at any " +
+        "corpus size. Ranking on the ROUNDED score (the t24 " +
+        "convention) keeps the distinct set and the band edges " +
+        "bit-identical cross-engine. At 100 TB production would " +
+        "freeze the model + thresholds from a sample then score " +
+        "map-side only; the in-corpus form here is the oracle-" +
+        "replayable equivalent.",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+        val long = toks.select(col("doc_id"), explode(col("t")).as("w2"))
+        val uni = long.groupBy(col("w2")).agg(count(lit(1)).as("c2"))
+        val tot = long.agg(count(lit(1)).as("total"))
+        val big = toks.filter(size(col("t")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(t) - 1), " +
+              "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"))
+            .as("bg"))
+          .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        val tf = big.groupBy(col("doc_id"), col("w1"), col("w2"))
+          .agg(count(lit(1)).as("tf"))
+          .localCheckpoint(true) // one bigram pass feeds both models + scoring
+        val c12 = tf.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("c12"))
+        val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+        val doc = tf
+          .join(c12, Seq("w1", "w2")).join(c1, Seq("w1")).join(uni, Seq("w2"))
+          .crossJoin(broadcast(tot))
+          .withColumn("lp", log(
+            lit(0.9) * (col("c12").cast("double") / col("c1")) +
+              lit(0.1) * (col("c2").cast("double") / col("total"))))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("tf")).as("n_bigrams"),
+            round(sum(col("tf") * col("lp")) / sum(col("tf")), 4)
+              .as("avg_logprob"))
+        val idx = graft.operators.GlobalRank
+          .zeroBasedIndex(doc.select(col("avg_logprob")).distinct(), "avg_logprob")
+        val nd = idx.agg(count(lit(1)).as("nd"))
+        doc.join(idx, Seq("avg_logprob")).crossJoin(broadcast(nd))
+          .select(col("doc_id"), col("n_bigrams"), col("avg_logprob"),
+            when(floor(col("idx") * 3 / col("nd")) === 2, "head")
+              .when(floor(col("idx") * 3 / col("nd")) === 1, "middle")
+              .otherwise("tail").as("ppl_bucket"))
+      },
+      Some("""
+        WITH dt AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        long AS (SELECT doc_id, unnest(t) AS w2 FROM dt),
+        uni AS (SELECT w2, count(*) AS c2 FROM long GROUP BY 1),
+        tot AS (SELECT count(*) AS total FROM long),
+        big0 AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+                 FROM dt WHERE len(t) >= 2),
+        big AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM big0),
+        tf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM big GROUP BY 1, 2, 3),
+        c12 AS (SELECT w1, w2, sum(tf) AS c12 FROM tf GROUP BY 1, 2),
+        c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+        doc AS (SELECT f.doc_id, sum(f.tf) AS n_bigrams,
+                       round(sum(f.tf * ln(CAST(0.9 AS DOUBLE) * (b.c12 / c1.c1)
+                                           + CAST(0.1 AS DOUBLE) * (u.c2 / tot.total)))
+                             / sum(f.tf), 4) AS avg_logprob
+                FROM tf f
+                JOIN c12 b ON f.w1 = b.w1 AND f.w2 = b.w2
+                JOIN c1 ON f.w1 = c1.w1
+                JOIN uni u ON f.w2 = u.w2
+                CROSS JOIN tot
+                GROUP BY 1),
+        dd AS (SELECT avg_logprob, dense_rank() OVER (ORDER BY avg_logprob) - 1 AS idx
+               FROM (SELECT DISTINCT avg_logprob FROM doc)),
+        nd AS (SELECT count(*) AS nd FROM dd)
+        SELECT d.doc_id, d.n_bigrams, d.avg_logprob,
+               CASE CAST(floor(dd.idx * 3 / nd.nd) AS INT)
+                 WHEN 2 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail'
+               END AS ppl_bucket
+        FROM doc d JOIN dd USING (avg_logprob) CROSS JOIN nd"""))
   )
 }

@@ -160,10 +160,13 @@ object VectorOps {
     * rides the task, which is the textbook IVF assignment shape (the
     * centroid table is tiny; the corpus should never shuffle for it). */
   private[graft] def nearestCells(cent: Array[Array[Double]], vec: String,
+      n: Int): Column = nearestCells(cent, col(vec), n)
+
+  private[graft] def nearestCells(cent: Array[Array[Double]], vec: Column,
       n: Int): Column = {
     val ranked = cent.indices.map { i =>
       val cv = array(cent(i).map(lit(_)): _*)
-      val prod = zip_with(cv, col(vec), (x, y) => x * y.cast("double"))
+      val prod = zip_with(cv, vec, (x, y) => x * y.cast("double"))
       struct(
         aggregate(prod, lit(0.0), (acc, v) => acc + v).as("dot"),
         lit(-i.toLong).as("nc"))
@@ -1200,7 +1203,164 @@ object VectorOps {
         UNION ALL SELECT 2, cid, round(mmr, 6) FROM p2
         UNION ALL SELECT 3, cid, round(mmr, 6) FROM p3
         UNION ALL SELECT 4, cid, round(mmr, 6) FROM p4
-        UNION ALL SELECT 5, cid, round(mmr, 6) FROM p5"""))
+        UNION ALL SELECT 5, cid, round(mmr, 6) FROM p5""")),
+
+    // ----- true product quantization + ADC serving -------------------------------
+    Q(
+      "v12_pq_adc",
+      "TRUE product quantization with asymmetric distance computation " +
+        "(Jegou et al. TPAMI'11 - the codebook form v08's scalar " +
+        "quantization approximates): the 64-dim space splits into m=4 " +
+        "subspaces of 16 dims, each with its own k=16 codeword " +
+        "codebook (deterministic md5 seeds + one Lloyd update, the " +
+        "v05b recipe per subspace), a vector encodes as 4 codes " +
+        "(argmax inner product per subspace, (dot desc, code asc) " +
+        "tiebreak), and a query scores candidates by LOOKUP: per-" +
+        "subspace tables of query-x-codeword dots, score = " +
+        "lut0[c0]+lut1[c1]+lut2[c2]+lut3[c3] in fixed expression " +
+        "order. Spark shape: codebook training is two bounded " +
+        "aggregations; the trained codebook (m*k*16 = 1024 doubles) " +
+        "collects to the driver - the KMeans-centroid bounded class - " +
+        "and corpus ENCODE + query LUT build are then pure map-side " +
+        "centroid-literal expressions (the v09 nearestCells shape, no " +
+        "corpus shuffle, PlanSpec-pinned), so serving is one " +
+        "broadcast join + 4 array lookups per candidate row: memory-" +
+        "bandwidth bound over 4 codes instead of 64 floats, which is " +
+        "the entire point of PQ at 100 TB (codes are 128x smaller " +
+        "than the float vectors; the codebook trains on a driver-" +
+        "sized sample and rides every executor as literals). " +
+        "code_key pins all 4 codes of each returned neighbor, so the " +
+        "hash gates the ENCODING, not just the ranking. Oracle " +
+        "replays seeds, the per-subspace Lloyd update, encode, LUT " +
+        "and ADC relationally.",
+      (s, d) => {
+        val m = 4; val subDim = 16; val k = 16
+        val e = Tables.embeddings(s, d)
+        // --- codebook training: md5 seeds + one Lloyd update per subspace
+        val subv = e.select(col("vec_id"), posexplode(col("embedding")))
+          .select(col("vec_id"), (col("pos") / subDim).cast("int").as("sub"),
+            (col("pos") % subDim).as("lpos"), col("col").cast("double").as("v"))
+        val seeds = e.select(col("vec_id").as("sid"), col("embedding").as("se"),
+            md5(col("vec_id").cast("string")).as("h"))
+          .orderBy(col("h").asc, col("sid").asc).limit(k)
+          // unpartitioned window on a post-LIMIT k-row frame (the
+          // documented exemption; v10's rank windows set the precedent)
+          .withColumn("code",
+            row_number().over(Window.orderBy(col("sid").cast("string").asc)) - 1)
+        val sg = seeds.select(col("code"), posexplode(col("se")))
+          .select(col("code"), (col("pos") / subDim).cast("int").as("sub"),
+            (col("pos") % subDim).as("lpos"), col("col").cast("double").as("sv"))
+        val d1 = subv.join(broadcast(sg), Seq("sub", "lpos"))
+          .groupBy(col("vec_id"), col("sub"), col("code"))
+          .agg(sum(col("v") * col("sv")).as("dot"))
+        val aw = Window.partitionBy(col("vec_id"), col("sub"))
+          .orderBy(col("dot").desc, col("code").asc)
+        val a1 = d1.withColumn("rn", row_number().over(aw))
+          .filter(col("rn") === 1).select(col("vec_id"), col("sub"), col("code"))
+        val sums = subv.join(a1, Seq("vec_id", "sub"))
+          .groupBy(col("sub"), col("code"), col("lpos"))
+          .agg(sum(col("v")).as("sm"), count(lit(1)).as("n"))
+        val cb1 = sg.join(sums, Seq("sub", "code", "lpos"), "left")
+          .select(col("sub"), col("code"), col("lpos"),
+            coalesce(col("sm") / col("n"), col("sv")).as("cv"))
+        val cb = Array.fill(m, k, subDim)(0.0)
+        cb1.collect().foreach { r => // 1024 doubles: the bounded class
+          cb(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+        }
+        // --- map-side encode + LUT from codebook literals
+        def subcol(i: Int) = expr(s"slice(embedding, ${i * subDim + 1}, $subDim)")
+        def codeOf(i: Int) =
+          (-element_at(nearestCells(cb(i), subcol(i), 1), 1).getField("nc"))
+            .cast("int")
+        def lutOf(i: Int) = array((0 until k).map { c =>
+          aggregate(
+            zip_with(array(cb(i)(c).map(lit(_)): _*), subcol(i),
+              (x, y) => x * y.cast("double")),
+            lit(0.0), (acc, v) => acc + v)
+        }: _*)
+        val corpus = e.select(col("vec_id").as("cid"),
+          codeOf(0).as("c0"), codeOf(1).as("c1"),
+          codeOf(2).as("c2"), codeOf(3).as("c3"))
+        val queries = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"),
+            lutOf(0).as("l0"), lutOf(1).as("l1"),
+            lutOf(2).as("l2"), lutOf(3).as("l3"))
+        val rankW = Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("cid").asc)
+        corpus.join(broadcast(queries), col("cid") =!= col("qid"))
+          .withColumn("score",
+            element_at(col("l0"), col("c0") + 1) +
+              element_at(col("l1"), col("c1") + 1) +
+              element_at(col("l2"), col("c2") + 1) +
+              element_at(col("l3"), col("c3") + 1))
+          .withColumn("rank", row_number().over(rankW))
+          .filter(col("rank") <= 3)
+          .select(col("qid").as("query_id"), col("rank"),
+            col("cid").as("neighbor_id"),
+            (col("c0") * (k * k * k) + col("c1") * (k * k) +
+              col("c2") * k + col("c3")).cast("long").as("code_key"),
+            round(col("score"), 4).as("approx_ip"))
+      },
+      Some("""
+        WITH longp AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+                              unnest(range(len(embedding))) AS pos
+                       FROM embeddings),
+        subv AS (SELECT vec_id, CAST(pos // 16 AS INT) AS sub,
+                        pos % 16 AS lpos, v
+                 FROM longp),
+        seeds0 AS (SELECT vec_id AS sid, embedding::DOUBLE[] AS se
+                   FROM embeddings
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+                   LIMIT 16),
+        seeds AS (SELECT sid, se,
+                         row_number() OVER (ORDER BY CAST(sid AS VARCHAR) ASC) - 1 AS code
+                  FROM seeds0),
+        sgl AS (SELECT code, unnest(se) AS sv, unnest(range(len(se))) AS pos
+                FROM seeds),
+        sg AS (SELECT code, CAST(pos // 16 AS INT) AS sub, pos % 16 AS lpos, sv
+               FROM sgl),
+        d1 AS (SELECT s.vec_id, g.sub, g.code, sum(s.v * g.sv) AS dot
+               FROM subv s JOIN sg g ON s.sub = g.sub AND s.lpos = g.lpos
+               GROUP BY 1, 2, 3),
+        a1 AS (SELECT vec_id, sub, code FROM (
+                 SELECT vec_id, sub, code,
+                        row_number() OVER (PARTITION BY vec_id, sub
+                          ORDER BY dot DESC, code ASC) AS rn
+                 FROM d1) WHERE rn = 1),
+        sums AS (SELECT a.sub, a.code, s.lpos, sum(s.v) AS sm, count(*) AS n
+                 FROM subv s JOIN a1 a ON s.vec_id = a.vec_id AND s.sub = a.sub
+                 GROUP BY 1, 2, 3),
+        cb1 AS (SELECT g.sub, g.code, g.lpos, coalesce(m.sm / m.n, g.sv) AS cv
+                FROM sg g LEFT JOIN sums m
+                  ON g.sub = m.sub AND g.code = m.code AND g.lpos = m.lpos),
+        d2 AS (SELECT s.vec_id, c.sub, c.code, sum(s.v * c.cv) AS dot
+               FROM subv s JOIN cb1 c ON s.sub = c.sub AND s.lpos = c.lpos
+               GROUP BY 1, 2, 3),
+        codes AS (SELECT vec_id, sub, code FROM (
+                    SELECT vec_id, sub, code,
+                           row_number() OVER (PARTITION BY vec_id, sub
+                             ORDER BY dot DESC, code ASC) AS rn
+                    FROM d2) WHERE rn = 1),
+        ck AS (SELECT vec_id,
+                      CAST(sum((CASE sub WHEN 0 THEN 4096 WHEN 1 THEN 256
+                                WHEN 2 THEN 16 ELSE 1 END) * code) AS BIGINT) AS code_key
+               FROM codes GROUP BY 1),
+        adc AS (SELECT l.vec_id AS qid, c.vec_id AS cid,
+                       sum(CASE WHEN c.sub = 0 THEN l.dot END)
+                       + sum(CASE WHEN c.sub = 1 THEN l.dot END)
+                       + sum(CASE WHEN c.sub = 2 THEN l.dot END)
+                       + sum(CASE WHEN c.sub = 3 THEN l.dot END) AS score
+                FROM codes c
+                JOIN d2 l ON l.sub = c.sub AND l.code = c.code
+                WHERE l.vec_id < 20 AND l.vec_id <> c.vec_id
+                GROUP BY 1, 2)
+        SELECT a.qid AS query_id, CAST(a.rn AS INT) AS rank,
+               a.cid AS neighbor_id, k.code_key,
+               round(a.score, 4) AS approx_ip
+        FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                ORDER BY score DESC, cid ASC) rn FROM adc) a
+        JOIN ck k ON k.vec_id = a.cid
+        WHERE a.rn <= 3"""))
   )
 
   /** Random-hyperplane LSH near-dup pairing at a given code width:

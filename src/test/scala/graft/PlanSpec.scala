@@ -215,6 +215,21 @@ class PlanSpec extends SparkSpec {
       s"the one exchange must be the per-query rank window:\n${p.take(3000)}")
   }
 
+  test("v12 PQ serving scores map-side: the corpus reaches the " +
+      "broadcast ADC join as codes, never shuffling") {
+    val p = planOf("v12_pq_adc").split("== Initial Plan ==")(0)
+    // codebook training ran during construction (bounded 1024-double
+    // collect); the SERVING plan must be scan → code projection →
+    // BroadcastHashJoin (LUT side broadcast) → per-query rank window.
+    // The only shuffle Exchange allowed is that window's qid partition.
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(2000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"encode must not shuffle the corpus:\n${p.take(3000)}")
+    assert(p.contains("hashpartitioning(qid"),
+      s"the one exchange must be the per-query rank window:\n${p.take(3000)}")
+  }
+
   test("no query plans an unpartitioned window outside documented bounded sites") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     // Bounded-by-construction exemption: GlobalRank's offsets window runs
