@@ -15,6 +15,40 @@ import graft.sources.Tables
   */
 object Relational {
 
+  /** The co-purchase graph the gr* family shares (ONE copy — the
+    * v02b/v02c factoring lesson): undirected edges between parts that
+    * co-occur in >= 2 orders. Pair generation WITHOUT a self-join: one
+    * shuffle on the order key collects each order's (bounded, ~7-item)
+    * part set, then a codegen'd array comprehension emits the sorted
+    * combinations — the self-join form shuffles the lineitem table
+    * twice and rehashes per pair; this ships each order's set once. */
+  private def coPurchaseEdges(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    li.groupBy(col("o"))
+      .agg(array_sort(collect_set(col("p"))).as("ps"))
+      .select(col("o"), explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS pa, y AS pb))))"))
+        .as("pr"))
+      .select(col("o"), col("pr.pa").as("pa"), col("pr.pb").as("pb"))
+      .groupBy(col("pa"), col("pb"))
+      .agg(count(lit(1)).as("no"))
+      .filter(col("no") >= 2)
+      .select(col("pa"), col("pb"))
+  }
+
+  /** Oracle CTEs (pairs, e) replaying the same graph; count(*) in the
+    * engine equals count(DISTINCT o) here because collect_set already
+    * dedups parts within an order. */
+  private val CoPurchaseSql = """pairs AS (
+          SELECT l1.l_orderkey AS o, l1.l_partkey AS pa, l2.l_partkey AS pb
+          FROM lineitem l1 JOIN lineitem l2
+            ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+        e AS (SELECT pa AS u, pb AS v FROM pairs GROUP BY 1, 2
+              HAVING count(DISTINCT o) >= 2)"""
+
   /** Dialect-neutral validation corpus SQL — executed verbatim by BOTH
     * spark.sql (the engine's ad-hoc surface) and the DuckDB oracle. */
   val ValidationSql: String = """
@@ -782,34 +816,9 @@ object Relational {
         "naive neighbor self-join at 100 TB. Two shuffled equi-joins, " +
         "exact integer output. Oracle is the canonical-edge triple " +
         "join.",
-      (s, d) => {
-        val li = Tables.lineitem(s, d)
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        // pair generation WITHOUT a self-join: one shuffle on the order
-        // key collects each order's (bounded, ~7-item) part set, then a
-        // codegen'd array comprehension emits the sorted combinations —
-        // the self-join form shuffles the lineitem table twice and
-        // rehashes per pair; this ships each order's set once
-        val pairs = li.groupBy(col("o"))
-          .agg(array_sort(collect_set(col("p"))).as("ps"))
-          .select(col("o"), explode(expr(
-            "flatten(transform(ps, (x, i) -> " +
-              "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS pa, y AS pb))))"))
-            .as("pr"))
-          .select(col("o"), col("pr.pa").as("pa"), col("pr.pb").as("pb"))
-        val edges = pairs.groupBy(col("pa"), col("pb"))
-          .agg(count(lit(1)).as("no"))
-          .filter(col("no") >= 2)
-          .select(col("pa"), col("pb"))
-        graft.operators.Triangles.perNode(edges, "pa", "pb")
-      },
-      Some("""
-        WITH pairs AS (
-          SELECT l1.l_orderkey AS o, l1.l_partkey AS pa, l2.l_partkey AS pb
-          FROM lineitem l1 JOIN lineitem l2
-            ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
-        e AS (SELECT pa AS u, pb AS v FROM pairs GROUP BY 1, 2
-              HAVING count(DISTINCT o) >= 2),
+      (s, d) => graft.operators.Triangles.perNode(coPurchaseEdges(s, d), "pa", "pb"),
+      Some(s"""
+        WITH $CoPurchaseSql,
         t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
               FROM e e1
               JOIN e e2 ON e2.u = e1.v
@@ -836,29 +845,10 @@ object Relational {
         "flips them (measured: 10/600 rows). Float form is " +
         "PageRankSpec-tested against this one. Oracle replays both " +
         "iterations as CTEs in BIGINT.",
-      (s, d) => {
-        val li = Tables.lineitem(s, d)
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        val pairs = li.groupBy(col("o"))
-          .agg(array_sort(collect_set(col("p"))).as("ps"))
-          .select(col("o"), explode(expr(
-            "flatten(transform(ps, (x, i) -> " +
-              "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS pa, y AS pb))))"))
-            .as("pr"))
-          .select(col("o"), col("pr.pa").as("pa"), col("pr.pb").as("pb"))
-        val edges = pairs.groupBy(col("pa"), col("pb"))
-          .agg(count(lit(1)).as("no"))
-          .filter(col("no") >= 2)
-          .select(col("pa"), col("pb"))
-        graft.operators.PageRank.runExactMicro(edges, "pa", "pb", iters = 2)
-      },
-      Some("""
-        WITH pairs AS (
-          SELECT l1.l_orderkey AS o, l1.l_partkey AS pa, l2.l_partkey AS pb
-          FROM lineitem l1 JOIN lineitem l2
-            ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
-        e AS (SELECT pa AS u, pb AS v FROM pairs GROUP BY 1, 2
-              HAVING count(DISTINCT o) >= 2),
+      (s, d) => graft.operators.PageRank.runExactMicro(
+        coPurchaseEdges(s, d), "pa", "pb", iters = 2),
+      Some(s"""
+        WITH $CoPurchaseSql,
         dir AS (SELECT u AS s, v AS t FROM e
                 UNION ALL SELECT v, u FROM e),
         od AS (SELECT s, count(*) AS od FROM dir GROUP BY 1),
@@ -889,30 +879,10 @@ object Relational {
         "early-stop is SF-adaptive where gr02 is not.) Per-round cost " +
         "is unchanged (one join + one keyed agg + a 1-row delta " +
         "scalar); lineage cut per round by eager checkpoint.",
-      (s, d) => {
-        val li = Tables.lineitem(s, d)
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        val pairs = li.groupBy(col("o"))
-          .agg(array_sort(collect_set(col("p"))).as("ps"))
-          .select(col("o"), explode(expr(
-            "flatten(transform(ps, (x, i) -> " +
-              "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS pa, y AS pb))))"))
-            .as("pr"))
-          .select(col("o"), col("pr.pa").as("pa"), col("pr.pb").as("pb"))
-        val edges = pairs.groupBy(col("pa"), col("pb"))
-          .agg(count(lit(1)).as("no"))
-          .filter(col("no") >= 2)
-          .select(col("pa"), col("pb"))
-        graft.operators.PageRank.runConvergedMicro(edges, "pa", "pb",
-          tolMicro = 1000000L, maxIters = 60)
-      },
-      Some("""
-        WITH pairs AS (
-          SELECT l1.l_orderkey AS o, l1.l_partkey AS pa, l2.l_partkey AS pb
-          FROM lineitem l1 JOIN lineitem l2
-            ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
-        e AS (SELECT pa AS u, pb AS v FROM pairs GROUP BY 1, 2
-              HAVING count(DISTINCT o) >= 2),
+      (s, d) => graft.operators.PageRank.runConvergedMicro(
+        coPurchaseEdges(s, d), "pa", "pb", tolMicro = 1000000L, maxIters = 60),
+      Some(s"""
+        WITH $CoPurchaseSql,
         dir AS (SELECT u AS s, v AS t FROM e
                 UNION ALL SELECT v, u FROM e),
         od AS (SELECT s, count(*) AS od FROM dir GROUP BY 1),
@@ -933,6 +903,39 @@ object Relational {
                GROUP BY 1)
         SELECT node, CAST(pm AS BIGINT) AS pm, CAST(4 AS INT) AS iters
         FROM p4""")),
+
+    Q(
+      "gr03_label_propagation",
+      "Community detection via synchronous label propagation " +
+        "(Raghavan et al. 2007; operators/LabelPropagation) on the " +
+        "shared co-purchase graph, at the gr02 PINNED-2-iterations " +
+        "gating convention: every node starts as its own label, each " +
+        "round adopts the most frequent neighbor label with ties to " +
+        "the SMALLEST label. Labels and counts are integers, so " +
+        "rounds are bit-deterministic on any engine or partitioning " +
+        "— the gr02 micro-unit property for free. Per round: one " +
+        "node-keyed equi-join + one (node, label) keyed count + one " +
+        "node-partitioned argmax window, lineage cut by eager " +
+        "checkpoint (the ConnectedComponents lesson); hub fan-in is " +
+        "combined map-side by the keyed count before the window. " +
+        "Output pins EVERY node's label, not just community sizes.",
+      (s, d) => graft.operators.LabelPropagation.run(
+        coPurchaseEdges(s, d), "pa", "pb", iters = 2),
+      Some(s"""
+        WITH $CoPurchaseSql,
+        dir AS (SELECT u AS s, v AS t FROM e
+                UNION ALL SELECT v, u FROM e),
+        m1 AS (SELECT d.t AS node, d.s AS label, count(*) AS n
+               FROM dir d GROUP BY 1, 2),
+        l1 AS (SELECT node, label FROM (
+                 SELECT node, label, row_number() OVER (PARTITION BY node
+                   ORDER BY n DESC, label ASC) AS rn FROM m1) WHERE rn = 1),
+        m2 AS (SELECT d.t AS node, l.label, count(*) AS n
+               FROM dir d JOIN l1 l ON l.node = d.s GROUP BY 1, 2),
+        l2 AS (SELECT node, label FROM (
+                 SELECT node, label, row_number() OVER (PARTITION BY node
+                   ORDER BY n DESC, label ASC) AS rn FROM m2) WHERE rn = 1)
+        SELECT node, label FROM l2""")),
 
     // ----- skew handling: two-stage salted aggregation -------------------------
     Q(

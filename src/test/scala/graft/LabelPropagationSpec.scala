@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.LabelPropagation
+
+/** Synchronous min-tie label propagation: hand-traced rounds on small
+  * graphs plus the determinism properties the gate relies on.
+  */
+class LabelPropagationSpec extends SparkSpec {
+
+  private def run(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val s = spark
+    import s.implicits._
+    LabelPropagation.run(edges.toDF("u", "v"), "u", "v", iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("path 1-2-3: round 1 pulls min neighbor, round 2 floods label 1") {
+    // round 1 (labels = ids): 1<-{2}=2, 2<-{1,3} tie -> 1, 3<-{2}=2
+    assert(run(Seq((1L, 2L), (2L, 3L)), 1) ==
+      Map(1L -> 2L, 2L -> 1L, 3L -> 2L))
+    // round 2: 1<-{l(2)=1}=1, 2<-{l(1)=2, l(3)=2}=2, 3<-{l(2)=1}=1
+    assert(run(Seq((1L, 2L), (2L, 3L)), 2) ==
+      Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+  }
+
+  test("two disjoint triangles each flood their own min label") {
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))
+    // triangle round 1: 1<-min(2,3)=2, 2<-min(1,3)=1, 3<-min(1,2)=1
+    assert(run(e, 1) == Map(1L -> 2L, 2L -> 1L, 3L -> 1L,
+      10L -> 11L, 11L -> 10L, 12L -> 10L))
+    // round 2: 1<-{l2=1,l3=1}=1, 2<-{l1=2,l3=1} tie on count -> 1,
+    // 3<-{l1=2,l2=1} tie -> 1: community = min id
+    assert(run(e, 2) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("frequency beats label value: majority label wins over smaller rare one") {
+    // node 5's neighbors after round 1 carry labels {9, 9, 1}: the
+    // count-desc key must outrank the label-asc tiebreak
+    val e = Seq((5L, 7L), (5L, 8L), (5L, 1L), (7L, 9L), (8L, 9L))
+    val r2 = run(e, 2)
+    // round 1: 7<-min(5,9)=5, 8<-min(5,9)=5, 1<-{5}=5, 7/8 feed 9: 9<-min(7,8)=7
+    // round 1 for 5: neighbors {7,8,1} -> min = 1
+    // round 2 for 5: neighbor labels l(7)=5, l(8)=5, l(1)=5 -> 5 (count 3)
+    assert(r2(5L) == 5L)
+  }
+
+  test("result is identical across shuffle-partition settings") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (2L, 4L),
+      (10L, 11L), (11L, 12L))
+    val a = run(e, 3)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      assert(run(e, 3) == a)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+}
