@@ -358,6 +358,139 @@ object VectorOps {
         FROM truth t LEFT JOIN hits h ON t.qid = h.qid
         GROUP BY t.qid"""
 
+  /** The full PQ/ADC pipeline, one copy shared by the v12 gate and the
+    * v12b recall gate: per-subspace codebooks (m=4 subspaces of 16
+    * dims, k=16 codewords; deterministic md5 seeds + ONE Lloyd update
+    * per subspace — the v05b recipe), codebook collected as 1024
+    * driver doubles (the KMeans-centroid bounded class), then corpus
+    * ENCODE and query LUTs built as map-side codebook-literal
+    * expressions and candidates scored by 4 array lookups in fixed
+    * expression order. Returns the per-query ADC top-3 with the raw
+    * codes and score. */
+  private[graft] def pqAdcTop3(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val m = 4; val subDim = 16; val k = 16
+    val e = Tables.embeddings(s, d)
+    // --- codebook training: md5 seeds + one Lloyd update per subspace
+    val subv = e.select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), (col("pos") / subDim).cast("int").as("sub"),
+        (col("pos") % subDim).as("lpos"), col("col").cast("double").as("v"))
+    val seeds = e.select(col("vec_id").as("sid"), col("embedding").as("se"),
+        md5(col("vec_id").cast("string")).as("h"))
+      .orderBy(col("h").asc, col("sid").asc).limit(k)
+      // unpartitioned window on a post-LIMIT k-row frame (the
+      // documented exemption; v10's rank windows set the precedent)
+      .withColumn("code",
+        row_number().over(Window.orderBy(col("sid").cast("string").asc)) - 1)
+    val sg = seeds.select(col("code"), posexplode(col("se")))
+      .select(col("code"), (col("pos") / subDim).cast("int").as("sub"),
+        (col("pos") % subDim).as("lpos"), col("col").cast("double").as("sv"))
+    val d1 = subv.join(broadcast(sg), Seq("sub", "lpos"))
+      .groupBy(col("vec_id"), col("sub"), col("code"))
+      .agg(sum(col("v") * col("sv")).as("dot"))
+    val aw = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("dot").desc, col("code").asc)
+    val a1 = d1.withColumn("rn", row_number().over(aw))
+      .filter(col("rn") === 1).select(col("vec_id"), col("sub"), col("code"))
+    val sums = subv.join(a1, Seq("vec_id", "sub"))
+      .groupBy(col("sub"), col("code"), col("lpos"))
+      .agg(sum(col("v")).as("sm"), count(lit(1)).as("n"))
+    val cb1 = sg.join(sums, Seq("sub", "code", "lpos"), "left")
+      .select(col("sub"), col("code"), col("lpos"),
+        coalesce(col("sm") / col("n"), col("sv")).as("cv"))
+    val cb = Array.fill(m, k, subDim)(0.0)
+    cb1.collect().foreach { r => // 1024 doubles: the bounded class
+      cb(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+    }
+    // --- map-side encode + LUT from codebook literals
+    def subcol(i: Int) = expr(s"slice(embedding, ${i * subDim + 1}, $subDim)")
+    def codeOf(i: Int) =
+      (-element_at(nearestCells(cb(i), subcol(i), 1), 1).getField("nc"))
+        .cast("int")
+    def lutOf(i: Int) = array((0 until k).map { c =>
+      aggregate(
+        zip_with(array(cb(i)(c).map(lit(_)): _*), subcol(i),
+          (x, y) => x * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    }: _*)
+    val corpus = e.select(col("vec_id").as("cid"),
+      codeOf(0).as("c0"), codeOf(1).as("c1"),
+      codeOf(2).as("c2"), codeOf(3).as("c3"))
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"),
+        lutOf(0).as("l0"), lutOf(1).as("l1"),
+        lutOf(2).as("l2"), lutOf(3).as("l3"))
+    val rankW = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("cid").asc)
+    corpus.join(broadcast(queries), col("cid") =!= col("qid"))
+      .withColumn("score",
+        element_at(col("l0"), col("c0") + 1) +
+          element_at(col("l1"), col("c1") + 1) +
+          element_at(col("l2"), col("c2") + 1) +
+          element_at(col("l3"), col("c3") + 1))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("cid"), col("c0"), col("c1"), col("c2"),
+        col("c3"), col("score"), col("rank"))
+  }
+
+  /** Oracle CTEs for the full PQ pipeline (longp ... adc): per-subspace
+    * md5-seeded one-step-Lloyd codebooks, corpus encode, query LUTs
+    * (d2 restricted to qids IS the lookup table), fixed-order 4-term
+    * ADC score. Shared by the v12 gate and the v12b recall gate. */
+  private val PqAdcSql = """longp AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+                              unnest(range(len(embedding))) AS pos
+                       FROM embeddings),
+        subv AS (SELECT vec_id, CAST(pos // 16 AS INT) AS sub,
+                        pos % 16 AS lpos, v
+                 FROM longp),
+        seeds0 AS (SELECT vec_id AS sid, embedding::DOUBLE[] AS se
+                   FROM embeddings
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+                   LIMIT 16),
+        seeds AS (SELECT sid, se,
+                         row_number() OVER (ORDER BY CAST(sid AS VARCHAR) ASC) - 1 AS code
+                  FROM seeds0),
+        sgl AS (SELECT code, unnest(se) AS sv, unnest(range(len(se))) AS pos
+                FROM seeds),
+        sg AS (SELECT code, CAST(pos // 16 AS INT) AS sub, pos % 16 AS lpos, sv
+               FROM sgl),
+        d1 AS (SELECT s.vec_id, g.sub, g.code, sum(s.v * g.sv) AS dot
+               FROM subv s JOIN sg g ON s.sub = g.sub AND s.lpos = g.lpos
+               GROUP BY 1, 2, 3),
+        a1 AS (SELECT vec_id, sub, code FROM (
+                 SELECT vec_id, sub, code,
+                        row_number() OVER (PARTITION BY vec_id, sub
+                          ORDER BY dot DESC, code ASC) AS rn
+                 FROM d1) WHERE rn = 1),
+        sums AS (SELECT a.sub, a.code, s.lpos, sum(s.v) AS sm, count(*) AS n
+                 FROM subv s JOIN a1 a ON s.vec_id = a.vec_id AND s.sub = a.sub
+                 GROUP BY 1, 2, 3),
+        cb1 AS (SELECT g.sub, g.code, g.lpos, coalesce(m.sm / m.n, g.sv) AS cv
+                FROM sg g LEFT JOIN sums m
+                  ON g.sub = m.sub AND g.code = m.code AND g.lpos = m.lpos),
+        d2 AS (SELECT s.vec_id, c.sub, c.code, sum(s.v * c.cv) AS dot
+               FROM subv s JOIN cb1 c ON s.sub = c.sub AND s.lpos = c.lpos
+               GROUP BY 1, 2, 3),
+        codes AS (SELECT vec_id, sub, code FROM (
+                    SELECT vec_id, sub, code,
+                           row_number() OVER (PARTITION BY vec_id, sub
+                             ORDER BY dot DESC, code ASC) AS rn
+                    FROM d2) WHERE rn = 1),
+        ck AS (SELECT vec_id,
+                      CAST(sum((CASE sub WHEN 0 THEN 4096 WHEN 1 THEN 256
+                                WHEN 2 THEN 16 ELSE 1 END) * code) AS BIGINT) AS code_key
+               FROM codes GROUP BY 1),
+        adc AS (SELECT l.vec_id AS qid, c.vec_id AS cid,
+                       sum(CASE WHEN c.sub = 0 THEN l.dot END)
+                       + sum(CASE WHEN c.sub = 1 THEN l.dot END)
+                       + sum(CASE WHEN c.sub = 2 THEN l.dot END)
+                       + sum(CASE WHEN c.sub = 3 THEN l.dot END) AS score
+                FROM codes c
+                JOIN d2 l ON l.sub = c.sub AND l.code = c.code
+                WHERE l.vec_id < 20 AND l.vec_id <> c.vec_id
+                GROUP BY 1, 2)"""
+
   def defs: Seq[Q] = Seq(
 
     // ----- exact brute-force top-k --------------------------------------------
@@ -1234,133 +1367,51 @@ object VectorOps {
         "replays seeds, the per-subspace Lloyd update, encode, LUT " +
         "and ADC relationally.",
       (s, d) => {
-        val m = 4; val subDim = 16; val k = 16
-        val e = Tables.embeddings(s, d)
-        // --- codebook training: md5 seeds + one Lloyd update per subspace
-        val subv = e.select(col("vec_id"), posexplode(col("embedding")))
-          .select(col("vec_id"), (col("pos") / subDim).cast("int").as("sub"),
-            (col("pos") % subDim).as("lpos"), col("col").cast("double").as("v"))
-        val seeds = e.select(col("vec_id").as("sid"), col("embedding").as("se"),
-            md5(col("vec_id").cast("string")).as("h"))
-          .orderBy(col("h").asc, col("sid").asc).limit(k)
-          // unpartitioned window on a post-LIMIT k-row frame (the
-          // documented exemption; v10's rank windows set the precedent)
-          .withColumn("code",
-            row_number().over(Window.orderBy(col("sid").cast("string").asc)) - 1)
-        val sg = seeds.select(col("code"), posexplode(col("se")))
-          .select(col("code"), (col("pos") / subDim).cast("int").as("sub"),
-            (col("pos") % subDim).as("lpos"), col("col").cast("double").as("sv"))
-        val d1 = subv.join(broadcast(sg), Seq("sub", "lpos"))
-          .groupBy(col("vec_id"), col("sub"), col("code"))
-          .agg(sum(col("v") * col("sv")).as("dot"))
-        val aw = Window.partitionBy(col("vec_id"), col("sub"))
-          .orderBy(col("dot").desc, col("code").asc)
-        val a1 = d1.withColumn("rn", row_number().over(aw))
-          .filter(col("rn") === 1).select(col("vec_id"), col("sub"), col("code"))
-        val sums = subv.join(a1, Seq("vec_id", "sub"))
-          .groupBy(col("sub"), col("code"), col("lpos"))
-          .agg(sum(col("v")).as("sm"), count(lit(1)).as("n"))
-        val cb1 = sg.join(sums, Seq("sub", "code", "lpos"), "left")
-          .select(col("sub"), col("code"), col("lpos"),
-            coalesce(col("sm") / col("n"), col("sv")).as("cv"))
-        val cb = Array.fill(m, k, subDim)(0.0)
-        cb1.collect().foreach { r => // 1024 doubles: the bounded class
-          cb(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
-        }
-        // --- map-side encode + LUT from codebook literals
-        def subcol(i: Int) = expr(s"slice(embedding, ${i * subDim + 1}, $subDim)")
-        def codeOf(i: Int) =
-          (-element_at(nearestCells(cb(i), subcol(i), 1), 1).getField("nc"))
-            .cast("int")
-        def lutOf(i: Int) = array((0 until k).map { c =>
-          aggregate(
-            zip_with(array(cb(i)(c).map(lit(_)): _*), subcol(i),
-              (x, y) => x * y.cast("double")),
-            lit(0.0), (acc, v) => acc + v)
-        }: _*)
-        val corpus = e.select(col("vec_id").as("cid"),
-          codeOf(0).as("c0"), codeOf(1).as("c1"),
-          codeOf(2).as("c2"), codeOf(3).as("c3"))
-        val queries = e.filter(col("vec_id") < 20)
-          .select(col("vec_id").as("qid"),
-            lutOf(0).as("l0"), lutOf(1).as("l1"),
-            lutOf(2).as("l2"), lutOf(3).as("l3"))
-        val rankW = Window.partitionBy(col("qid"))
-          .orderBy(col("score").desc, col("cid").asc)
-        corpus.join(broadcast(queries), col("cid") =!= col("qid"))
-          .withColumn("score",
-            element_at(col("l0"), col("c0") + 1) +
-              element_at(col("l1"), col("c1") + 1) +
-              element_at(col("l2"), col("c2") + 1) +
-              element_at(col("l3"), col("c3") + 1))
-          .withColumn("rank", row_number().over(rankW))
-          .filter(col("rank") <= 3)
+        val k = 16
+        pqAdcTop3(s, d)
           .select(col("qid").as("query_id"), col("rank"),
             col("cid").as("neighbor_id"),
             (col("c0") * (k * k * k) + col("c1") * (k * k) +
               col("c2") * k + col("c3")).cast("long").as("code_key"),
             round(col("score"), 4).as("approx_ip"))
       },
-      Some("""
-        WITH longp AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
-                              unnest(range(len(embedding))) AS pos
-                       FROM embeddings),
-        subv AS (SELECT vec_id, CAST(pos // 16 AS INT) AS sub,
-                        pos % 16 AS lpos, v
-                 FROM longp),
-        seeds0 AS (SELECT vec_id AS sid, embedding::DOUBLE[] AS se
-                   FROM embeddings
-                   ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
-                   LIMIT 16),
-        seeds AS (SELECT sid, se,
-                         row_number() OVER (ORDER BY CAST(sid AS VARCHAR) ASC) - 1 AS code
-                  FROM seeds0),
-        sgl AS (SELECT code, unnest(se) AS sv, unnest(range(len(se))) AS pos
-                FROM seeds),
-        sg AS (SELECT code, CAST(pos // 16 AS INT) AS sub, pos % 16 AS lpos, sv
-               FROM sgl),
-        d1 AS (SELECT s.vec_id, g.sub, g.code, sum(s.v * g.sv) AS dot
-               FROM subv s JOIN sg g ON s.sub = g.sub AND s.lpos = g.lpos
-               GROUP BY 1, 2, 3),
-        a1 AS (SELECT vec_id, sub, code FROM (
-                 SELECT vec_id, sub, code,
-                        row_number() OVER (PARTITION BY vec_id, sub
-                          ORDER BY dot DESC, code ASC) AS rn
-                 FROM d1) WHERE rn = 1),
-        sums AS (SELECT a.sub, a.code, s.lpos, sum(s.v) AS sm, count(*) AS n
-                 FROM subv s JOIN a1 a ON s.vec_id = a.vec_id AND s.sub = a.sub
-                 GROUP BY 1, 2, 3),
-        cb1 AS (SELECT g.sub, g.code, g.lpos, coalesce(m.sm / m.n, g.sv) AS cv
-                FROM sg g LEFT JOIN sums m
-                  ON g.sub = m.sub AND g.code = m.code AND g.lpos = m.lpos),
-        d2 AS (SELECT s.vec_id, c.sub, c.code, sum(s.v * c.cv) AS dot
-               FROM subv s JOIN cb1 c ON s.sub = c.sub AND s.lpos = c.lpos
-               GROUP BY 1, 2, 3),
-        codes AS (SELECT vec_id, sub, code FROM (
-                    SELECT vec_id, sub, code,
-                           row_number() OVER (PARTITION BY vec_id, sub
-                             ORDER BY dot DESC, code ASC) AS rn
-                    FROM d2) WHERE rn = 1),
-        ck AS (SELECT vec_id,
-                      CAST(sum((CASE sub WHEN 0 THEN 4096 WHEN 1 THEN 256
-                                WHEN 2 THEN 16 ELSE 1 END) * code) AS BIGINT) AS code_key
-               FROM codes GROUP BY 1),
-        adc AS (SELECT l.vec_id AS qid, c.vec_id AS cid,
-                       sum(CASE WHEN c.sub = 0 THEN l.dot END)
-                       + sum(CASE WHEN c.sub = 1 THEN l.dot END)
-                       + sum(CASE WHEN c.sub = 2 THEN l.dot END)
-                       + sum(CASE WHEN c.sub = 3 THEN l.dot END) AS score
-                FROM codes c
-                JOIN d2 l ON l.sub = c.sub AND l.code = c.code
-                WHERE l.vec_id < 20 AND l.vec_id <> c.vec_id
-                GROUP BY 1, 2)
+      Some(s"""
+        WITH $PqAdcSql
         SELECT a.qid AS query_id, CAST(a.rn AS INT) AS rank,
                a.cid AS neighbor_id, k.code_key,
                round(a.score, 4) AS approx_ip
         FROM (SELECT *, row_number() OVER (PARTITION BY qid
                 ORDER BY score DESC, cid ASC) rn FROM adc) a
         JOIN ck k ON k.vec_id = a.cid
-        WHERE a.rn <= 3"""))
+        WHERE a.rn <= 3""")),
+
+    Q(
+      "v12b_pq_recall",
+      "Recall@3 of the v12 PQ/ADC probe vs the exact brute-force " +
+        "top-3 - the compression-loss number a user tunes (m, k) " +
+        "against, completing the family symmetry: every ANN tier has " +
+        "a measured recall gate (v02b label cells, v09 geometric " +
+        "cells, v12b quantized codes). Same exact integer-intersection " +
+        "machinery (recallOf/bruteTruth - no float thresholds in the " +
+        "comparison). MEASURED at the gate SF: recall@3 = 33/60 - the " +
+        "4-subspace x 16-codeword codebook retains cosine ordering " +
+        "far better than label routing (v02b: 4/60) while scanning " +
+        "ALL candidates at 1/128 the bytes; the loss vs v09's 15/60-" +
+        "at-1/8th-scan is the quantization error a production stack " +
+        "prices against its memory budget (and IVF-PQ composes the " +
+        "two, v08b). The oracle replays the whole codebook build + " +
+        "encode + LUT + ADC chain (PqAdcSql, one copy with v12) " +
+        "before the recall join.",
+      (s, d) => recallOf(bruteTruth(s, d),
+        pqAdcTop3(s, d).select(col("qid"), col("cid"))),
+      Some(s"""
+        WITH $PqAdcSql,
+        $TruthSql,
+        ann AS (SELECT qid, cid
+                FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                        ORDER BY score DESC, cid ASC) rn FROM adc)
+                WHERE rn <= 3),
+        $RecallTailSql"""))
   )
 
   /** Random-hyperplane LSH near-dup pairing at a given code width:
