@@ -2234,9 +2234,14 @@ object TextOps {
         "bounded so AQE picks broadcast vs shuffle, and the tertile " +
         "cut is the a18 two-stage GlobalRank - NO unpartitioned " +
         "window, so the banding survives near-unique scores at any " +
-        "corpus size. Ranking on the ROUNDED score (the t24 " +
-        "convention) keeps the distinct set and the band edges " +
-        "bit-identical cross-engine. At 100 TB production would " +
+        "corpus size. Determinism: the per-bigram log-prob is " +
+        "quantized to integer MICRO-NATS before the tf-weighted " +
+        "mean (the gr02 fixed-point convention), so the aggregate " +
+        "is exact integer math and the doc score is two IEEE " +
+        "divisions of exact integers - the distinct set and band " +
+        "edges are bit-identical cross-engine regardless of " +
+        "summation order or libm ulp drift in ln(). At 100 TB " +
+        "production would " +
         "freeze the model + thresholds from a sample then score " +
         "map-side only; the in-corpus form here is the oracle-" +
         "replayable equivalent.",
@@ -2260,13 +2265,20 @@ object TextOps {
         val doc = tf
           .join(c12, Seq("w1", "w2")).join(c1, Seq("w1")).join(uni, Seq("w2"))
           .crossJoin(broadcast(tot))
-          .withColumn("lp", log(
+          // fixed-point hardening (the gr02 micro-unit convention): the
+          // per-bigram log-prob quantizes to integer micro-nats BEFORE
+          // the tf-weighted mean, so the aggregate is exact integer
+          // math and the doc score is two IEEE divisions of exact
+          // integers — bit-identical cross-engine regardless of
+          // summation order or libm ulp differences in ln()
+          .withColumn("lpm", round(log(
             lit(0.9) * (col("c12").cast("double") / col("c1")) +
-              lit(0.1) * (col("c2").cast("double") / col("total"))))
+              lit(0.1) * (col("c2").cast("double") / col("total"))) * 1e6)
+            .cast("long"))
           .groupBy(col("doc_id"))
           .agg(sum(col("tf")).as("n_bigrams"),
-            round(sum(col("tf") * col("lp")) / sum(col("tf")), 4)
-              .as("avg_logprob"))
+            round(sum(col("tf") * col("lpm")).cast("double") / sum(col("tf"))
+              / lit(1e6), 4).as("avg_logprob"))
         val idx = graft.operators.GlobalRank
           .zeroBasedIndex(doc.select(col("avg_logprob")).distinct(), "avg_logprob")
         val nd = idx.agg(count(lit(1)).as("nd"))
@@ -2288,9 +2300,11 @@ object TextOps {
         c12 AS (SELECT w1, w2, sum(tf) AS c12 FROM tf GROUP BY 1, 2),
         c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
         doc AS (SELECT f.doc_id, sum(f.tf) AS n_bigrams,
-                       round(sum(f.tf * ln(CAST(0.9 AS DOUBLE) * (b.c12 / c1.c1)
-                                           + CAST(0.1 AS DOUBLE) * (u.c2 / tot.total)))
-                             / sum(f.tf), 4) AS avg_logprob
+                       round(CAST(sum(f.tf *
+                               CAST(round(ln(CAST(0.9 AS DOUBLE) * (b.c12 / c1.c1)
+                                             + CAST(0.1 AS DOUBLE) * (u.c2 / tot.total))
+                                          * 1000000) AS BIGINT)) AS DOUBLE)
+                             / sum(f.tf) / 1000000, 4) AS avg_logprob
                 FROM tf f
                 JOIN c12 b ON f.w1 = b.w1 AND f.w2 = b.w2
                 JOIN c1 ON f.w1 = c1.w1

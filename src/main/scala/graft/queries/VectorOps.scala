@@ -420,8 +420,14 @@ object VectorOps {
       .select(col("vec_id").as("qid"),
         lutOf(0).as("l0"), lutOf(1).as("l1"),
         lutOf(2).as("l2"), lutOf(3).as("l3"))
+    // rank on the ROUNDED score (the t24/t31 determinism convention):
+    // the LUT fold (engine) and the SQL sum over join rows (oracle)
+    // accumulate in different orders, so a near-tie between distinct
+    // code tuples on the raw double could flip ranks cross-engine;
+    // at 4dp both engines see the same key and the cid tiebreak
+    // resolves true ties deterministically
     val rankW = Window.partitionBy(col("qid"))
-      .orderBy(col("score").desc, col("cid").asc)
+      .orderBy(round(col("score"), 4).desc, col("cid").asc)
     corpus.join(broadcast(queries), col("cid") =!= col("qid"))
       .withColumn("score",
         element_at(col("l0"), col("c0") + 1) +
@@ -1381,7 +1387,7 @@ object VectorOps {
                a.cid AS neighbor_id, k.code_key,
                round(a.score, 4) AS approx_ip
         FROM (SELECT *, row_number() OVER (PARTITION BY qid
-                ORDER BY score DESC, cid ASC) rn FROM adc) a
+                ORDER BY round(score, 4) DESC, cid ASC) rn FROM adc) a
         JOIN ck k ON k.vec_id = a.cid
         WHERE a.rn <= 3""")),
 
@@ -1409,7 +1415,7 @@ object VectorOps {
         $TruthSql,
         ann AS (SELECT qid, cid
                 FROM (SELECT *, row_number() OVER (PARTITION BY qid
-                        ORDER BY score DESC, cid ASC) rn FROM adc)
+                        ORDER BY round(score, 4) DESC, cid ASC) rn FROM adc)
                 WHERE rn <= 3),
         $RecallTailSql"""))
   )

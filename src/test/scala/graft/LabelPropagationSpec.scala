@@ -35,14 +35,16 @@ class LabelPropagationSpec extends SparkSpec {
   }
 
   test("frequency beats label value: majority label wins over smaller rare one") {
-    // node 5's neighbors after round 1 carry labels {9, 9, 1}: the
-    // count-desc key must outrank the label-asc tiebreak
-    val e = Seq((5L, 7L), (5L, 8L), (5L, 1L), (7L, 9L), (8L, 9L))
+    // round 1 (labels = ids, all neighbor multisets distinct so every
+    // pull is a count-tie -> min): 1<-{2,4}=2, 2<-{1,3,4}=1,
+    // 3<-{2,4}=2, 4<-{1,2,3}=1
+    // round 2 for node 2: neighbor labels l(1)=2, l(3)=2, l(4)=1 ->
+    // {2:x2, 1:x1}; the count-desc key must pick 2 even though a pure
+    // label-min would pick 1 — this is the case that distinguishes
+    // counted propagation from min-flooding
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (2L, 4L))
     val r2 = run(e, 2)
-    // round 1: 7<-min(5,9)=5, 8<-min(5,9)=5, 1<-{5}=5, 7/8 feed 9: 9<-min(7,8)=7
-    // round 1 for 5: neighbors {7,8,1} -> min = 1
-    // round 2 for 5: neighbor labels l(7)=5, l(8)=5, l(1)=5 -> 5 (count 3)
-    assert(r2(5L) == 5L)
+    assert(r2(2L) == 2L)
   }
 
   test("result is identical across shuffle-partition settings") {
