@@ -311,7 +311,10 @@ object VectorOps {
   /** Oracle CTEs for the KMeans-cell ANN side: one dot frame vs the
     * v05d-pinned cent2 centroids feeds BOTH the corpus assignment and
     * the query probes (…, ann). */
-  private[graft] def geoAnnSql(nprobe: Int) = s"""
+  /** Just the cell-routing part (d3g, a3, probes) — corpus assignment
+    * plus query probes against cent2 — so v13's IVF-PQ oracle can
+    * reuse the routing with a different (ADC) scoring tail. */
+  private[graft] def geoCellsSql(nprobe: Int) = s"""
         d3g AS (SELECT l.vec_id, c2.cluster, sum(l.v * c2.cv) AS dot
                 FROM long l JOIN cent2 c2 USING (pos) GROUP BY 1, 2),
         a3 AS (SELECT vec_id AS g_cid, cluster AS cell FROM (
@@ -323,7 +326,9 @@ object VectorOps {
                  SELECT vec_id, cluster,
                         row_number() OVER (PARTITION BY vec_id
                           ORDER BY dot DESC, cluster ASC) AS rn
-                 FROM d3g WHERE vec_id < 20) WHERE rn <= $nprobe),
+                 FROM d3g WHERE vec_id < 20) WHERE rn <= $nprobe)"""
+
+  private[graft] def geoAnnSql(nprobe: Int) = s"""${geoCellsSql(nprobe)},
         sc AS (SELECT p.qid, g.g_cid AS cid,
                       list_dot_product(q.qe, c.ce)
                       / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(c.ce, c.ce))) AS cos
@@ -358,18 +363,28 @@ object VectorOps {
         FROM truth t LEFT JOIN hits h ON t.qid = h.qid
         GROUP BY t.qid"""
 
-  /** The full PQ/ADC pipeline, one copy shared by the v12 gate and the
-    * v12b recall gate: per-subspace codebooks (m=4 subspaces of 16
+  // m=8 subspaces of 8 dims, k=16 codewords each: 1024 codebook
+  // doubles, 8x4 = 32 bits per vector. r11 retune from (4, 16, 16) —
+  // same codebook size, finer subspaces + Euclidean assignment
+  // (measured full-scan ADC recall@3 at the gate SF: 8/60 -> 12/60;
+  // converged per-subspace Lloyd only reaches ~18/60 on this data,
+  // which is why serving re-ranks an ADC SHORTLIST with exact
+  // vectors — v13 — instead of trusting ADC order; tools.IvfPqDebug
+  // prints the iteration and (nprobe, R) sweeps).
+  private[graft] val PqM = 8
+  private[graft] val PqSubDim = 8
+  private[graft] val PqK = 16
+
+  /** PQ codebook training, one copy shared by v12/v12b (pqAdcTop3) and
+    * v13 (ivfPqTop3): per-subspace codebooks (m=4 subspaces of 16
     * dims, k=16 codewords; deterministic md5 seeds + ONE Lloyd update
-    * per subspace — the v05b recipe), codebook collected as 1024
-    * driver doubles (the KMeans-centroid bounded class), then corpus
-    * ENCODE and query LUTs built as map-side codebook-literal
-    * expressions and candidates scored by 4 array lookups in fixed
-    * expression order. Returns the per-query ADC top-3 with the raw
-    * codes and score. */
-  private[graft] def pqAdcTop3(s: SparkSession, d: String)
-      : org.apache.spark.sql.DataFrame = {
-    val m = 4; val subDim = 16; val k = 16
+    * per subspace — the v05b recipe), collected as m*k*16 = 1024
+    * driver doubles (the KMeans-centroid bounded class: the codebook
+    * trains on a driver-sized sample at 100 TB and rides every
+    * executor as literals). */
+  private[graft] def pqCodebook(s: SparkSession, d: String)
+      : Array[Array[Array[Double]]] = {
+    val m = PqM; val subDim = PqSubDim; val k = PqK
     val e = Tables.embeddings(s, d)
     // --- codebook training: md5 seeds + one Lloyd update per subspace
     val subv = e.select(col("vec_id"), posexplode(col("embedding")))
@@ -388,9 +403,19 @@ object VectorOps {
     val d1 = subv.join(broadcast(sg), Seq("sub", "lpos"))
       .groupBy(col("vec_id"), col("sub"), col("code"))
       .agg(sum(col("v") * col("sv")).as("dot"))
+    // Lloyd assignment is EUCLIDEAN: argmin ||x-c||^2 = argmax
+    // (<x,c> - ||c||^2/2) since ||x||^2 is constant per (vec, sub).
+    // Max-dot assignment (the full-vector KMeans shape, where
+    // unit-norm makes the two equivalent) is WRONG for subvectors,
+    // whose norms vary — it herds everything onto long codewords
+    // (measured: recall@3 12/60 max-dot vs 43/60 euclidean).
+    val sn = sg.groupBy(col("sub"), col("code"))
+      .agg((sum(col("sv") * col("sv")) / 2).as("hn"))
     val aw = Window.partitionBy(col("vec_id"), col("sub"))
-      .orderBy(col("dot").desc, col("code").asc)
-    val a1 = d1.withColumn("rn", row_number().over(aw))
+      .orderBy(col("key").desc, col("code").asc)
+    val a1 = d1.join(broadcast(sn), Seq("sub", "code"))
+      .withColumn("key", col("dot") - col("hn"))
+      .withColumn("rn", row_number().over(aw))
       .filter(col("rn") === 1).select(col("vec_id"), col("sub"), col("code"))
     val sums = subv.join(a1, Seq("vec_id", "sub"))
       .groupBy(col("sub"), col("code"), col("lpos"))
@@ -402,24 +427,78 @@ object VectorOps {
     cb1.collect().foreach { r => // 1024 doubles: the bounded class
       cb(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
     }
-    // --- map-side encode + LUT from codebook literals
-    def subcol(i: Int) = expr(s"slice(embedding, ${i * subDim + 1}, $subDim)")
-    def codeOf(i: Int) =
-      (-element_at(nearestCells(cb(i), subcol(i), 1), 1).getField("nc"))
-        .cast("int")
-    def lutOf(i: Int) = array((0 until k).map { c =>
+    cb
+  }
+
+  // --- map-side encode + LUT from codebook literals (zero shuffle:
+  // the whole codebook is expression literals, the v09 nearestCells
+  // shape applied per subspace)
+  private def pqSubcol(i: Int): Column =
+    expr(s"slice(embedding, ${i * PqSubDim + 1}, $PqSubDim)")
+
+  /** Euclidean code assignment as one map-side expression: per
+    * codeword struct((dot - ||c||^2/2), -code), lexicographic
+    * struct-sort argmax — the nearestCells shape with the half-norm
+    * bias that makes max-key equal argmin ||x-c||^2. */
+  private[graft] def pqCodeCol(cb: Array[Array[Array[Double]]], i: Int): Column = {
+    val ranked = cb(i).indices.map { c =>
+      val cw = cb(i)(c)
+      val cv = array(cw.map(lit(_)): _*)
+      val prod = zip_with(cv, pqSubcol(i), (x, y) => x * y.cast("double"))
+      struct(
+        (aggregate(prod, lit(0.0), (acc, v) => acc + v) -
+          lit(cw.map(x => x * x).sum / 2)).as("key"),
+        lit(-c.toLong).as("nc"))
+    }
+    (-element_at(slice(reverse(array_sort(array(ranked: _*))), 1, 1), 1)
+      .getField("nc")).cast("int")
+  }
+
+  private[graft] def pqLutCol(cb: Array[Array[Array[Double]]], i: Int): Column =
+    array((0 until PqK).map { c =>
       aggregate(
-        zip_with(array(cb(i)(c).map(lit(_)): _*), subcol(i),
+        zip_with(array(cb(i)(c).map(lit(_)): _*), pqSubcol(i),
           (x, y) => x * y.cast("double")),
         lit(0.0), (acc, v) => acc + v)
     }: _*)
-    val corpus = e.select(col("vec_id").as("cid"),
-      codeOf(0).as("c0"), codeOf(1).as("c1"),
-      codeOf(2).as("c2"), codeOf(3).as("c3"))
-    val queries = e.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("qid"),
-        lutOf(0).as("l0"), lutOf(1).as("l1"),
-        lutOf(2).as("l2"), lutOf(3).as("l3"))
+
+  /** The full PQ/ADC pipeline, one copy shared by the v12 gate and the
+    * v12b recall gate: pqCodebook's trained codebook, corpus ENCODE
+    * and query LUTs built as map-side codebook-literal expressions,
+    * and every candidate scored by 4 array lookups in fixed
+    * expression order. Returns the per-query ADC top-3 with the raw
+    * codes and score. */
+  /** Corpus encode frame: (cid, c0..c<m-1>) from codebook literals. */
+  private[graft] def pqCorpus(e: org.apache.spark.sql.DataFrame,
+      cb: Array[Array[Array[Double]]]): org.apache.spark.sql.DataFrame =
+    e.select(col("vec_id").as("cid") +:
+      (0 until PqM).map(i => pqCodeCol(cb, i).as(s"c$i")): _*)
+
+  /** Query LUT frame: (qid, l0..l<m-1>) from codebook literals. */
+  private def pqQueries(e: org.apache.spark.sql.DataFrame,
+      cb: Array[Array[Array[Double]]]): org.apache.spark.sql.DataFrame =
+    e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid") +:
+        (0 until PqM).map(i => pqLutCol(cb, i).as(s"l$i")): _*)
+
+  /** ADC score: sum of one lookup per subspace, fixed left-assoc
+    * order (matches the oracle's fixed `+` chain term for term). */
+  private def pqScoreCol: Column =
+    (0 until PqM).map(i =>
+      element_at(col(s"l$i"), col(s"c$i") + 1)).reduce(_ + _)
+
+  /** Base-k positional packing of the m codes — pins the ENCODING in
+    * the v12 hash gate, not just the ranking. */
+  private[graft] def pqCodeKeyCol: Column =
+    (0 until PqM).map { i =>
+      col(s"c$i").cast("long") *
+        lit(math.pow(PqK, PqM - 1 - i).toLong)
+    }.reduce(_ + _)
+
+  private[graft] def pqAdcTop3(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val cb = pqCodebook(s, d)
     // rank on the ROUNDED score (the t24/t31 determinism convention):
     // the LUT fold (engine) and the SQL sum over join rows (oracle)
     // accumulate in different orders, so a near-tie between distinct
@@ -428,70 +507,155 @@ object VectorOps {
     // resolves true ties deterministically
     val rankW = Window.partitionBy(col("qid"))
       .orderBy(round(col("score"), 4).desc, col("cid").asc)
-    corpus.join(broadcast(queries), col("cid") =!= col("qid"))
-      .withColumn("score",
-        element_at(col("l0"), col("c0") + 1) +
-          element_at(col("l1"), col("c1") + 1) +
-          element_at(col("l2"), col("c2") + 1) +
-          element_at(col("l3"), col("c3") + 1))
+    pqCorpus(e, cb).join(broadcast(pqQueries(e, cb)),
+        col("cid") =!= col("qid"))
+      .withColumn("score", pqScoreCol)
       .withColumn("rank", row_number().over(rankW))
       .filter(col("rank") <= 3)
-      .select(col("qid"), col("cid"), col("c0"), col("c1"), col("c2"),
-        col("c3"), col("score"), col("rank"))
+      .select(col("qid"), col("cid"), pqCodeKeyCol.as("code_key"),
+        col("score"), col("rank"))
   }
 
-  /** Oracle CTEs for the full PQ pipeline (longp ... adc): per-subspace
-    * md5-seeded one-step-Lloyd codebooks, corpus encode, query LUTs
-    * (d2 restricted to qids IS the lookup table), fixed-order 4-term
-    * ADC score. Shared by the v12 gate and the v12b recall gate. */
-  private val PqAdcSql = """longp AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
-                              unnest(range(len(embedding))) AS pos
-                       FROM embeddings),
-        subv AS (SELECT vec_id, CAST(pos // 16 AS INT) AS sub,
-                        pos % 16 AS lpos, v
-                 FROM longp),
-        seeds0 AS (SELECT vec_id AS sid, embedding::DOUBLE[] AS se
+  /** IVF-PQ fused serving (v13) — the production composition the
+    * v09/v12 pair sets up: queries route to their `nprobe` nearest
+    * geometric cells (v09's centroid-literal argmax, zero shuffle)
+    * and ONLY those cells' candidates are scored, via the PQ/ADC
+    * lookup tables (v12's 4-array-lookup score over stored codes).
+    * Scan budget is nprobe/k of the corpus AND each candidate costs
+    * 4 code lookups instead of 64 floats — the two axes (which rows,
+    * how many bytes per row) compose multiplicatively, which is how
+    * a 100-TB index actually serves (Jegou et al. TPAMI'11 §V,
+    * IVFADC). Rank key is round(score, 4) — the v12 cross-engine
+    * float-tie convention. */
+  private[graft] def ivfPqTop3(s: SparkSession, d: String, nprobe: Int)
+      : org.apache.spark.sql.DataFrame =
+    ivfPqShortlist(s, d, nprobe, 3)
+
+  /** Cell-routed ADC top-`r` shortlist per query — the candidate
+    * generation stage of IVFADC+R. */
+  private[graft] def ivfPqShortlist(s: SparkSession, d: String,
+      nprobe: Int, r: Int): org.apache.spark.sql.DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val (_, cent, _) = graft.operators.KMeans.fitConverged(
+      s, e, k = 8, maxIter = 25, tol = 0.12)
+    val cb = pqCodebook(s, d)
+    val corpus = e.select(col("vec_id").as("cid") +:
+      (-element_at(nearestCells(cent, col("embedding"), 1), 1)
+        .getField("nc")).as("cell") +:
+      (0 until PqM).map(i => pqCodeCol(cb, i).as(s"c$i")): _*)
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid") +:
+        explode(nearestCells(cent, col("embedding"), nprobe)).as("pc") +:
+        (0 until PqM).map(i => pqLutCol(cb, i).as(s"l$i")): _*)
+      .select(col("qid") +: (-col("pc.nc")).as("cell") +:
+        (0 until PqM).map(i => col(s"l$i")): _*)
+    val rankW = Window.partitionBy(col("qid"))
+      .orderBy(round(col("score"), 4).desc, col("cid").asc)
+    corpus.join(broadcast(queries), Seq("cell"))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("score", pqScoreCol)
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= r)
+      .select(col("qid"), col("cid"))
+  }
+
+  /** IVFADC+R (Jegou et al. TPAMI'11 §VI): exact-cosine re-rank of the
+    * cell-routed ADC shortlist. The shortlist is query-count bounded
+    * (|queries| x r rows), so it broadcasts into the corpus scan and
+    * only the shortlisted rows' full vectors are ever touched. */
+  private[graft] def ivfAdcRerank(s: SparkSession, d: String,
+      nprobe: Int, r: Int): org.apache.spark.sql.DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val sl = ivfPqShortlist(s, d, nprobe, r)
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cid").asc)
+    c.join(broadcast(sl.join(q, Seq("qid"))), Seq("cid"))
+      .withColumn("cos", cosine("qe", "ce"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("cid"))
+  }
+
+  /** Oracle CTEs for the PQ codebook build + encode (<p>longp …
+    * <p>codes, <p>ck): per-subspace md5-seeded one-step-Lloyd
+    * codebooks, corpus encode, and the query-side dot frame <p>d2
+    * (restricted to qids it IS the ADC lookup table). The CTE names
+    * are prefix-parameterized because v13 composes this chain with
+    * KmeansSql.UpToCent2, whose CTE names (seeds0/seeds/sg/d1/a1/
+    * sums/d2) it would otherwise collide with; v12/v12b use the
+    * unprefixed form via PqAdcSql. */
+  /** `CASE sub` arms of the base-k positional code packing. */
+  private def pqCkWeightsSql: String =
+    (0 until PqM).map(i =>
+      s"WHEN $i THEN ${math.pow(PqK, PqM - 1 - i).toLong}").mkString(" ")
+
+  /** Fixed-order per-subspace ADC sum — term i matches the engine's
+    * i-th lookup in pqScoreCol's left-assoc chain. */
+  private def pqAdcTermsSql(c: String, l: String): String =
+    (0 until PqM).map(i =>
+      s"sum(CASE WHEN $c.sub = $i THEN $l.dot END)")
+      .mkString("\n                       + ")
+
+  private[graft] def pqChainSql(p: String): String = s"""${p}longp AS (
+                         SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+                                unnest(range(len(embedding))) AS pos
+                         FROM embeddings),
+        ${p}subv AS (SELECT vec_id, CAST(pos // $PqSubDim AS INT) AS sub,
+                        pos % $PqSubDim AS lpos, v
+                 FROM ${p}longp),
+        ${p}seeds0 AS (SELECT vec_id AS sid, embedding::DOUBLE[] AS se
                    FROM embeddings
                    ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
-                   LIMIT 16),
-        seeds AS (SELECT sid, se,
+                   LIMIT $PqK),
+        ${p}seeds AS (SELECT sid, se,
                          row_number() OVER (ORDER BY CAST(sid AS VARCHAR) ASC) - 1 AS code
-                  FROM seeds0),
-        sgl AS (SELECT code, unnest(se) AS sv, unnest(range(len(se))) AS pos
-                FROM seeds),
-        sg AS (SELECT code, CAST(pos // 16 AS INT) AS sub, pos % 16 AS lpos, sv
-               FROM sgl),
-        d1 AS (SELECT s.vec_id, g.sub, g.code, sum(s.v * g.sv) AS dot
-               FROM subv s JOIN sg g ON s.sub = g.sub AND s.lpos = g.lpos
+                  FROM ${p}seeds0),
+        ${p}sgl AS (SELECT code, unnest(se) AS sv, unnest(range(len(se))) AS pos
+                FROM ${p}seeds),
+        ${p}sg AS (SELECT code, CAST(pos // $PqSubDim AS INT) AS sub,
+                      pos % $PqSubDim AS lpos, sv
+               FROM ${p}sgl),
+        ${p}sgn AS (SELECT sub, code, sum(sv * sv) / 2 AS hn
+                FROM ${p}sg GROUP BY 1, 2),
+        ${p}d1 AS (SELECT s.vec_id, g.sub, g.code, sum(s.v * g.sv) AS dot
+               FROM ${p}subv s JOIN ${p}sg g ON s.sub = g.sub AND s.lpos = g.lpos
                GROUP BY 1, 2, 3),
-        a1 AS (SELECT vec_id, sub, code FROM (
-                 SELECT vec_id, sub, code,
-                        row_number() OVER (PARTITION BY vec_id, sub
-                          ORDER BY dot DESC, code ASC) AS rn
-                 FROM d1) WHERE rn = 1),
-        sums AS (SELECT a.sub, a.code, s.lpos, sum(s.v) AS sm, count(*) AS n
-                 FROM subv s JOIN a1 a ON s.vec_id = a.vec_id AND s.sub = a.sub
+        ${p}a1 AS (SELECT vec_id, sub, code FROM (
+                 SELECT d.vec_id, d.sub, d.code,
+                        row_number() OVER (PARTITION BY d.vec_id, d.sub
+                          ORDER BY d.dot - n.hn DESC, d.code ASC) AS rn
+                 FROM ${p}d1 d JOIN ${p}sgn n
+                   ON d.sub = n.sub AND d.code = n.code) WHERE rn = 1),
+        ${p}sums AS (SELECT a.sub, a.code, s.lpos, sum(s.v) AS sm, count(*) AS n
+                 FROM ${p}subv s JOIN ${p}a1 a ON s.vec_id = a.vec_id AND s.sub = a.sub
                  GROUP BY 1, 2, 3),
-        cb1 AS (SELECT g.sub, g.code, g.lpos, coalesce(m.sm / m.n, g.sv) AS cv
-                FROM sg g LEFT JOIN sums m
+        ${p}cb1 AS (SELECT g.sub, g.code, g.lpos, coalesce(m.sm / m.n, g.sv) AS cv
+                FROM ${p}sg g LEFT JOIN ${p}sums m
                   ON g.sub = m.sub AND g.code = m.code AND g.lpos = m.lpos),
-        d2 AS (SELECT s.vec_id, c.sub, c.code, sum(s.v * c.cv) AS dot
-               FROM subv s JOIN cb1 c ON s.sub = c.sub AND s.lpos = c.lpos
+        ${p}cbn AS (SELECT sub, code, sum(cv * cv) / 2 AS hn
+                FROM ${p}cb1 GROUP BY 1, 2),
+        ${p}d2 AS (SELECT s.vec_id, c.sub, c.code, sum(s.v * c.cv) AS dot
+               FROM ${p}subv s JOIN ${p}cb1 c ON s.sub = c.sub AND s.lpos = c.lpos
                GROUP BY 1, 2, 3),
-        codes AS (SELECT vec_id, sub, code FROM (
-                    SELECT vec_id, sub, code,
-                           row_number() OVER (PARTITION BY vec_id, sub
-                             ORDER BY dot DESC, code ASC) AS rn
-                    FROM d2) WHERE rn = 1),
-        ck AS (SELECT vec_id,
-                      CAST(sum((CASE sub WHEN 0 THEN 4096 WHEN 1 THEN 256
-                                WHEN 2 THEN 16 ELSE 1 END) * code) AS BIGINT) AS code_key
-               FROM codes GROUP BY 1),
+        ${p}codes AS (SELECT vec_id, sub, code FROM (
+                    SELECT d.vec_id, d.sub, d.code,
+                           row_number() OVER (PARTITION BY d.vec_id, d.sub
+                             ORDER BY d.dot - n.hn DESC, d.code ASC) AS rn
+                    FROM ${p}d2 d JOIN ${p}cbn n
+                      ON d.sub = n.sub AND d.code = n.code) WHERE rn = 1),
+        ${p}ck AS (SELECT vec_id,
+                      CAST(sum((CASE sub $pqCkWeightsSql
+                                ELSE 1 END) * code) AS BIGINT) AS code_key
+               FROM ${p}codes GROUP BY 1)"""
+
+  /** pqChainSql plus the all-candidates fixed-order 4-term ADC score.
+    * Shared by the v12 gate and the v12b recall gate. */
+  private val PqAdcSql = pqChainSql("") + s""",
         adc AS (SELECT l.vec_id AS qid, c.vec_id AS cid,
-                       sum(CASE WHEN c.sub = 0 THEN l.dot END)
-                       + sum(CASE WHEN c.sub = 1 THEN l.dot END)
-                       + sum(CASE WHEN c.sub = 2 THEN l.dot END)
-                       + sum(CASE WHEN c.sub = 3 THEN l.dot END) AS score
+                       ${pqAdcTermsSql("c", "l")} AS score
                 FROM codes c
                 JOIN d2 l ON l.sub = c.sub AND l.code = c.code
                 WHERE l.vec_id < 20 AND l.vec_id <> c.vec_id
@@ -1349,38 +1513,34 @@ object VectorOps {
       "v12_pq_adc",
       "TRUE product quantization with asymmetric distance computation " +
         "(Jegou et al. TPAMI'11 - the codebook form v08's scalar " +
-        "quantization approximates): the 64-dim space splits into m=4 " +
-        "subspaces of 16 dims, each with its own k=16 codeword " +
+        "quantization approximates): the 64-dim space splits into m=8 " +
+        "subspaces of 8 dims, each with its own k=16 codeword " +
         "codebook (deterministic md5 seeds + one Lloyd update, the " +
-        "v05b recipe per subspace), a vector encodes as 4 codes " +
-        "(argmax inner product per subspace, (dot desc, code asc) " +
-        "tiebreak), and a query scores candidates by LOOKUP: per-" +
-        "subspace tables of query-x-codeword dots, score = " +
-        "lut0[c0]+lut1[c1]+lut2[c2]+lut3[c3] in fixed expression " +
-        "order. Spark shape: codebook training is two bounded " +
-        "aggregations; the trained codebook (m*k*16 = 1024 doubles) " +
-        "collects to the driver - the KMeans-centroid bounded class - " +
-        "and corpus ENCODE + query LUT build are then pure map-side " +
-        "centroid-literal expressions (the v09 nearestCells shape, no " +
-        "corpus shuffle, PlanSpec-pinned), so serving is one " +
-        "broadcast join + 4 array lookups per candidate row: memory-" +
-        "bandwidth bound over 4 codes instead of 64 floats, which is " +
-        "the entire point of PQ at 100 TB (codes are 128x smaller " +
-        "than the float vectors; the codebook trains on a driver-" +
-        "sized sample and rides every executor as literals). " +
-        "code_key pins all 4 codes of each returned neighbor, so the " +
-        "hash gates the ENCODING, not just the ranking. Oracle " +
-        "replays seeds, the per-subspace Lloyd update, encode, LUT " +
-        "and ADC relationally.",
-      (s, d) => {
-        val k = 16
-        pqAdcTop3(s, d)
-          .select(col("qid").as("query_id"), col("rank"),
-            col("cid").as("neighbor_id"),
-            (col("c0") * (k * k * k) + col("c1") * (k * k) +
-              col("c2") * k + col("c3")).cast("long").as("code_key"),
-            round(col("score"), 4).as("approx_ip"))
-      },
+        "v05b recipe per subspace), a vector encodes as 8 codes by " +
+        "EUCLIDEAN assignment (argmax of dot - ||c||^2/2, the " +
+        "half-norm bias that makes max-key equal argmin ||x-c||^2 - " +
+        "max-dot assignment is wrong for subvectors, whose norms " +
+        "vary; code asc tiebreak), and a query scores candidates by " +
+        "LOOKUP: per-subspace tables of query-x-codeword dots, " +
+        "score = lut0[c0]+...+lut7[c7] in fixed expression order. " +
+        "Spark shape: codebook training is two bounded aggregations; " +
+        "the trained codebook (m*k*8 = 1024 doubles) collects to the " +
+        "driver - the KMeans-centroid bounded class - and corpus " +
+        "ENCODE + query LUT build are then pure map-side codebook-" +
+        "literal expressions (the v09 nearestCells shape, no corpus " +
+        "shuffle, PlanSpec-pinned), so serving is one broadcast join " +
+        "+ 8 array lookups per candidate row: memory-bandwidth bound " +
+        "over 32 bits of codes instead of 64 floats (64x fewer " +
+        "bytes), which is the entire point of PQ at 100 TB (the " +
+        "codebook trains on a driver-sized sample and rides every " +
+        "executor as literals). code_key pins all 8 codes of each " +
+        "returned neighbor, so the hash gates the ENCODING, not just " +
+        "the ranking. Oracle replays seeds, the per-subspace Lloyd " +
+        "update, Euclidean encode, LUT and ADC relationally.",
+      (s, d) => pqAdcTop3(s, d)
+        .select(col("qid").as("query_id"), col("rank"),
+          col("cid").as("neighbor_id"), col("code_key"),
+          round(col("score"), 4).as("approx_ip")),
       Some(s"""
         WITH $PqAdcSql
         SELECT a.qid AS query_id, CAST(a.rn AS INT) AS rank,
@@ -1399,15 +1559,18 @@ object VectorOps {
         "a measured recall gate (v02b label cells, v09 geometric " +
         "cells, v12b quantized codes). Same exact integer-intersection " +
         "machinery (recallOf/bruteTruth - no float thresholds in the " +
-        "comparison). MEASURED at the gate SF: recall@3 = 33/60 - the " +
-        "4-subspace x 16-codeword codebook retains cosine ordering " +
-        "far better than label routing (v02b: 4/60) while scanning " +
-        "ALL candidates at 1/128 the bytes; the loss vs v09's 15/60-" +
-        "at-1/8th-scan is the quantization error a production stack " +
-        "prices against its memory budget (and IVF-PQ composes the " +
-        "two, v08b). The oracle replays the whole codebook build + " +
-        "encode + LUT + ADC chain (PqAdcSql, one copy with v12) " +
-        "before the recall join.",
+        "comparison). MEASURED at the gate SF: full-scan ADC-only " +
+        "recall@3 = 12/60 (and converged per-subspace Lloyd only " +
+        "reaches ~18/60 - tools.IvfPqDebug prints the iteration " +
+        "sweep): at 32 bits the quantization noise swamps the small " +
+        "cosine gaps between this corpus's tightly-packed " +
+        "candidates. That number is the POINT of the gate - it is " +
+        "why production never serves from ADC order directly but " +
+        "re-ranks an ADC shortlist with exact vectors (v13: 30/60 at " +
+        "nprobe=2/R=25, within 3 hits of exact in-cell scoring at " +
+        "1/5 the full-vector touches). The oracle replays the whole " +
+        "codebook build + encode + LUT + ADC chain (PqAdcSql, one " +
+        "copy with v12) before the recall join.",
       (s, d) => recallOf(bruteTruth(s, d),
         pqAdcTop3(s, d).select(col("qid"), col("cid"))),
       Some(s"""
@@ -1416,6 +1579,59 @@ object VectorOps {
         ann AS (SELECT qid, cid
                 FROM (SELECT *, row_number() OVER (PARTITION BY qid
                         ORDER BY round(score, 4) DESC, cid ASC) rn FROM adc)
+                WHERE rn <= 3),
+        $RecallTailSql""")),
+
+    Q(
+      "v13_ivf_pq_recall",
+      "IVFADC+R fused serving (Jegou et al. TPAMI'11 SV-VI - the " +
+        "production composition the v09/v12 pair sets up), three " +
+        "tiers per query: (1) ROUTE to the nprobe=2 nearest " +
+        "geometric cells (v09's centroid-literal argmax, zero " +
+        "shuffle; partition-pruned cell dirs at 100 TB), (2) PRUNE " +
+        "the probed candidates to an ADC top-25 shortlist using only " +
+        "the stored 32-bit PQ codes (v12's 8-lookup LUT score - no " +
+        "full vectors touched), (3) exact-cosine RE-RANK of the 25 " +
+        "shortlisted vectors only. MEASURED recall@3 at the gate SF: " +
+        "30/60, vs 33/60 for exact scoring of ALL ~125 probed-cell " +
+        "candidates (v09b) and 8/60 for ADC-only top-3 in the same " +
+        "cells - i.e. the codes buy a 5x cut in full-vector touches " +
+        "for 3 of 60 hits, which is precisely the role ADC plays in " +
+        "production (the shortlist generator, never the final " +
+        "ranker; tools.IvfPqDebug prints the (nprobe, R) sweep). " +
+        "Shortlist rank key is round(score, 4) - the v12 cross-" +
+        "engine float-tie convention; the re-rank is exact cosine " +
+        "with the cid tiebreak. The oracle replays BOTH builds end-" +
+        "to-end (KmeansSql.UpToCent2 cell chain + the p-prefixed PQ " +
+        "chain) plus routing, in-cell ADC shortlist, exact re-rank " +
+        "and the recall join.",
+      (s, d) => recallOf(bruteTruth(s, d),
+        ivfAdcRerank(s, d, nprobe = 2, r = 25)),
+      Some(s"""
+        WITH ${KmeansSql.UpToCent2},
+        ${geoCellsSql(nprobe = 2)},
+        ${pqChainSql("p")},
+        adc AS (SELECT p.qid, g.g_cid AS cid,
+                       ${pqAdcTermsSql("pc", "l")} AS score
+                FROM probes p
+                JOIN a3 g ON g.cell = p.cell AND g.g_cid <> p.qid
+                JOIN pcodes pc ON pc.vec_id = g.g_cid
+                JOIN pd2 l ON l.vec_id = p.qid AND l.sub = pc.sub
+                          AND l.code = pc.code
+                GROUP BY 1, 2),
+        $TruthSql,
+        sl AS (SELECT qid, cid
+               FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                       ORDER BY round(score, 4) DESC, cid ASC) rn FROM adc)
+               WHERE rn <= 25),
+        rr AS (SELECT s.qid, s.cid,
+                      list_dot_product(q.qe, c.ce)
+                      / (sqrt(list_dot_product(q.qe, q.qe))
+                         * sqrt(list_dot_product(c.ce, c.ce))) AS cos
+               FROM sl s JOIN q ON q.qid = s.qid JOIN c ON c.cid = s.cid),
+        ann AS (SELECT qid, cid
+                FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                        ORDER BY cos DESC, cid ASC) rn FROM rr)
                 WHERE rn <= 3),
         $RecallTailSql"""))
   )

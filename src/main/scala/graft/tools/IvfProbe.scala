@@ -24,10 +24,14 @@ object IvfProbe {
     def hits(ann: org.apache.spark.sql.DataFrame): Long =
       VectorOps.recallOf(truth, ann)
         .agg(sum(col("n_hit"))).head().getLong(0)
-    (1 to 4).foreach { np =>
+    val maxNp = if (args.length > 1) args(1).toInt else 4
+    (1 to maxNp).foreach { np =>
       val lab = hits(VectorOps.labelAnn(spark, d, np))
       val geo = hits(VectorOps.geoAnn(spark, d, np))
-      println(s"nprobe=$np  label=$lab/$nTruth  kmeans=$geo/$nTruth")
+      val ivfpq = hits(VectorOps.ivfPqTop3(spark, d, np))
+      val rr = hits(VectorOps.ivfAdcRerank(spark, d, np, r = 25))
+      println(s"nprobe=$np  label=$lab/$nTruth  kmeans=$geo/$nTruth" +
+        s"  ivfpq=$ivfpq/$nTruth  ivfadc+r25=$rr/$nTruth")
     }
     spark.stop()
   }
