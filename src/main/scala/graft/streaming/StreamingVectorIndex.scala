@@ -129,9 +129,21 @@ object StreamingVectorIndex {
       .select(col("qid"), col("cid"))
   }
 
-  /** The offline OPTIMIZE pass: rewrite every applied batch (plus any
-    * prior compaction) into ONE cell-partitioned root, so a probe
-    * reads one file set per cell instead of one per (cell, batch).
+  /** The offline OPTIMIZE pass, INCREMENTAL per cell: fold the
+    * batches applied since the last compaction into a new
+    * cell-partitioned root, Spark-rewriting ONLY the cells those
+    * batches touched; every untouched cell's directory is carried
+    * into the new root as a byte-for-byte file copy (spec-pinned
+    * byte-stability — the st11 untouched-bucket convention). Work per
+    * pass is proportional to (old data in touched cells + the new
+    * deltas), not to index size, which is what lets a 100-TB lake run
+    * the small-file merge continuously: a batch touches few cells, so
+    * most of the index is never read, let alone rewritten. (A
+    * same-filesystem rename of the untouched dirs would be O(1)
+    * instead of a copy; the copy keeps the staging root self-
+    * contained so a crash mid-stage can never have moved files OUT
+    * of the live root.)
+    *
     * Crash-safe by VERSIONED roots + the atomic marker (the
     * StreamingHeavyHitters convention — never an in-place swap of a
     * live directory): the new root is staged and renamed to
@@ -142,21 +154,46 @@ object StreamingVectorIndex {
     * garbage (stale roots / folded batch dirs), which the cleanup
     * tail — and any later compact — deletes. A redelivery of a purged
     * batch id still no-ops on the `_current` marker, which compaction
-    * never touches. At 100 TB this is the per-cell small-file merge
-    * every streaming lake runs off the hot path; a production form
-    * would fold only cells that got new batches, but THIS single-node
-    * form rewrites the whole index in one pass. */
+    * never touches. */
   def compact(spark: SparkSession, dir: String): Unit = {
     val upTo = StateMarker.lastApplied(dir)
-    if (upTo < 0 || upTo == compactedUpTo(dir)) return // nothing new
-    val all = readIndex(spark, dir)
-    val staged = s"$dir/compacted_v${upTo}__staging"
-    all.write.mode("overwrite").partitionBy("cell").parquet(staged)
+    val prev = compactedUpTo(dir)
+    if (upTo < 0 || upTo == prev) return // nothing new
+    val newBatchDirs = ((prev + 1) to upTo)
+      .map(b => new java.io.File(s"$dir/cells/b$b")).filter(_.isDirectory)
+    val oldRoot = Option(new java.io.File(s"$dir/compacted_v$prev"))
+      .filter(f => prev >= 0 && f.isDirectory)
+    if (newBatchDirs.isEmpty && oldRoot.isEmpty) return // only empty batches
+    def cellDirs(root: java.io.File): Seq[java.io.File] =
+      Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isDirectory && f.getName.startsWith("cell=")).toSeq
+    val touched = newBatchDirs.flatMap(cellDirs).map(_.getName).toSet
+    val staged = new java.io.File(s"$dir/compacted_v${upTo}__staging")
+    org.apache.commons.io.FileUtils.deleteQuietly(staged)
+    if (touched.nonEmpty) {
+      // touched cells: one Spark rewrite over (old root ∩ touched) +
+      // the new batch deltas — the cell filter prunes both scans to
+      // the touched `cell=` partitions
+      val touchedVals = touched.toSeq.map(_.stripPrefix("cell=").toLong)
+      val roots = oldRoot.map(_.getPath).toSeq ++ newBatchDirs.map(_.getPath)
+      roots.map(p => spark.read.option("basePath", p).parquet(p))
+        .reduce(_ unionByName _)
+        .filter(col("cell").isin(touchedVals: _*))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(staged.getPath)
+    } else Files.createDirectories(staged.toPath)
+    // untouched cells: byte-for-byte carry-over from the old root
+    oldRoot.foreach { or =>
+      cellDirs(or).filterNot(f => touched(f.getName)).foreach { f =>
+        org.apache.commons.io.FileUtils.copyDirectory(
+          f, new java.io.File(staged, f.getName))
+      }
+    }
     val live = Paths.get(s"$dir/compacted_v$upTo")
     // an existing target can only be the unpublished leftover of a
     // crash between rename and marker flip — safe to replace
     org.apache.commons.io.FileUtils.deleteQuietly(live.toFile)
-    Files.move(Paths.get(staged), live)
+    Files.move(staged.toPath, live)
     StateMarker.publish(dir, upTo, name = "_compacted")
     // cleanup: everything below is unreferenced once the marker flipped
     Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)

@@ -129,6 +129,56 @@ class StreamingVectorIndexSpec extends SparkSpec {
     } finally cleanup(dir)
   }
 
+  private def dirHashes(d: java.io.File): Map[String, String] =
+    Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(_.isFile).map { f =>
+        f.getName -> java.security.MessageDigest.getInstance("MD5")
+          .digest(java.nio.file.Files.readAllBytes(f.toPath))
+          .map("%02x".format(_)).mkString
+      }.toMap
+
+  test("incremental compaction: untouched cells are byte-stable") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    try {
+      // batch 0 populates both cells; first compaction writes v0
+      StreamingVectorIndex.applyBatch(
+        Seq((1L, vec(0.9, 0.1)), (2L, vec(-0.8, 0.2)),
+          (3L, vec(-0.7, -0.1))).toDF("vec_id", "embedding"),
+        cent, "vec_id", "embedding", 0L, dir)
+      StreamingVectorIndex.compact(s, dir)
+      val v0cell1 = dirHashes(new java.io.File(s"$dir/compacted_v0/cell=1"))
+      assert(v0cell1.nonEmpty)
+      // batch 1 touches ONLY cell 0 (x > 0)
+      StreamingVectorIndex.applyBatch(
+        Seq((4L, vec(0.6, -0.2))).toDF("vec_id", "embedding"),
+        cent, "vec_id", "embedding", 1L, dir)
+      StreamingVectorIndex.compact(s, dir)
+      assert(StreamingVectorIndex.compactedUpTo(dir) == 1L)
+      // untouched cell=1 carried over byte-for-byte, file for file
+      val v1cell1 = dirHashes(new java.io.File(s"$dir/compacted_v1/cell=1"))
+      assert(v1cell1 == v0cell1)
+      // touched cell=0 was rewritten and now holds the new row too
+      val got = StreamingVectorIndex.readIndex(s, dir)
+        .select(col("vec_id"), col("cell").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 0L), (2L, 1L), (3L, 1L), (4L, 0L)))
+      // empty-delta compaction (marker advanced, no rows): content
+      // carries over and every cell is untouched
+      StreamingVectorIndex.applyBatch(
+        Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"),
+        cent, "vec_id", "embedding", 2L, dir)
+      StreamingVectorIndex.compact(s, dir)
+      assert(StreamingVectorIndex.compactedUpTo(dir) == 2L)
+      val v2cell1 = dirHashes(new java.io.File(s"$dir/compacted_v2/cell=1"))
+      assert(v2cell1 == v0cell1)
+      val after = StreamingVectorIndex.readIndex(s, dir)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+      assert(after == Set(1L, 2L, 3L, 4L))
+    } finally cleanup(dir)
+  }
+
   test("real stream wiring via MemoryStream assigns and appends") {
     val s = spark
     import s.implicits._
