@@ -433,18 +433,19 @@ object VectorOps {
   // --- map-side encode + LUT from codebook literals (zero shuffle:
   // the whole codebook is expression literals, the v09 nearestCells
   // shape applied per subspace)
-  private def pqSubcol(i: Int): Column =
-    expr(s"slice(embedding, ${i * PqSubDim + 1}, $PqSubDim)")
+  private def pqSubcol(i: Int, vec: String): Column =
+    expr(s"slice($vec, ${i * PqSubDim + 1}, $PqSubDim)")
 
   /** Euclidean code assignment as one map-side expression: per
     * codeword struct((dot - ||c||^2/2), -code), lexicographic
     * struct-sort argmax — the nearestCells shape with the half-norm
     * bias that makes max-key equal argmin ||x-c||^2. */
-  private[graft] def pqCodeCol(cb: Array[Array[Array[Double]]], i: Int): Column = {
+  private[graft] def pqCodeCol(cb: Array[Array[Array[Double]]], i: Int,
+      vec: String = "embedding"): Column = {
     val ranked = cb(i).indices.map { c =>
       val cw = cb(i)(c)
       val cv = array(cw.map(lit(_)): _*)
-      val prod = zip_with(cv, pqSubcol(i), (x, y) => x * y.cast("double"))
+      val prod = zip_with(cv, pqSubcol(i, vec), (x, y) => x * y.cast("double"))
       struct(
         (aggregate(prod, lit(0.0), (acc, v) => acc + v) -
           lit(cw.map(x => x * x).sum / 2)).as("key"),
@@ -454,20 +455,15 @@ object VectorOps {
       .getField("nc")).cast("int")
   }
 
-  private[graft] def pqLutCol(cb: Array[Array[Array[Double]]], i: Int): Column =
+  private[graft] def pqLutCol(cb: Array[Array[Array[Double]]], i: Int,
+      vec: String = "embedding"): Column =
     array((0 until PqK).map { c =>
       aggregate(
-        zip_with(array(cb(i)(c).map(lit(_)): _*), pqSubcol(i),
+        zip_with(array(cb(i)(c).map(lit(_)): _*), pqSubcol(i, vec),
           (x, y) => x * y.cast("double")),
         lit(0.0), (acc, v) => acc + v)
     }: _*)
 
-  /** The full PQ/ADC pipeline, one copy shared by the v12 gate and the
-    * v12b recall gate: pqCodebook's trained codebook, corpus ENCODE
-    * and query LUTs built as map-side codebook-literal expressions,
-    * and every candidate scored by 4 array lookups in fixed
-    * expression order. Returns the per-query ADC top-3 with the raw
-    * codes and score. */
   /** Corpus encode frame: (cid, c0..c<m-1>) from codebook literals. */
   private[graft] def pqCorpus(e: org.apache.spark.sql.DataFrame,
       cb: Array[Array[Array[Double]]]): org.apache.spark.sql.DataFrame =
@@ -483,7 +479,7 @@ object VectorOps {
 
   /** ADC score: sum of one lookup per subspace, fixed left-assoc
     * order (matches the oracle's fixed `+` chain term for term). */
-  private def pqScoreCol: Column =
+  private[graft] def pqScoreCol: Column =
     (0 until PqM).map(i =>
       element_at(col(s"l$i"), col(s"c$i") + 1)).reduce(_ + _)
 
@@ -651,8 +647,8 @@ object VectorOps {
                                 ELSE 1 END) * code) AS BIGINT) AS code_key
                FROM ${p}codes GROUP BY 1)"""
 
-  /** pqChainSql plus the all-candidates fixed-order 4-term ADC score.
-    * Shared by the v12 gate and the v12b recall gate. */
+  /** pqChainSql plus the all-candidates fixed-order per-subspace ADC
+    * score. Shared by the v12 gate and the v12b recall gate. */
   private val PqAdcSql = pqChainSql("") + s""",
         adc AS (SELECT l.vec_id AS qid, c.vec_id AS cid,
                        ${pqAdcTermsSql("c", "l")} AS score
@@ -660,6 +656,35 @@ object VectorOps {
                 JOIN d2 l ON l.sub = c.sub AND l.code = c.code
                 WHERE l.vec_id < 20 AND l.vec_id <> c.vec_id
                 GROUP BY 1, 2)"""
+
+  /** In-cell ADC scoring of the probed candidates (adc) — composes
+    * after geoCellsSql (probes, a3) and pqChainSql("p") (pcodes,
+    * pd2). Shared by the v13 gate and the st17 streamed-index gate. */
+  private[graft] def ivfAdcCellSql: String = s"""
+        adc AS (SELECT p.qid, g.g_cid AS cid,
+                       ${pqAdcTermsSql("pc", "l")} AS score
+                FROM probes p
+                JOIN a3 g ON g.cell = p.cell AND g.g_cid <> p.qid
+                JOIN pcodes pc ON pc.vec_id = g.g_cid
+                JOIN pd2 l ON l.vec_id = p.qid AND l.sub = pc.sub
+                          AND l.code = pc.code
+                GROUP BY 1, 2)"""
+
+  /** The +R stage (sl, rr): ADC top-`r` shortlist on the rounded
+    * score, exact-cosine re-rank of the shortlist only. qT/cT name
+    * CTEs exposing (qid, qe) / (cid, ce). Shared by v13 and st17. */
+  private[graft] def ivfAdcRerankSql(r: Int, qT: String, cT: String)
+      : String = s"""
+        sl AS (SELECT qid, cid
+               FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                       ORDER BY round(score, 4) DESC, cid ASC) rn FROM adc)
+               WHERE rn <= $r),
+        rr AS (SELECT s.qid, s.cid,
+                      list_dot_product($qT.qe, $cT.ce)
+                      / (sqrt(list_dot_product($qT.qe, $qT.qe))
+                         * sqrt(list_dot_product($cT.ce, $cT.ce))) AS cos
+               FROM sl s JOIN $qT ON $qT.qid = s.qid
+               JOIN $cT ON $cT.cid = s.cid)"""
 
   def defs: Seq[Q] = Seq(
 
@@ -1611,24 +1636,9 @@ object VectorOps {
         WITH ${KmeansSql.UpToCent2},
         ${geoCellsSql(nprobe = 2)},
         ${pqChainSql("p")},
-        adc AS (SELECT p.qid, g.g_cid AS cid,
-                       ${pqAdcTermsSql("pc", "l")} AS score
-                FROM probes p
-                JOIN a3 g ON g.cell = p.cell AND g.g_cid <> p.qid
-                JOIN pcodes pc ON pc.vec_id = g.g_cid
-                JOIN pd2 l ON l.vec_id = p.qid AND l.sub = pc.sub
-                          AND l.code = pc.code
-                GROUP BY 1, 2),
+        $ivfAdcCellSql,
         $TruthSql,
-        sl AS (SELECT qid, cid
-               FROM (SELECT *, row_number() OVER (PARTITION BY qid
-                       ORDER BY round(score, 4) DESC, cid ASC) rn FROM adc)
-               WHERE rn <= 25),
-        rr AS (SELECT s.qid, s.cid,
-                      list_dot_product(q.qe, c.ce)
-                      / (sqrt(list_dot_product(q.qe, q.qe))
-                         * sqrt(list_dot_product(c.ce, c.ce))) AS cos
-               FROM sl s JOIN q ON q.qid = s.qid JOIN c ON c.cid = s.cid),
+        ${ivfAdcRerankSql(r = 25, qT = "q", cT = "c")},
         ann AS (SELECT qid, cid
                 FROM (SELECT *, row_number() OVER (PARTITION BY qid
                         ORDER BY cos DESC, cid ASC) rn FROM rr)

@@ -1018,6 +1018,67 @@ object Windows {
         graft.streaming.StreamingDecontamination.report(
           s, dir.toString, evalG, "g")
       },
-      Some(TextOps.DecontaminationSql))
+      Some(TextOps.DecontaminationSql)),
+
+    Q(
+      "st17_streaming_pq_probe",
+      "IVFADC+R served from the STREAMED code-bearing index (st15 x " +
+        "v12 x v13): the corpus arrives as 3 deterministic micro-" +
+        "batches, each row map-side assigned to its geometric cell " +
+        "AND encoded to its m=8 PQ codes at ingest (codebook " +
+        "literals ride the task - applyBatch(codebook=Some), zero " +
+        "shuffle), the per-batch dirs are then folded by the " +
+        "incremental per-cell compaction, and the probe serves the " +
+        "full v13 tier stack off the lake: route nprobe=2 cells " +
+        "(partition-pruned `cell=` scan), ADC top-25 shortlist read " +
+        "from the STORED code columns only (column pruning keeps the " +
+        "wide vector column unread), exact-cosine re-rank of the 25 " +
+        "shortlisted vectors in a second pruned scan. Cell and codes " +
+        "are pure per-row functions of the fixed centroid/codebook " +
+        "literals, so the streamed index is batch-boundary " +
+        "independent and the served top-3 must hash-match the " +
+        "oracle's ALL-AT-ONCE replay (KMeans chain + p-prefixed PQ " +
+        "chain + in-cell ADC + re-rank - the v13 CTEs, one copy). " +
+        "This is the 100-TB serving lake in miniature: hot index " +
+        "stores 32-bit codes next to the vectors, probes touch " +
+        "vector bytes only for shortlisted rows, compaction never " +
+        "re-encodes.",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("graft_st17_")
+        org.apache.commons.io.FileUtils.forceDeleteOnExit(dir.toFile)
+        val e = Tables.embeddings(s, d)
+        val (_, cent, _) = graft.operators.KMeans.fitConverged(
+          s, e, k = 8, maxIter = 25, tol = 0.12)
+        val cb = VectorOps.pqCodebook(s, d)
+        (0 until 3).foreach { b =>
+          graft.streaming.StreamingVectorIndex.applyBatch(
+            e.filter(pmod(col("vec_id"), lit(3)) === b)
+              .select(col("vec_id"), col("embedding")),
+            cent, "vec_id", "embedding", b.toLong, dir.toString, Some(cb))
+        }
+        graft.streaming.StreamingVectorIndex.compact(s, dir.toString)
+        graft.streaming.StreamingVectorIndex.probePq(
+            s, dir.toString, cent, cb,
+            e.filter(col("vec_id") < 20)
+              .select(col("vec_id"), col("embedding")),
+            "vec_id", "embedding", nprobe = 2, rshort = 25, k = 3)
+          .select(col("qid").as("query_id"), col("rank"),
+            col("cid").as("neighbor_id"))
+      },
+      Some(s"""
+        WITH ${KmeansSql.UpToCent2},
+        ${VectorOps.geoCellsSql(nprobe = 2)},
+        ${VectorOps.pqChainSql("p")},
+        ${VectorOps.ivfAdcCellSql},
+        qq AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+               FROM embeddings WHERE vec_id < 20),
+        cc AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+               FROM embeddings),
+        ${VectorOps.ivfAdcRerankSql(r = 25, qT = "qq", cT = "cc")}
+        SELECT qid AS query_id, CAST(rn AS INT) AS rank,
+               cid AS neighbor_id
+        FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                ORDER BY cos DESC, cid ASC) rn FROM rr)
+        WHERE rn <= 3"""))
   )
 }

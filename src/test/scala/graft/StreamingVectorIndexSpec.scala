@@ -231,6 +231,44 @@ class StreamingVectorIndexSpec extends SparkSpec {
     } finally cleanup(dir)
   }
 
+  test("PQ probe over the streamed code index matches the batch IVFADC+R") {
+    val s = spark
+    val d = "/root/testdata/sf0.001"
+    val dir = tmp()
+    try {
+      val e = graft.sources.Tables.embeddings(s, d)
+      val (_, kcent, _) = graft.operators.KMeans.fitConverged(
+        s, e, k = 8, maxIter = 25, tol = 0.12)
+      val cb = graft.queries.VectorOps.pqCodebook(s, d)
+      (0 until 3).foreach { b =>
+        StreamingVectorIndex.applyBatch(
+          e.filter(pmod(col("vec_id"), lit(3)) === b)
+            .select(col("vec_id"), col("embedding")),
+          kcent, "vec_id", "embedding", b.toLong, dir, Some(cb))
+      }
+      // codes must survive the per-cell compaction unchanged
+      StreamingVectorIndex.compact(s, dir)
+      val queries = e.filter(col("vec_id") < 20)
+        .select(col("vec_id"), col("embedding"))
+      val probed = StreamingVectorIndex.probePq(s, dir, kcent, cb,
+        queries, "vec_id", "embedding", nprobe = 2, rshort = 25, k = 3)
+      val served = probed.select("qid", "cid")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = graft.queries.VectorOps
+        .ivfAdcRerank(s, d, nprobe = 2, r = 25)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(served == batch)
+      // the shortlist scan reads the stored codes, never the wide
+      // vector column (the byte economics the codes exist for)
+      val scans = probed.queryExecution.executedPlan.toString
+        .linesIterator.filter(_.contains("ReadSchema")).toSeq
+      val codeScans = scans.filter(_.contains("c0"))
+      assert(codeScans.nonEmpty, scans.mkString("\n"))
+      assert(codeScans.forall(!_.contains("embedding")),
+        codeScans.mkString("\n"))
+    } finally cleanup(dir)
+  }
+
   test("property: any batch split (incl. empty batches) equals direct assignment") {
     val s = spark
     import s.implicits._
