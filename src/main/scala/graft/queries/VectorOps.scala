@@ -846,9 +846,16 @@ object VectorOps {
         "MEASURED recall@3 at the gate SF (tools.IvfProbe, " +
         "reproducible), v09 KMeans cells vs v02b/c label cells at " +
         "equal nprobe:\n" +
-        "    nprobe   1      2      3      4\n" +
-        "    label    4/60  13/60  22/60  32/60\n" +
-        "    kmeans  15/60  33/60  45/60  48/60\n" +
+        "    nprobe      1      2      3      4\n" +
+        "    label       4/60  13/60  22/60  32/60\n" +
+        "    kmeans     15/60  33/60  45/60  48/60\n" +
+        "    ivfadc+r25 15/60  30/60  31/60  30/60\n" +
+        "(ivfadc+r25 = v13's fused serving: ADC top-25 shortlist from " +
+        "32-bit codes + exact re-rank — IDENTICAL to exact in-cell " +
+        "scoring at nprobe=1, where 25 of ~62 candidates lose " +
+        "nothing, and saturating near 30 beyond nprobe=2 because the " +
+        "FIXED R=25 shortlist caps recall while the candidate pool " +
+        "grows — the R~nprobe coupling a production config tunes.)\n" +
         "- 3.8x the recall at nprobe=1 and 80% by nprobe=4 (half the " +
         "cells scanned) where the label scheme is still under half; " +
         "the residual gap to 60/60 is the coarse build itself (k=8 " +
