@@ -455,13 +455,18 @@ object VectorOps {
       .getField("nc")).cast("int")
   }
 
+  /** Query LUT for subspace i: per-codeword dots quantized to integer
+    * MICRO-UNITS (the t31 fixed-point convention), so the ADC score —
+    * a sum of m lookups — is exact integer math and both the rank key
+    * and the reported score are bit-identical cross-engine regardless
+    * of summation order. */
   private[graft] def pqLutCol(cb: Array[Array[Array[Double]]], i: Int,
       vec: String = "embedding"): Column =
     array((0 until PqK).map { c =>
-      aggregate(
+      round(aggregate(
         zip_with(array(cb(i)(c).map(lit(_)): _*), pqSubcol(i, vec),
           (x, y) => x * y.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
+        lit(0.0), (acc, v) => acc + v) * 1e6).cast("long")
     }: _*)
 
   /** Corpus encode frame: (cid, c0..c<m-1>) from codebook literals. */
@@ -477,8 +482,9 @@ object VectorOps {
       .select(col("vec_id").as("qid") +:
         (0 until PqM).map(i => pqLutCol(cb, i).as(s"l$i")): _*)
 
-  /** ADC score: sum of one lookup per subspace, fixed left-assoc
-    * order (matches the oracle's fixed `+` chain term for term). */
+  /** ADC score: sum of one lookup per subspace. The LUT entries are
+    * integer micro-units (pqLutCol), so the sum is exact and term
+    * order is immaterial cross-engine. */
   private[graft] def pqScoreCol: Column =
     (0 until PqM).map(i =>
       element_at(col(s"l$i"), col(s"c$i") + 1)).reduce(_ + _)
@@ -495,14 +501,11 @@ object VectorOps {
       : org.apache.spark.sql.DataFrame = {
     val e = Tables.embeddings(s, d)
     val cb = pqCodebook(s, d)
-    // rank on the ROUNDED score (the t24/t31 determinism convention):
-    // the LUT fold (engine) and the SQL sum over join rows (oracle)
-    // accumulate in different orders, so a near-tie between distinct
-    // code tuples on the raw double could flip ranks cross-engine;
-    // at 4dp both engines see the same key and the cid tiebreak
-    // resolves true ties deterministically
+    // score is an exact integer (micro-unit LUT entries — pqLutCol),
+    // so the rank key needs no rounding: identical cross-engine by
+    // construction, ties resolved by the cid tiebreak
     val rankW = Window.partitionBy(col("qid"))
-      .orderBy(round(col("score"), 4).desc, col("cid").asc)
+      .orderBy(col("score").desc, col("cid").asc)
     pqCorpus(e, cb).join(broadcast(pqQueries(e, cb)),
         col("cid") =!= col("qid"))
       .withColumn("score", pqScoreCol)
@@ -521,8 +524,9 @@ object VectorOps {
     * 4 code lookups instead of 64 floats — the two axes (which rows,
     * how many bytes per row) compose multiplicatively, which is how
     * a 100-TB index actually serves (Jegou et al. TPAMI'11 §V,
-    * IVFADC). Rank key is round(score, 4) — the v12 cross-engine
-    * float-tie convention. */
+    * IVFADC). The rank key is the exact integer micro-unit ADC
+    * score (pqLutCol's fixed-point quantization), so no cross-engine
+    * float tie can flip it. */
   private[graft] def ivfPqTop3(s: SparkSession, d: String, nprobe: Int)
       : org.apache.spark.sql.DataFrame =
     ivfPqShortlist(s, d, nprobe, 3)
@@ -546,7 +550,7 @@ object VectorOps {
       .select(col("qid") +: (-col("pc.nc")).as("cell") +:
         (0 until PqM).map(i => col(s"l$i")): _*)
     val rankW = Window.partitionBy(col("qid"))
-      .orderBy(round(col("score"), 4).desc, col("cid").asc)
+      .orderBy(col("score").desc, col("cid").asc)
     corpus.join(broadcast(queries), Seq("cell"))
       .filter(col("cid") =!= col("qid"))
       .withColumn("score", pqScoreCol)
@@ -588,11 +592,12 @@ object VectorOps {
     (0 until PqM).map(i =>
       s"WHEN $i THEN ${math.pow(PqK, PqM - 1 - i).toLong}").mkString(" ")
 
-  /** Fixed-order per-subspace ADC sum — term i matches the engine's
-    * i-th lookup in pqScoreCol's left-assoc chain. */
+  /** Per-subspace ADC sum over micro-unit-quantized dots (matches the
+    * engine's pqLutCol quantization term for term — the sum is exact
+    * integer math, so term order is immaterial cross-engine). */
   private def pqAdcTermsSql(c: String, l: String): String =
     (0 until PqM).map(i =>
-      s"sum(CASE WHEN $c.sub = $i THEN $l.dot END)")
+      s"sum(CASE WHEN $c.sub = $i THEN CAST(round($l.dot * 1000000) AS BIGINT) END)")
       .mkString("\n                       + ")
 
   private[graft] def pqChainSql(p: String): String = s"""${p}longp AS (
@@ -677,7 +682,7 @@ object VectorOps {
       : String = s"""
         sl AS (SELECT qid, cid
                FROM (SELECT *, row_number() OVER (PARTITION BY qid
-                       ORDER BY round(score, 4) DESC, cid ASC) rn FROM adc)
+                       ORDER BY score DESC, cid ASC) rn FROM adc)
                WHERE rn <= $r),
         rr AS (SELECT s.qid, s.cid,
                       list_dot_product($qT.qe, $cT.ce)
@@ -1572,14 +1577,15 @@ object VectorOps {
       (s, d) => pqAdcTop3(s, d)
         .select(col("qid").as("query_id"), col("rank"),
           col("cid").as("neighbor_id"), col("code_key"),
-          round(col("score"), 4).as("approx_ip")),
+          round(col("score").cast("double") / lit(1e6), 4)
+            .as("approx_ip")),
       Some(s"""
         WITH $PqAdcSql
         SELECT a.qid AS query_id, CAST(a.rn AS INT) AS rank,
                a.cid AS neighbor_id, k.code_key,
-               round(a.score, 4) AS approx_ip
+               round(CAST(a.score AS DOUBLE) / 1000000, 4) AS approx_ip
         FROM (SELECT *, row_number() OVER (PARTITION BY qid
-                ORDER BY round(score, 4) DESC, cid ASC) rn FROM adc) a
+                ORDER BY score DESC, cid ASC) rn FROM adc) a
         JOIN ck k ON k.vec_id = a.cid
         WHERE a.rn <= 3""")),
 
@@ -1610,7 +1616,7 @@ object VectorOps {
         $TruthSql,
         ann AS (SELECT qid, cid
                 FROM (SELECT *, row_number() OVER (PARTITION BY qid
-                        ORDER BY round(score, 4) DESC, cid ASC) rn FROM adc)
+                        ORDER BY score DESC, cid ASC) rn FROM adc)
                 WHERE rn <= 3),
         $RecallTailSql""")),
 
@@ -1631,9 +1637,11 @@ object VectorOps {
         "for 3 of 60 hits, which is precisely the role ADC plays in " +
         "production (the shortlist generator, never the final " +
         "ranker; tools.IvfPqDebug prints the (nprobe, R) sweep). " +
-        "Shortlist rank key is round(score, 4) - the v12 cross-" +
-        "engine float-tie convention; the re-rank is exact cosine " +
-        "with the cid tiebreak. The oracle replays BOTH builds end-" +
+        "Shortlist rank key is the exact integer micro-unit ADC " +
+        "score (the t31 fixed-point convention applied to the LUT " +
+        "entries - no cross-engine float tie can flip it); the " +
+        "re-rank is exact cosine with the cid tiebreak. The oracle " +
+        "replays BOTH builds end-" +
         "to-end (KmeansSql.UpToCent2 cell chain + the p-prefixed PQ " +
         "chain) plus routing, in-cell ADC shortlist, exact re-rank " +
         "and the recall join.",

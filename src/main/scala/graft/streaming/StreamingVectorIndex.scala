@@ -153,8 +153,8 @@ object StreamingVectorIndex {
     *     partitions (column pruning keeps the wide vector column
     *     unread) and rank candidates by the per-subspace ADC lookup
     *     score against query LUT literals; keep the top `rshort`
-    *     per query on the rounded score (the v12 float-tie
-    *     convention).
+    *     per query on the exact integer micro-unit score (the v12
+    *     fixed-point convention — no cross-engine float ties).
     *  2. RE-RANK — read (id, vector) of the probed partitions joined
     *     to the broadcast shortlist; exact cosine, top `k`.
     * This is the read pattern the stored codes buy at 100 TB: vector
@@ -181,7 +181,7 @@ object StreamingVectorIndex {
       .select(col(idCol).as("cid") +: col("cell").cast("long").as("cell") +:
         (0 until m).map(i => col(s"c$i")): _*)
     val slW = Window.partitionBy(col("qid"))
-      .orderBy(round(col("score"), 4).desc, col("cid").asc)
+      .orderBy(col("score").desc, col("cid").asc)
     val sl = codesIdx.join(broadcast(probes), Seq("cell"))
       .filter(col("cid") =!= col("qid"))
       .withColumn("score", VectorOps.pqScoreCol)
