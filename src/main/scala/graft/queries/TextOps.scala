@@ -151,14 +151,19 @@ object TextOps {
         GROUP BY 1"""
 
   /** Shared by t17 (composed) and t17b (native token_freqs) — the twins
-    * must hash against the identical oracle. */
+    * must hash against the identical oracle. Per-token log-probs are
+    * quantized to integer micro-nats BEFORE the mean (the t31
+    * fixed-point convention), so the doc score is exact integer math
+    * plus two deterministic IEEE divisions in both engines. */
   private val UnigramLogprobSql = """
         WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
                       FROM documents),
         freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
         tot AS (SELECT count(*) AS total FROM toks)
         SELECT t.doc_id, count(*) AS n_tokens,
-               round(avg(ln(CAST(f.cnt AS DOUBLE) / tot.total)), 4) AS avg_logprob
+               round(CAST(sum(CAST(round(ln(CAST(f.cnt AS DOUBLE) / tot.total)
+                                         * 1000000) AS BIGINT)) AS DOUBLE)
+                     / count(*) / 1000000, 4) AS avg_logprob
         FROM toks t JOIN freq f USING (tok) CROSS JOIN tot
         GROUP BY 1"""
 
@@ -318,8 +323,8 @@ object TextOps {
     * fixed 3-term query, positive scores only, top 20 by
     * (bm25 desc, doc_id asc). Shared by the t24 gate and v10's lexical
     * retrieval arm so the scoring recipe (and its float-determinism
-    * conventions — fixed pivot columns, expression-order sum, 4dp
-    * round) exists in exactly one copy. See t24's doc for the plan
+    * conventions — fixed pivot columns, micro-unit fixed-point parts,
+    * 4dp round) exists in exactly one copy. See t24's doc for the plan
     * rationale (single tokenize + localCheckpoint, broadcast corpus
     * stats). */
   private[graft] def bm25Top20(s: SparkSession, d: String): DataFrame = {
@@ -342,17 +347,23 @@ object TextOps {
       sum(when(col("tf2") > 0, 1).otherwise(0)).as("df2"),
       sum(when(col("tf3") > 0, 1).otherwise(0)).as("df3"))
     val avgdl = tf.agg(avg(col("dl")).as("avgdl"))
+    // each per-term BM25 part quantizes to integer micro-units (the
+    // t31 fixed-point convention) so the 3-term sum is exact integer
+    // math and the 4dp score — also the rank key — is bit-identical
+    // cross-engine regardless of ln()/avgdl ulp drift
     def part(tfc: Column, dfc: Column, nd: Column, dl: Column, ad: Column) =
-      log(((nd - dfc + 0.5) / (dfc + 0.5)) + 1.0) *
+      round((log(((nd - dfc + 0.5) / (dfc + 0.5)) + 1.0) *
         (tfc * (k1 + 1.0)) /
-        (tfc + lit(k1) * (lit(1.0 - b) + lit(b) * dl / ad))
+        (tfc + lit(k1) * (lit(1.0 - b) + lit(b) * dl / ad))) * 1e6)
+        .cast("long")
     tf.crossJoin(broadcast(n)).crossJoin(broadcast(dfs))
       .crossJoin(broadcast(avgdl))
       .select(col("doc_id"),
         round(
-          part(col("tf1"), col("df1"), col("n_docs"), col("dl"), col("avgdl"))
+          (part(col("tf1"), col("df1"), col("n_docs"), col("dl"), col("avgdl"))
             + part(col("tf2"), col("df2"), col("n_docs"), col("dl"), col("avgdl"))
-            + part(col("tf3"), col("df3"), col("n_docs"), col("dl"), col("avgdl")),
+            + part(col("tf3"), col("df3"), col("n_docs"), col("dl"), col("avgdl")))
+            .cast("double") / lit(1e6),
           4).as("bm25"))
       .filter(col("bm25") > 0)
       .orderBy(col("bm25").desc, col("doc_id").asc)
@@ -378,13 +389,16 @@ object TextOps {
                 FROM toks),
         a AS (SELECT avg(dl) AS avgdl FROM tf),
         bm25_all AS (SELECT doc_id,
-               round(
-                 ln((n_docs - df1 + 0.5)/(df1 + 0.5) + 1.0)
+               round(CAST(
+                 CAST(round(ln((n_docs - df1 + 0.5)/(df1 + 0.5) + 1.0)
                    * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-                 + ln((n_docs - df2 + 0.5)/(df2 + 0.5) + 1.0)
+                   * 1000000) AS BIGINT)
+                 + CAST(round(ln((n_docs - df2 + 0.5)/(df2 + 0.5) + 1.0)
                    * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-                 + ln((n_docs - df3 + 0.5)/(df3 + 0.5) + 1.0)
-                   * (tf3 * 2.2) / (tf3 + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+                   * 1000000) AS BIGINT)
+                 + CAST(round(ln((n_docs - df3 + 0.5)/(df3 + 0.5) + 1.0)
+                   * (tf3 * 2.2) / (tf3 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                   * 1000000) AS BIGINT) AS DOUBLE) / 1000000,
                  4) AS bm25
                FROM tf, n, dfs, a),
         bm25_scored AS (SELECT doc_id, bm25 FROM bm25_all WHERE bm25 > 0)"""
@@ -1129,9 +1143,12 @@ object TextOps {
           .groupBy(col("doc_id"))
           .agg(
             sum(col("tf")).as("n_tokens"),
+            // micro-nat quantization before the mean (t31 convention)
             round(
-              sum(col("tf") * log(col("cnt").cast("double") / col("total")))
-                / sum(col("tf")), 4)
+              sum(col("tf") *
+                  round(log(col("cnt").cast("double") / col("total")) * 1e6)
+                    .cast("long")).cast("double")
+                / sum(col("tf")) / lit(1e6), 4)
               .as("avg_logprob"))
       },
       Some(UnigramLogprobSql)),
@@ -1156,9 +1173,12 @@ object TextOps {
           .groupBy(col("doc_id"))
           .agg(
             sum(col("tf")).as("n_tokens"),
+            // micro-nat quantization before the mean (t31 convention)
             round(
-              sum(col("tf") * log(col("cnt").cast("double") / col("total")))
-                / sum(col("tf")), 4)
+              sum(col("tf") *
+                  round(log(col("cnt").cast("double") / col("total")) * 1e6)
+                    .cast("long")).cast("double")
+                / sum(col("tf")) / lit(1e6), 4)
               .as("avg_logprob"))
       },
       Some(UnigramLogprobSql)),
@@ -2085,8 +2105,10 @@ object TextOps {
         "compare the same bit-identical doubles — no argmax builtin " +
         "variance) and the source's KL(source || corpus) over its " +
         "observed words. L-inf and argmax are order-independent (no " +
-        "float-summation nondeterminism); KL sums ~vocabulary-many " +
-        "products and rounds at 4dp (the t17/t18 log precedent). " +
+        "float-summation nondeterminism); the KL terms quantize to " +
+        "integer nano-units before the vocabulary-sized sum (the t31 " +
+        "fixed-point convention), so the 4dp rounded KL is exact " +
+        "integer math cross-engine. " +
         "Everything aggregates per (source, word) first — shuffle is " +
         "vocabulary-sized, never token-stream-sized.",
       (s, d) => {
@@ -2106,12 +2128,18 @@ object TextOps {
           .select(col("source"), col("w"),
             (col("c").cast("double") / col("st")).as("p"),
             (col("g").cast("double") / col("gt")).as("q"))
+        // per-word KL term quantized to integer NANO-units before the
+        // vocabulary-sized sum (the t31 fixed-point convention; nano
+        // because klterms are ~1e-5, so a micro grid would distort
+        // the metric itself): the sum is exact integer math and the
+        // 4dp round is bit-identical cross-engine
         val diffs = joined.select(col("source"), col("w"),
           abs(col("p") - col("q")).as("ad"),
-          (col("p") * log(col("p") / col("q"))).as("klterm"))
+          round(col("p") * log(col("p") / col("q")) * 1e9).cast("long")
+            .as("klterm"))
         val agg = diffs.groupBy(col("source"))
           .agg(max(col("ad")).as("mad"),
-            round(sum(col("klterm")), 4).as("kl"))
+            round(sum(col("klterm")).cast("double") / lit(1e9), 4).as("kl"))
         agg.join(diffs.select(col("source"), col("w"), col("ad")),
             Seq("source"))
           .filter(col("ad") === col("mad"))
@@ -2131,9 +2159,11 @@ object TextOps {
                      CAST(sw.c AS DOUBLE) / st.st AS p,
                      CAST(gw.g AS DOUBLE) / gt.gt AS q
               FROM sw JOIN st USING (source) JOIN gw USING (w) CROSS JOIN gt),
-        d AS (SELECT source, w, abs(p - q) AS ad, p * ln(p / q) AS klterm
+        d AS (SELECT source, w, abs(p - q) AS ad,
+                     CAST(round(p * ln(p / q) * 1000000000) AS BIGINT) AS klterm
               FROM j),
-        a AS (SELECT source, max(ad) AS mad, round(sum(klterm), 4) AS kl
+        a AS (SELECT source, max(ad) AS mad,
+                     round(CAST(sum(klterm) AS DOUBLE) / 1000000000, 4) AS kl
               FROM d GROUP BY 1)
         SELECT a.source, round(a.mad, 6) AS linf,
                min(d.w) AS top_word, a.kl
@@ -2181,12 +2211,18 @@ object TextOps {
           .join(scnt, Seq("b"), "left")
           .crossJoin(broadcast(nt)).crossJoin(broadcast(ns))
           .select(col("doc_id"), col("lang"),
+            // per-bucket log-ratio quantized to integer micro-nats
+            // before the tf-weighted sum (the t31 fixed-point
+            // convention): the doc weight is exact integer math, so
+            // the top-50 cut is bit-identical cross-engine
             (col("tf") *
-              (log((coalesce(col("ct"), lit(0L)) + 1) / (col("nt") + 4096)) -
-                log((coalesce(col("cs"), lit(0L)) + 1) / (col("ns") + 4096))))
+              round((log((coalesce(col("ct"), lit(0L)) + 1) / (col("nt") + 4096)) -
+                log((coalesce(col("cs"), lit(0L)) + 1) / (col("ns") + 4096)))
+                * 1e6).cast("long"))
               .as("term"))
           .groupBy(col("doc_id"), col("lang"))
-          .agg(round(sum(col("term")), 4).as("dsir_logw"))
+          .agg(round(sum(col("term")).cast("double") / lit(1e6), 4)
+            .as("dsir_logw"))
         w.orderBy(col("dsir_logw").desc, col("doc_id").asc).limit(50)
           .select(col("doc_id"), col("lang"), col("dsir_logw"))
       },
@@ -2203,9 +2239,11 @@ object TextOps {
         nt AS (SELECT sum(ct) AS nt FROM tcnt),
         ns AS (SELECT sum(cs) AS ns FROM scnt),
         w AS (SELECT d.doc_id, d.lang,
-                     round(sum(d.tf * (ln((coalesce(t.ct, 0) + 1) / (nt.nt + 4096))
-                                     - ln((coalesce(s.cs, 0) + 1) / (ns.ns + 4096)))),
-                           4) AS dsir_logw
+                     round(CAST(sum(d.tf *
+                             CAST(round((ln((coalesce(t.ct, 0) + 1) / (nt.nt + 4096))
+                                       - ln((coalesce(s.cs, 0) + 1) / (ns.ns + 4096)))
+                                        * 1000000) AS BIGINT)) AS DOUBLE)
+                           / 1000000, 4) AS dsir_logw
               FROM dtf d
               LEFT JOIN tcnt t USING (b)
               LEFT JOIN scnt s USING (b)
