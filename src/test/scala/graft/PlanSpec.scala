@@ -230,6 +230,23 @@ class PlanSpec extends SparkSpec {
       s"the one exchange must be the per-query rank window:\n${p.take(3000)}")
   }
 
+  test("v13 IVFADC+R: the corpus never shuffles — every exchange is a " +
+      "per-query (qid) rank window") {
+    val rr = graft.queries.VectorOps
+      .ivfAdcRerank(spark, sf, nprobe = 2, r = 25)
+    val p = rr.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // tier 1 (cell route) and tier 2 (ADC shortlist) are map-side
+    // expressions + a broadcast join; tier 3 re-ranks a broadcast
+    // shortlist against the corpus scan. The only shuffles allowed
+    // anywhere are the two per-query rank windows.
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    val ex = "Exchange hashpartitioning\\((\\w+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(ex.nonEmpty && ex.forall(_ == "qid"),
+      s"only qid rank-window exchanges allowed, got $ex:\n${p.take(3000)}")
+  }
+
   test("no query plans an unpartitioned window outside documented bounded sites") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     // Bounded-by-construction exemption: GlobalRank's offsets window runs
