@@ -1658,6 +1658,34 @@ object VectorOps {
                 FROM (SELECT *, row_number() OVER (PARTITION BY qid
                         ORDER BY cos DESC, cid ASC) rn FROM rr)
                 WHERE rn <= 3),
+        $RecallTailSql""")),
+
+    Q(
+      "v13b_ivf_pq_recall_scaled",
+      "v13 with the R~nprobe coupling applied (nprobe=3, R=50): a " +
+        "FIXED shortlist caps recall as the candidate pool grows - " +
+        "v13's measured plateau is 30/31/30 of 60 at R=25 across " +
+        "nprobe 2-4 - so a production config scales the re-rank " +
+        "budget with the probe budget. MEASURED at the gate SF: " +
+        "39/60, vs 45/60 for v09-style exact scoring of the same 3 " +
+        "cells - 87% of the exact in-cell recall while touching 50 " +
+        "full vectors per query instead of ~190 (tools.IvfPqDebug " +
+        "prints the whole (nprobe, R) sweep). Shares every stage " +
+        "with v13 (ivfAdcRerank + the KMeans/PQ/ADC/re-rank CTE " +
+        "helpers); only the operating point differs.",
+      (s, d) => recallOf(bruteTruth(s, d),
+        ivfAdcRerank(s, d, nprobe = 3, r = 50)),
+      Some(s"""
+        WITH ${KmeansSql.UpToCent2},
+        ${geoCellsSql(nprobe = 3)},
+        ${pqChainSql("p")},
+        $ivfAdcCellSql,
+        $TruthSql,
+        ${ivfAdcRerankSql(r = 50, qT = "q", cT = "c")},
+        ann AS (SELECT qid, cid
+                FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                        ORDER BY cos DESC, cid ASC) rn FROM rr)
+                WHERE rn <= 3),
         $RecallTailSql"""))
   )
 
