@@ -559,6 +559,49 @@ object VectorOps {
       .select(col("qid"), col("cid"))
   }
 
+  /** v14's cell-local kNN-graph kernel, k-parameterized: per-point
+    * top-3 cosine neighbors within the point's own KMeans cell. The
+    * gate pins kCells=8 (the oracle-replayable KmeansSql chain);
+    * tools.KnnGraphAb measures the k~sqrt(n) scaling rule that keeps
+    * sum(cell_i^2) pair volume flat per point as the corpus grows. */
+  private[graft] def knnGraph(s: SparkSession, d: String, kCells: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val (_, cent, _) = graft.operators.KMeans.fitConverged(
+      s, e, k = kCells, maxIter = 25, tol = 0.12)
+    // norms ride the row: computed once per VECTOR before the join,
+    // not re-derived per pair (cuts the per-pair fold work to one
+    // dot product — at sum(cell_i^2) pairs that is the dominant
+    // flop count)
+    val asg = e.select(col("vec_id"),
+      (-element_at(nearestCells(cent, "embedding", 1), 1)
+        .getField("nc")).as("cell"),
+      col("embedding"),
+      sqrt(dot("embedding", "embedding")).as("nrm"))
+    val aSide = asg.select(col("cell"), col("vec_id").as("a_id"),
+      col("embedding").as("ae"), col("nrm").as("na"))
+    val bSide = asg.select(col("cell"), col("vec_id").as("b_id"),
+      col("embedding").as("be"), col("nrm").as("nb"))
+    // the top-3 cut runs through the TopKPerKey heap operator at its
+    // designed use: the pair stream arrives partitioned by cell, and
+    // every a_id's candidates live in ONE cell partition, so the
+    // partial heap already reduces each point to <=3 rows — the
+    // final exchange ships 3n rows where a row_number window would
+    // re-shuffle ALL sum(cell_i^2) pairs
+    val pairs = aSide.join(bSide, Seq("cell"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("cos", dot("ae", "be") / (col("na") * col("nb")))
+      .select(col("a_id"), col("b_id"), col("cos"))
+    val top = graft.plans.TopKPerKey.topK(
+      pairs, Seq("a_id"), Seq(col("cos").desc, col("b_id").asc), 3)
+    val w = Window.partitionBy(col("a_id"))
+      .orderBy(col("cos").desc, col("b_id").asc)
+    top.withColumn("rank", row_number().over(w)) // over 3n rows
+      .select(col("a_id").as("vec_id"), col("rank"),
+        col("b_id").as("neighbor_id"),
+        round(col("cos"), 4).as("cosine"))
+  }
+
   /** IVFADC+R (Jegou et al. TPAMI'11 §VI): exact-cosine re-rank of the
     * cell-routed ADC shortlist. The shortlist is query-count bounded
     * (|queries| x r rows), so it broadcasts into the corpus scan and
@@ -1686,7 +1729,54 @@ object VectorOps {
                 FROM (SELECT *, row_number() OVER (PARTITION BY qid
                         ORDER BY cos DESC, cid ASC) rn FROM rr)
                 WHERE rn <= 3),
-        $RecallTailSql"""))
+        $RecallTailSql""")),
+
+    Q(
+      "v14_knn_graph",
+      "Cell-local kNN-graph construction: top-3 cosine neighbors for " +
+        "EVERY corpus vector, candidates restricted to the vector's " +
+        "own geometric cell - the graph-building primitive SemDeDup, " +
+        "clustering and graph-based dedup run over the whole corpus. " +
+        "Contrast v01/v09, which serve a BOUNDED query set: here " +
+        "every point is a query, so broadcasting is impossible and " +
+        "all-pairs would be corpus^2. Spark shape: map-side cell " +
+        "assignment (centroid literals, the v09 shape), ONE " +
+        "cell-keyed self-join - both sides shuffle by cell once, " +
+        "which at 100 TB is the write-once cell-bucketed layout " +
+        "whose bucket-local self-join BucketingSpec pins for d02 - " +
+        "then the top-3 cut through the TopKPerKey HEAP operator at " +
+        "its designed use: every point's candidates live in one cell " +
+        "partition, so the partial heap reduces each point to <=3 " +
+        "rows before the exchange - a row_number window would " +
+        "re-shuffle every pair. Pair volume is sum(cell_i^2) ~ " +
+        "corpus^2/k for " +
+        "balanced cells; cell-size skew is the AQE skew-join case, " +
+        "and k grows ~sqrt(n) with the corpus (the SemDedupKAb " +
+        "prescription) to hold per-cell occupancy flat. Isolated " +
+        "singleton cells emit no rows for their vector - the " +
+        "documented recall limit of cell-local graphs (SemDeDup " +
+        "accepts it; a higher-recall build unions nprobe>1 cell " +
+        "pairings exactly like v09b). Oracle replays the KMeans " +
+        "chain + cell assignment + in-cell pairing + rank.",
+      (s, d) => knnGraph(s, d, kCells = 8),
+      Some(s"""
+        WITH ${KmeansSql.UpToCent2},
+        ${geoCellsSql(nprobe = 1)},
+        cc AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce,
+                      sqrt(list_dot_product(embedding::DOUBLE[],
+                                            embedding::DOUBLE[])) AS nrm
+               FROM embeddings),
+        sc AS (SELECT x.g_cid AS a_id, y.g_cid AS b_id,
+                      list_dot_product(ca.ce, cb.ce)
+                      / (ca.nrm * cb.nrm) AS cos
+               FROM a3 x JOIN a3 y ON x.cell = y.cell AND x.g_cid <> y.g_cid
+               JOIN cc ca ON ca.cid = x.g_cid
+               JOIN cc cb ON cb.cid = y.g_cid)
+        SELECT a_id AS vec_id, CAST(rn AS INT) AS rank,
+               b_id AS neighbor_id, round(cos, 4) AS cosine
+        FROM (SELECT *, row_number() OVER (PARTITION BY a_id
+                ORDER BY cos DESC, b_id ASC) rn FROM sc)
+        WHERE rn <= 3"""))
   )
 
   /** Random-hyperplane LSH near-dup pairing at a given code width:
