@@ -93,13 +93,19 @@ object VectorOps {
     * measures against. */
   private[graft] def bruteTruth(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     val e = Tables.embeddings(s, d)
+    // norms ride the row (the v14 convention): sqrt(dot(x,x)) is the
+    // same double whether computed per row or per pair, so the cosine
+    // values — and the oracle hash — are unchanged, but each pair
+    // costs one dot product instead of three
     val q = e.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-    val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        sqrt(dot("embedding", "embedding")).as("nq"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+      sqrt(dot("embedding", "embedding")).as("nc"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("cid").asc)
     c.join(broadcast(q), col("qid") =!= col("cid"))
-      .withColumn("cos", cosine("qe", "ce"))
+      .withColumn("cos", dot("qe", "ce") / (col("nq") * col("nc")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("qid"), col("cid"))
@@ -745,13 +751,17 @@ object VectorOps {
         "variant is measured against.",
       (s, d) => {
         val e = Tables.embeddings(s, d)
+        // norms ride the row (the v14/bruteTruth convention): same
+        // doubles, one dot per pair instead of three
         val q = e.filter(col("vec_id") < 20)
-          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-        val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+            sqrt(dot("embedding", "embedding")).as("nq"))
+        val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+          sqrt(dot("embedding", "embedding")).as("nc"))
         val w = Window.partitionBy(col("qid"))
           .orderBy(col("cos").desc, col("cid").asc)
         c.join(broadcast(q), col("qid") =!= col("cid"))
-          .withColumn("cos", cosine("qe", "ce"))
+          .withColumn("cos", dot("qe", "ce") / (col("nq") * col("nc")))
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 5)
           .select(col("qid").as("query_id"), col("rank"),
