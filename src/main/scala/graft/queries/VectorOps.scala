@@ -392,46 +392,51 @@ object VectorOps {
       : Array[Array[Array[Double]]] = {
     val m = PqM; val subDim = PqSubDim; val k = PqK
     val e = Tables.embeddings(s, d)
-    // --- codebook training: md5 seeds + one Lloyd update per subspace
-    val subv = e.select(col("vec_id"), posexplode(col("embedding")))
-      .select(col("vec_id"), (col("pos") / subDim).cast("int").as("sub"),
-        (col("pos") % subDim).as("lpos"), col("col").cast("double").as("v"))
-    val seeds = e.select(col("vec_id").as("sid"), col("embedding").as("se"),
+    // --- codebook training: md5 seeds + one Lloyd update per
+    // subspace. The k seed vectors collect to the driver (k x dim
+    // doubles — the KMeans-centroid bounded class), so the Lloyd
+    // ASSIGNMENT runs as the same codebook-literal map-side
+    // expression the encode uses (pqCodeCol — one copy, zero
+    // shuffle) and the whole update is ONE corpus explode + ONE
+    // m*k*subDim-group aggregate: no joins, no per-(vec, sub)
+    // windows. Assignment is EUCLIDEAN (argmax of <x,c> - ||c||^2/2;
+    // max-dot is wrong for subvectors, whose norms vary — it herds
+    // everything onto long codewords; measured full-scan ADC
+    // recall@3 8/60 max-dot vs 12/60 euclidean at the gate SF).
+    val seedRows = e.select(col("vec_id").as("sid"),
+        col("embedding").cast("array<double>").as("se"),
         md5(col("vec_id").cast("string")).as("h"))
       .orderBy(col("h").asc, col("sid").asc).limit(k)
       // unpartitioned window on a post-LIMIT k-row frame (the
       // documented exemption; v10's rank windows set the precedent)
       .withColumn("code",
         row_number().over(Window.orderBy(col("sid").cast("string").asc)) - 1)
-    val sg = seeds.select(col("code"), posexplode(col("se")))
-      .select(col("code"), (col("pos") / subDim).cast("int").as("sub"),
-        (col("pos") % subDim).as("lpos"), col("col").cast("double").as("sv"))
-    val d1 = subv.join(broadcast(sg), Seq("sub", "lpos"))
-      .groupBy(col("vec_id"), col("sub"), col("code"))
-      .agg(sum(col("v") * col("sv")).as("dot"))
-    // Lloyd assignment is EUCLIDEAN: argmin ||x-c||^2 = argmax
-    // (<x,c> - ||c||^2/2) since ||x||^2 is constant per (vec, sub).
-    // Max-dot assignment (the full-vector KMeans shape, where
-    // unit-norm makes the two equivalent) is WRONG for subvectors,
-    // whose norms vary — it herds everything onto long codewords
-    // (measured: recall@3 12/60 max-dot vs 43/60 euclidean).
-    val sn = sg.groupBy(col("sub"), col("code"))
-      .agg((sum(col("sv") * col("sv")) / 2).as("hn"))
-    val aw = Window.partitionBy(col("vec_id"), col("sub"))
-      .orderBy(col("key").desc, col("code").asc)
-    val a1 = d1.join(broadcast(sn), Seq("sub", "code"))
-      .withColumn("key", col("dot") - col("hn"))
-      .withColumn("rn", row_number().over(aw))
-      .filter(col("rn") === 1).select(col("vec_id"), col("sub"), col("code"))
-    val sums = subv.join(a1, Seq("vec_id", "sub"))
+      .select(col("code"), col("se")).collect()
+    val seedCb = Array.fill(m, k, subDim)(0.0)
+    seedRows.foreach { r =>
+      val code = r.getInt(0)
+      val se = r.getSeq[Double](1)
+      for (sub <- 0 until m; p <- 0 until subDim)
+        seedCb(sub)(code)(p) = se(sub * subDim + p)
+    }
+    val enc = e.select(
+      col("embedding") +:
+        (0 until m).map(i => pqCodeCol(seedCb, i).as(s"c$i")): _*)
+    val sums = enc
+      .select(posexplode(col("embedding")),
+        array((0 until m).map(i => col(s"c$i")): _*).as("cs"))
+      .select((col("pos") / subDim).cast("int").as("sub"),
+        (col("pos") % subDim).as("lpos"),
+        col("col").cast("double").as("v"), col("cs"))
+      .withColumn("code", element_at(col("cs"), col("sub") + 1))
       .groupBy(col("sub"), col("code"), col("lpos"))
       .agg(sum(col("v")).as("sm"), count(lit(1)).as("n"))
-    val cb1 = sg.join(sums, Seq("sub", "code", "lpos"), "left")
-      .select(col("sub"), col("code"), col("lpos"),
-        coalesce(col("sm") / col("n"), col("sv")).as("cv"))
-    val cb = Array.fill(m, k, subDim)(0.0)
-    cb1.collect().foreach { r => // 1024 doubles: the bounded class
-      cb(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+      .collect() // <= m*k*subDim = 1024 rows: the bounded class
+    // empty codewords keep their seed value (the oracle cb1 coalesce)
+    val cb = seedCb.map(_.map(_.clone()))
+    sums.foreach { r =>
+      cb(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+        r.getDouble(3) / r.getLong(4)
     }
     cb
   }
