@@ -22,7 +22,7 @@ object Relational {
     * part set, then a codegen'd array comprehension emits the sorted
     * combinations — the self-join form shuffles the lineitem table
     * twice and rehashes per pair; this ships each order's set once. */
-  private def coPurchaseEdges(s: org.apache.spark.sql.SparkSession,
+  private[graft] def coPurchaseEdges(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
@@ -936,6 +936,81 @@ object Relational {
                  SELECT node, label, row_number() OVER (PARTITION BY node
                    ORDER BY n DESC, label ASC) AS rn FROM m2) WHERE rn = 1)
         SELECT node, label FROM l2""")),
+
+    Q(
+      "gr03b_label_propagation_converged",
+      "CONVERGED label propagation (the dm10d/gr02b early-stop recipe " +
+        "applied to gr03): iterate the synchronous min-tie round until " +
+        "a round changes ZERO labels, with SELF-VOTE damping (each " +
+        "node counts as its own neighbor — Raghavan et al. 2007 §III's " +
+        "'include self' option). The damping is what MAKES an " +
+        "early-stop gate possible: plain synchronous LP period-2 " +
+        "oscillates on this graph and never satisfies zero-changed " +
+        "(measured: cycles at round 35 at sf0.01, round 9 at sf0.1 — " +
+        "tools/LpProbe), while the self-vote's +1 hysteresis breaks " +
+        "the flip-flop symmetry (same probe: converges in 5/7/5 " +
+        "rounds at sf0.001/0.01/0.1; oscillation and maxRounds exits " +
+        "still throw rather than gate bogus communities). Labels and " +
+        "the changed-count stop test are exact integers, so the " +
+        "convergence round is bit-deterministic on any engine or " +
+        "partitioning — the oracle replays the measured 7 sf0.01 " +
+        "rounds as CTEs and pins iters=7; the convergence TEST, not " +
+        "a pinned count, produces the hash-matched result. Per-round " +
+        "cost is gr03's: one edge join + one counted agg + one " +
+        "node-partitioned argmax, lineage cut per round.",
+      (s, d) => graft.operators.LabelPropagation.runConverged(
+        coPurchaseEdges(s, d), "pa", "pb", maxRounds = 40),
+      Some {
+        val rounds = (2 to 7).map { i =>
+          s"""m$i AS (SELECT d.t AS node, l.label, count(*) AS n
+               FROM dir d JOIN l${i - 1} l ON l.node = d.s GROUP BY 1, 2),
+        l$i AS (SELECT node, label FROM (
+                 SELECT node, label, row_number() OVER (PARTITION BY node
+                   ORDER BY n DESC, label ASC) AS rn FROM m$i) WHERE rn = 1)"""
+        }.mkString(",\n        ")
+        s"""
+        WITH $CoPurchaseSql,
+        und AS (SELECT u AS s, v AS t FROM e
+                UNION ALL SELECT v, u FROM e),
+        dir AS (SELECT s, t FROM und
+                UNION ALL SELECT DISTINCT s, s FROM und),
+        m1 AS (SELECT d.t AS node, d.s AS label, count(*) AS n
+               FROM dir d GROUP BY 1, 2),
+        l1 AS (SELECT node, label FROM (
+                 SELECT node, label, row_number() OVER (PARTITION BY node
+                   ORDER BY n DESC, label ASC) AS rn FROM m1) WHERE rn = 1),
+        $rounds
+        SELECT node, label, CAST(7 AS INT) AS iters FROM l7"""
+      }),
+
+    Q(
+      "gr04_connected_components",
+      "Connected components as a first-class graph gate " +
+        "(operators/ConnectedComponents — the hybrid min-label-" +
+        "propagation + large-star/small-star contraction kernel that " +
+        "clusters the d05/d06 near-dup cascade): every co-purchase " +
+        "node labeled with the MIN node id of its component. The " +
+        "hybrid runs 8 propagation rounds (one join + one keyed min " +
+        "each) and, if the diameter exceeds that, contracts the " +
+        "quotient graph and finishes with alternating stars (Kiveris " +
+        "et al. SoCC'14) in O(log^2 n) rounds regardless of depth — " +
+        "so the gate exercises the same kernel that must survive a " +
+        "100k-node chain at 100 TB. Output is a pure graph property " +
+        "(min id per component): exact integers, independent of " +
+        "kernel, round count, partitioning or engine — the oracle " +
+        "computes it as a recursive-CTE transitive closure, a " +
+        "DIFFERENT algorithm agreeing on the same fixed point.",
+      (s, d) => graft.operators.ConnectedComponents.minLabel(
+        coPurchaseEdges(s, d), "pa", "pb"),
+      Some(s"""
+        WITH RECURSIVE $CoPurchaseSql,
+        dir AS (SELECT u AS s, v AS t FROM e
+                UNION ALL SELECT v, u FROM e),
+        r(id, m) AS (
+          SELECT s, s FROM dir
+          UNION
+          SELECT r.id, d.t FROM r JOIN dir d ON d.s = r.m)
+        SELECT id, min(m) AS component FROM r GROUP BY 1""")),
 
     // ----- skew handling: two-stage salted aggregation -------------------------
     Q(

@@ -47,6 +47,46 @@ class LabelPropagationSpec extends SparkSpec {
     assert(r2(2L) == 2L)
   }
 
+  private def runConv(edges: Seq[(Long, Long)], maxRounds: Int)
+      : (Map[Long, Long], Int) = {
+    val s = spark
+    import s.implicits._
+    val rows = LabelPropagation
+      .runConverged(edges.toDF("u", "v"), "u", "v", maxRounds)
+      .collect()
+    (rows.map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      rows.map(_.getInt(2)).distinct match { case Array(i) => i })
+  }
+
+  test("runConverged: path 1-2-3 stabilizes to label 1 in 3 rounds") {
+    // self-vote trace (labels = ids): r1: 1<-{2,self 1} tie->1,
+    // 2<-{1,3,self 2}->1, 3<-{2,self 3}->2  => (1,1,2) changed=2
+    // r2: 3<-{l2=1,self 2} tie->1 => (1,1,1) changed=1
+    // r3: all see only 1s => changed=0, iters=3
+    val (labels, iters) = runConv(Seq((1L, 2L), (2L, 3L)), 10)
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    assert(iters == 3)
+  }
+
+  test("runConverged: disjoint triangles flood min ids, iters=2") {
+    // r1: every triangle node sees 3 distinct labels (two neighbors +
+    // self), count-tie -> component min; r2 proves stability
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L))
+    val (labels, iters) = runConv(e, 10)
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+    assert(iters == 2)
+  }
+
+  test("runConverged: throws on an unconverged maxRounds exit") {
+    // the path needs 3 rounds (above); a 2-round budget must throw,
+    // not gate the round-2 labels as if they were a fixed point
+    intercept[IllegalStateException] {
+      runConv(Seq((1L, 2L), (2L, 3L)), 2)
+    }
+  }
+
   test("result is identical across shuffle-partition settings") {
     val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (2L, 4L),
       (10L, 11L), (11L, 12L))
