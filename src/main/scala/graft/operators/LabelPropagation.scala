@@ -96,6 +96,7 @@ object LabelPropagation {
     val w = Window.partitionBy(col("node"))
       .orderBy(col("n").desc, col("label").asc)
     var round = 0
+    var lastChanged = -1L
     while (round < maxRounds) {
       round += 1
       val next = dir
@@ -111,7 +112,12 @@ object LabelPropagation {
         .filter(col("label") =!= col("__prev")).count()
       if (changed == 0L)
         return next.withColumn("iters", lit(round))
-      if (prevPrev != null) {
+      // A period-2 cycle flips between states A/B, so every changed
+      // count in the cycle equals |A != B| — consecutive counts are
+      // EQUAL. Gating the (otherwise per-round) cycle-check job on
+      // that necessary condition costs at most one extra round before
+      // the throw and skips the job entirely on the converging path.
+      if (prevPrev != null && changed == lastChanged) {
         val cycled = next
           .join(prevPrev.withColumnRenamed("label", "__pp"), Seq("node"))
           .filter(col("label") =!= col("__pp")).count() == 0L
@@ -121,6 +127,7 @@ object LabelPropagation {
       if (prevPrev != null) prevPrev.unpersist()
       prevPrev = labels
       labels = next
+      lastChanged = changed
     }
     throw new IllegalStateException(
       s"label propagation did not converge within $maxRounds rounds")
