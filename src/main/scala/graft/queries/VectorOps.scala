@@ -419,18 +419,7 @@ object VectorOps {
       for (sub <- 0 until m; p <- 0 until subDim)
         seedCb(sub)(code)(p) = se(sub * subDim + p)
     }
-    val enc = e.select(
-      col("embedding") +:
-        (0 until m).map(i => pqCodeCol(seedCb, i).as(s"c$i")): _*)
-    val sums = enc
-      .select(posexplode(col("embedding")),
-        array((0 until m).map(i => col(s"c$i")): _*).as("cs"))
-      .select((col("pos") / subDim).cast("int").as("sub"),
-        (col("pos") % subDim).as("lpos"),
-        col("col").cast("double").as("v"), col("cs"))
-      .withColumn("code", element_at(col("cs"), col("sub") + 1))
-      .groupBy(col("sub"), col("code"), col("lpos"))
-      .agg(sum(col("v")).as("sm"), count(lit(1)).as("n"))
+    val sums = pqTrainAgg(e, seedCb)
       .collect() // <= m*k*subDim = 1024 rows: the bounded class
     // empty codewords keep their seed value (the oracle cb1 coalesce)
     val cb = seedCb.map(_.map(_.clone()))
@@ -439,6 +428,29 @@ object VectorOps {
         r.getDouble(3) / r.getLong(4)
     }
     cb
+  }
+
+  /** The Lloyd-update aggregation frame: per-(sub, code, lpos) sums
+    * and counts of assigned subvector components, with the assignment
+    * done by the seed-codebook literals (pqCodeCol). Factored out of
+    * pqCodebook so PlanSpec can pin the property the map-side rewrite
+    * bought — the whole training pass is ONE explode + ONE 1024-group
+    * aggregate with NO join and NO window. */
+  private[graft] def pqTrainAgg(e: org.apache.spark.sql.DataFrame,
+      seedCb: Array[Array[Array[Double]]])
+      : org.apache.spark.sql.DataFrame = {
+    val m = PqM; val subDim = PqSubDim
+    e.select(
+        col("embedding") +:
+          (0 until m).map(i => pqCodeCol(seedCb, i).as(s"c$i")): _*)
+      .select(posexplode(col("embedding")),
+        array((0 until m).map(i => col(s"c$i")): _*).as("cs"))
+      .select((col("pos") / subDim).cast("int").as("sub"),
+        (col("pos") % subDim).as("lpos"),
+        col("col").cast("double").as("v"), col("cs"))
+      .withColumn("code", element_at(col("cs"), col("sub") + 1))
+      .groupBy(col("sub"), col("code"), col("lpos"))
+      .agg(sum(col("v")).as("sm"), count(lit(1)).as("n"))
   }
 
   // --- map-side encode + LUT from codebook literals (zero shuffle:

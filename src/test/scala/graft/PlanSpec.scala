@@ -247,6 +247,24 @@ class PlanSpec extends SparkSpec {
       s"only qid rank-window exchanges allowed, got $ex:\n${p.take(3000)}")
   }
 
+  test("PQ codebook training aggregates map-side: one explode + one " +
+      "grouped agg, no join, no window") {
+    // the map-side rewrite's contract: assignment is codebook-literal
+    // expressions (pqCodeCol over the collected seeds), so the whole
+    // Lloyd update is scan → projection → explode → hash aggregate —
+    // a join or window here means the old per-(vec, sub) assignment
+    // chain crept back
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    val seedCb = Array.fill(8, 16, 8)(0.5)
+    val p = graft.queries.VectorOps.pqTrainAgg(e, seedCb)
+      .queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!p.contains("Join"), s"training must not join:\n${p.take(3000)}")
+    assert(!p.contains("Window"), s"training must not window:\n${p.take(3000)}")
+    assert(p.contains("Generate") && p.contains("HashAggregate"),
+      p.take(2000))
+  }
+
   test("no query plans an unpartitioned window outside documented bounded sites") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     // Bounded-by-construction exemption: GlobalRank's offsets window runs
