@@ -672,7 +672,7 @@ object CarveOutGate {
                  CAST(sum(CASE WHEN is_to THEN 1 ELSE 0 END) AS BIGINT) AS tov,
                  CAST(sum(CASE WHEN is_dr THEN 1 ELSE 0 END) AS BIGINT) AS dreb,
                  CAST(0 AS BIGINT) AS oreb,
-                 sum(CASE WHEN scoring THEN sv ELSE CAST(0.0 AS DOUBLE) END) AS pts,
+                 CAST(sum(CASE WHEN scoring THEN sv ELSE CAST(0.0 AS DOUBLE) END) AS DOUBLE) AS pts,
                  CAST(max(coalesce(period, 1)) AS INT) AS max_period
           FROM enr GROUP BY 1, 2),
         poss AS (
@@ -758,7 +758,7 @@ object CarveOutGate {
                  CAST(sum(CASE WHEN is_to THEN 1 ELSE 0 END) AS BIGINT) AS tov,
                  CAST(sum(CASE WHEN is_dr THEN 1 ELSE 0 END) AS BIGINT) AS dreb,
                  CAST(0 AS BIGINT) AS oreb,
-                 sum(CASE WHEN scoring THEN sv ELSE CAST(0.0 AS DOUBLE) END) AS pts,
+                 CAST(sum(CASE WHEN scoring THEN sv ELSE CAST(0.0 AS DOUBLE) END) AS DOUBLE) AS pts,
                  CAST(max(coalesce(period, 1)) AS INT) AS max_period
           FROM enrx GROUP BY 1, 2),
         poss AS (

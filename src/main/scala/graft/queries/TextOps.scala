@@ -2337,7 +2337,7 @@ object TextOps {
         tf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM big GROUP BY 1, 2, 3),
         c12 AS (SELECT w1, w2, sum(tf) AS c12 FROM tf GROUP BY 1, 2),
         c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
-        doc AS (SELECT f.doc_id, sum(f.tf) AS n_bigrams,
+        doc AS (SELECT f.doc_id, CAST(sum(f.tf) AS BIGINT) AS n_bigrams,
                        round(CAST(sum(f.tf *
                                CAST(round(ln(CAST(0.9 AS DOUBLE) * (b.c12 / c1.c1)
                                              + CAST(0.1 AS DOUBLE) * (u.c2 / tot.total))
