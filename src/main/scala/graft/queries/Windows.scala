@@ -965,8 +965,7 @@ object Windows {
         val dir = java.nio.file.Files.createTempDirectory("graft_st15_")
         org.apache.commons.io.FileUtils.forceDeleteOnExit(dir.toFile)
         val e = Tables.embeddings(s, d)
-        val (_, cent, _) = graft.operators.KMeans.fitConverged(
-          s, e, k = 8, maxIter = 25, tol = 0.12)
+        val cent = TrainedIndex.centroids(s, d, k = 8)
         (0 until 3).foreach { b =>
           graft.streaming.StreamingVectorIndex.applyBatch(
             e.filter(pmod(col("vec_id"), lit(3)) === b)
@@ -1047,9 +1046,8 @@ object Windows {
         val dir = java.nio.file.Files.createTempDirectory("graft_st17_")
         org.apache.commons.io.FileUtils.forceDeleteOnExit(dir.toFile)
         val e = Tables.embeddings(s, d)
-        val (_, cent, _) = graft.operators.KMeans.fitConverged(
-          s, e, k = 8, maxIter = 25, tol = 0.12)
-        val cb = VectorOps.pqCodebook(s, d)
+        val cent = TrainedIndex.centroids(s, d, k = 8)
+        val cb = TrainedIndex.codebook(s, d)
         (0 until 3).foreach { b =>
           graft.streaming.StreamingVectorIndex.applyBatch(
             e.filter(pmod(col("vec_id"), lit(3)) === b)

@@ -1,0 +1,102 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Versioned persistence for the trained ANN index artifacts — the
+  * IVF coarse centroids and the PQ codebook — so serving never
+  * retrains (VERDICT r11 #3; the reference freezes derived state the
+  * same way in its checkpoint store, `checkpoint.py:18-45`).
+  *
+  * Layout (the StreamingVectorIndex convention: versioned roots +
+  * one atomic pointer, never an in-place edit):
+  * {{{
+  *   dir/v<version>/centroids/   parquet (cluster, pos, v)
+  *   dir/v<version>/codebook/    parquet (sub, code, lpos, v)
+  *   dir/_current                — atomic marker: <version>
+  * }}}
+  *
+  * A retrain writes a NEW v<version+1> root and flips `_current`
+  * after the parquet is fully on disk — a crash mid-save leaves an
+  * unreferenced directory and readers keep serving the previous
+  * version (IndexArtifactsSpec pins this). Both artifact tables are
+  * driver-bounded at any corpus size (k x dim and m x k x subDim
+  * doubles — the KMeans-centroid bounded class), so the collect on
+  * load is a few thousand rows forever; doubles round-trip parquet
+  * bit-exactly, so a probe served from loaded artifacts hash-matches
+  * one served from the in-memory build (the v15 gate).
+  */
+object IndexArtifacts {
+
+  /** Version the `_current` marker points at; -1 before the first
+    * save (or when `dir` is not an artifact store). */
+  def currentVersion(dir: String): Long =
+    graft.streaming.StateMarker.lastApplied(dir)
+
+  /** Persist one trained artifact set (either part may be absent) as
+    * the next version and flip the marker. @return the published
+    * version id. */
+  def save(spark: SparkSession, dir: String,
+      centroids: Option[Array[Array[Double]]],
+      codebook: Option[Array[Array[Array[Double]]]] = None): Long = {
+    import spark.implicits._
+    Files.createDirectories(Paths.get(dir))
+    val v = currentVersion(dir) + 1
+    centroids.foreach { cent =>
+      val centRows = for {
+        c <- cent.indices; p <- cent(c).indices
+      } yield (c, p, cent(c)(p))
+      centRows.toDF("cluster", "pos", "v")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/v$v/centroids")
+    }
+    codebook.foreach { cb =>
+      val cbRows = for {
+        s <- cb.indices; c <- cb(s).indices; p <- cb(s)(c).indices
+      } yield (s, c, p, cb(s)(c)(p))
+      cbRows.toDF("sub", "code", "lpos", "v")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/v$v/codebook")
+    }
+    graft.streaming.StateMarker.publish(dir, v)
+    v
+  }
+
+  /** Centroids at the current version, rebuilt as the dense
+    * Array[cluster][pos] the map-side serving expressions take. */
+  def loadCentroids(spark: SparkSession, dir: String)
+      : Array[Array[Double]] = {
+    val v = currentVersion(dir)
+    require(v >= 0, s"no published artifact version under $dir")
+    require(new java.io.File(s"$dir/v$v/centroids").isDirectory,
+      s"version $v under $dir was saved without centroids")
+    val rows = spark.read.parquet(s"$dir/v$v/centroids")
+      .select(col("cluster"), col("pos"), col("v")).collect()
+    val k = rows.map(_.getInt(0)).max + 1
+    val dim = rows.map(_.getInt(1)).max + 1
+    val out = Array.fill(k, dim)(0.0)
+    rows.foreach(r => out(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    out
+  }
+
+  /** PQ codebook at the current version (None when the version was
+    * saved without one), as the Array[sub][code][lpos] the encode and
+    * LUT expressions take. */
+  def loadCodebook(spark: SparkSession, dir: String)
+      : Option[Array[Array[Array[Double]]]] = {
+    val v = currentVersion(dir)
+    require(v >= 0, s"no published artifact version under $dir")
+    if (!new java.io.File(s"$dir/v$v/codebook").isDirectory) return None
+    val rows = spark.read.parquet(s"$dir/v$v/codebook")
+      .select(col("sub"), col("code"), col("lpos"), col("v")).collect()
+    val m = rows.map(_.getInt(0)).max + 1
+    val k = rows.map(_.getInt(1)).max + 1
+    val sd = rows.map(_.getInt(2)).max + 1
+    val out = Array.fill(m, k, sd)(0.0)
+    rows.foreach(r =>
+      out(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3))
+    Some(out)
+  }
+}

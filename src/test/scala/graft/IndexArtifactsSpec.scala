@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.IndexArtifacts
+
+/** Pins the versioned artifact store's contract (VERDICT r11 #3):
+  * bit-exact round-trip of the trained arrays, monotone version
+  * advance under the atomic marker, and crash-mid-save invisibility
+  * (a version directory without a flipped marker is never served). */
+class IndexArtifactsSpec extends SparkSpec {
+
+  private def tmp(): String = {
+    val d = Files.createTempDirectory("graft_artifacts_spec_")
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(d.toFile)
+    d.toString
+  }
+
+  private val cent: Array[Array[Double]] = Array(
+    Array(1.5, -2.25, 1.0 / 3.0), // 1/3 is not dyadic — exactness must
+    Array(0.1 + 0.2, 1e-300, 0.0)) // survive parquet, not rounding luck
+  private val cb: Array[Array[Array[Double]]] = Array(
+    Array(Array(0.5, -0.5), Array(math.Pi, math.E)),
+    Array(Array(1e-17, 2.0), Array(-3.5, 7.0)))
+
+  test("centroids + codebook round-trip bit-exactly") {
+    val dir = tmp()
+    val v = IndexArtifacts.save(spark, dir, Some(cent), Some(cb))
+    assert(v === 0L)
+    val lc = IndexArtifacts.loadCentroids(spark, dir)
+    val lb = IndexArtifacts.loadCodebook(spark, dir).get
+    assert(lc.length === cent.length)
+    for (i <- cent.indices; j <- cent(i).indices)
+      assert(java.lang.Double.doubleToRawLongBits(lc(i)(j)) ===
+        java.lang.Double.doubleToRawLongBits(cent(i)(j)))
+    for (s <- cb.indices; c <- cb(s).indices; p <- cb(s)(c).indices)
+      assert(java.lang.Double.doubleToRawLongBits(lb(s)(c)(p)) ===
+        java.lang.Double.doubleToRawLongBits(cb(s)(c)(p)))
+  }
+
+  test("a retrain publishes the next version and load serves it") {
+    val dir = tmp()
+    IndexArtifacts.save(spark, dir, Some(cent))
+    val cent2 = cent.map(_.map(_ * 2.0))
+    val v = IndexArtifacts.save(spark, dir, Some(cent2))
+    assert(v === 1L)
+    assert(IndexArtifacts.currentVersion(dir) === 1L)
+    assert(IndexArtifacts.loadCentroids(spark, dir)(0)(0) === 3.0)
+  }
+
+  test("a crash mid-save (version dir on disk, marker not flipped) is invisible") {
+    val dir = tmp()
+    IndexArtifacts.save(spark, dir, Some(cent))
+    // simulate the crash: the v1 parquet landed but the marker never
+    // flipped — exactly the window between the writes in save()
+    import spark.implicits._
+    Seq((0, 0, 99.0)).toDF("cluster", "pos", "v")
+      .write.parquet(s"$dir/v1/centroids")
+    assert(IndexArtifacts.currentVersion(dir) === 0L)
+    assert(IndexArtifacts.loadCentroids(spark, dir)(0)(0) === cent(0)(0))
+    // the next save supersedes the torn directory rather than serving it
+    val v = IndexArtifacts.save(spark, dir, Some(cent))
+    assert(v === 1L)
+    assert(IndexArtifacts.loadCentroids(spark, dir)(0)(0) === cent(0)(0))
+  }
+
+  test("codebook-only versions exist (the TrainedIndex pq store) and " +
+    "loadCentroids refuses them") {
+    val dir = tmp()
+    IndexArtifacts.save(spark, dir, None, Some(cb))
+    assert(IndexArtifacts.loadCodebook(spark, dir).isDefined)
+    assertThrows[IllegalArgumentException](
+      IndexArtifacts.loadCentroids(spark, dir))
+  }
+
+  test("loading from an empty store fails fast") {
+    assertThrows[IllegalArgumentException](
+      IndexArtifacts.loadCentroids(spark, tmp()))
+  }
+}
