@@ -27,12 +27,17 @@ import graft.sources.Tables
 private[queries] object KmeansSql {
 
   /** seeds → first assignment (a1) → first update (cent1) → dots vs
-    * cent1 (d2): what v05c ranks for its re-assignment gate. */
-  val UpToD2: String = """
+    * cent1 (d2): what v05c ranks for its re-assignment gate.
+    * k-parameterized (VERDICT r11 #5): the scaled gates (v14b at
+    * k=25) replay the same 2-Lloyd chain with a wider seed LIMIT —
+    * tools.KmProbe brackets that tol=0.12 stops at exactly 2
+    * iterations for k=25 too (iter-1 delta ~0.33, iter-2 ~0.05 at
+    * every SF), so cent2 is the converged stop for both k's. */
+  def upToD2(k: Int): String = s"""
         seeds0 AS (
           SELECT vec_id AS sid, embedding::DOUBLE[] AS se
           FROM embeddings
-          ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 8),
+          ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT $k),
         seeds AS (
           SELECT sid, se,
                  row_number() OVER (ORDER BY CAST(sid AS VARCHAR) ASC) - 1 AS cluster
@@ -57,10 +62,13 @@ private[queries] object KmeansSql {
         d2 AS (SELECT l.vec_id, c.cluster, sum(l.v * c.cv) AS dot
                FROM long l JOIN cent1 c USING (pos) GROUP BY 1, 2)"""
 
+  /** The k=8 chain every pre-r12 gate composes. */
+  val UpToD2: String = upToD2(8)
+
   /** …second assignment (a2) → second update (cent2): the centroids
     * KMeans.fitConverged(k=8, tol=0.12) stops on (v05d pins that the
     * early-stop fires at exactly 2 iterations). */
-  val UpToCent2: String = UpToD2 + """,
+  def upToCent2(k: Int): String = upToD2(k) + """,
         a2 AS (SELECT vec_id, cluster FROM (
                  SELECT vec_id, cluster,
                         row_number() OVER (PARTITION BY vec_id
@@ -71,6 +79,9 @@ private[queries] object KmeansSql {
         cent2 AS (SELECT c1.cluster, c1.pos, coalesce(m.s / m.n, c1.cv) AS cv
                   FROM cent1 c1 LEFT JOIN sums2 m
                     ON c1.cluster = m.cluster AND c1.pos = m.pos)"""
+
+  /** The k=8 full chain every pre-r12 gate composes. */
+  val UpToCent2: String = upToCent2(8)
 }
 
 object VectorOps {
@@ -1803,6 +1814,42 @@ object VectorOps {
       (s, d) => knnGraph(s, d, kCells = 8),
       Some(s"""
         WITH ${KmeansSql.UpToCent2},
+        ${geoCellsSql(nprobe = 1)},
+        cc AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce,
+                      sqrt(list_dot_product(embedding::DOUBLE[],
+                                            embedding::DOUBLE[])) AS nrm
+               FROM embeddings),
+        sc AS (SELECT x.g_cid AS a_id, y.g_cid AS b_id,
+                      list_dot_product(ca.ce, cb.ce)
+                      / (ca.nrm * cb.nrm) AS cos
+               FROM a3 x JOIN a3 y ON x.cell = y.cell AND x.g_cid <> y.g_cid
+               JOIN cc ca ON ca.cid = x.g_cid
+               JOIN cc cb ON cb.cid = y.g_cid)
+        SELECT a_id AS vec_id, CAST(rn AS INT) AS rank,
+               b_id AS neighbor_id, round(cos, 4) AS cosine
+        FROM (SELECT *, row_number() OVER (PARTITION BY a_id
+                ORDER BY cos DESC, b_id ASC) rn FROM sc)
+        WHERE rn <= 3""")),
+
+    Q(
+      "v14b_knn_graph_scaled",
+      "v14 at the sqrt(n)-scaled operating point (kCells=25 - the " +
+        "SemDedupKAb/KnnGraphAb prescription the v14 doc string " +
+        "cites, now GATED rather than A/B evidence only, mirroring " +
+        "how v13b gates v13's operating point): per-cell pair volume " +
+        "is sum(cell_i^2) ~ n^2/k, so holding per-cell occupancy " +
+        "flat as the corpus grows means k ~ sqrt(n); KnnGraphAb " +
+        "measured fixed k=8 paying 73x the pair volume at 10x rows. " +
+        "Same kernel (knnGraph - ONE cell-keyed self-join + " +
+        "TopKPerKey partial heaps), same TrainedIndex artifact " +
+        "cache at its own k; the oracle replays the identical " +
+        "2-Lloyd chain at k=25 (KmeansSql.upToCent2(25) - " +
+        "tools.KmProbe brackets that tol=0.12 stops at exactly 2 " +
+        "iterations for k=25 at every SF: iter-1 delta ~0.33, " +
+        "iter-2 ~0.05).",
+      (s, d) => knnGraph(s, d, kCells = 25),
+      Some(s"""
+        WITH ${KmeansSql.upToCent2(25)},
         ${geoCellsSql(nprobe = 1)},
         cc AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce,
                       sqrt(list_dot_product(embedding::DOUBLE[],

@@ -18,8 +18,10 @@ object KmProbe {
       else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
     dirs.foreach { d =>
       val emb = graft.sources.Tables.embeddings(spark, d)
-      // replay fitConverged's loop, printing the per-iteration delta
-      val k = 8
+      // replay fitConverged's loop, printing the per-iteration delta;
+      // k from KM_K (default 8) so the k-scaled gates (v14b) can
+      // bracket their own stop-at-2 claim
+      val k = sys.env.getOrElse("KM_K", "8").toInt
       val long = emb.select(col("vec_id").as("__id"), posexplode(col("embedding")))
         .select(col("__id"), col("pos"), col("col").cast("double").as("v"))
       val seedIds = emb.select(col("vec_id").as("__id"),

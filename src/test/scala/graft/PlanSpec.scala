@@ -247,6 +247,26 @@ class PlanSpec extends SparkSpec {
       s"only qid rank-window exchanges allowed, got $ex:\n${p.take(3000)}")
   }
 
+  test("v14/v14b kNN graph: pair cut runs through the TopKPerKey heap " +
+      "and only cell + per-point exchanges appear, at both k's") {
+    Seq(8, 25).foreach { k =>
+      val g = graft.queries.VectorOps.knnGraph(spark, sf, kCells = k)
+      val p = g.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      // the heap operator must survive into the physical plan — a
+      // row_number window here would re-shuffle every in-cell pair
+      // instead of <=3 rows per point
+      assert(p.contains("TopKPerKey"), p.take(3000))
+      // cell assignment is a map-side centroid-literal expression, so
+      // the only exchanges are the cell-keyed self-join and the final
+      // 3n-row per-point rank
+      val ex = "Exchange hashpartitioning\\((\\w+)".r
+        .findAllMatchIn(p).map(_.group(1)).toSet
+      assert(ex.subsetOf(Set("cell", "a_id")),
+        s"k=$k: only cell/a_id exchanges allowed, got $ex:\n${p.take(3000)}")
+    }
+  }
+
   test("PQ codebook training aggregates map-side: one explode + one " +
       "grouped agg, no join, no window") {
     // the map-side rewrite's contract: assignment is codebook-literal
