@@ -101,6 +101,64 @@ object Relational {
              CAST(count(DISTINCT s_nationkey) AS DOUBLE) / (SELECT count(*) FROM nation) * 100
       FROM supplier) v"""
 
+  /** The REMAINING per-table blocks of the reference's bronze/silver
+    * validation corpus (bronze_silver_validation_queries.sql:44-71 —
+    * sql01 gates the first three): per-table group counts over every
+    * other registered table, plus the reference's block-2 "empty
+    * seasons" ingestion-gap shape (GROUP BY ... HAVING count(*) <
+    * threshold). Same ANSI text, both engines. */
+  val ValidationSql2: String = """
+    SELECT tbl, grp, n FROM (
+      SELECT 'part' AS tbl, p_brand AS grp, count(*) AS n
+      FROM part GROUP BY p_brand
+      UNION ALL
+      SELECT 'supplier' AS tbl, CAST(s_nationkey AS STRING) AS grp, count(*) AS n
+      FROM supplier GROUP BY s_nationkey
+      UNION ALL
+      SELECT 'nation' AS tbl, CAST(n_regionkey AS STRING) AS grp, count(*) AS n
+      FROM nation GROUP BY n_regionkey
+      UNION ALL
+      SELECT 'events' AS tbl, event_type AS grp, count(*) AS n
+      FROM events GROUP BY event_type
+      UNION ALL
+      SELECT 'documents' AS tbl, lang AS grp, count(*) AS n
+      FROM documents GROUP BY lang
+      UNION ALL
+      SELECT 'gap_nation' AS tbl, CAST(n_regionkey AS STRING) AS grp, count(*) AS n
+      FROM nation GROUP BY n_regionkey HAVING count(*) < 5
+      UNION ALL
+      SELECT 'gap_documents' AS tbl, lang AS grp, count(*) AS n
+      FROM documents GROUP BY lang HAVING count(*) < 25) v"""
+
+  /** The LEFT JOIN DISTINCT coverage-% block of the reference's audit
+    * (data_completeness_audit.sql:27-50, Q2/Q3): per-"season" parent
+    * counts, child-covered counts, gap, and rounded coverage pct. The
+    * rounded ratio is hash-safe: both engines divide the SAME two
+    * integers, IEEE division is bit-identical, and a double can never
+    * land exactly on a .xx5 boundary (0.005 is not dyadic), so round()
+    * agrees. Same ANSI text, both engines. */
+  val CoverageAuditSql: String = """
+    SELECT year(CAST(o.o_orderdate AS DATE)) AS season,
+           COUNT(DISTINCT o.o_orderkey) AS total_orders,
+           COUNT(DISTINCT l.l_orderkey) AS orders_with_lines,
+           COUNT(DISTINCT o.o_orderkey) - COUNT(DISTINCT l.l_orderkey) AS orders_without_lines,
+           ROUND(CAST(COUNT(DISTINCT l.l_orderkey) AS DOUBLE)
+                 / NULLIF(COUNT(DISTINCT o.o_orderkey), 0) * 100, 2) AS coverage_pct
+    FROM orders o
+    LEFT JOIN (SELECT DISTINCT l_orderkey FROM lineitem) l
+      ON o.o_orderkey = l.l_orderkey
+    GROUP BY year(CAST(o.o_orderdate AS DATE))
+    UNION ALL
+    SELECT -1 AS season,
+           COUNT(DISTINCT c.c_custkey) AS total_orders,
+           COUNT(DISTINCT o2.o_custkey) AS orders_with_lines,
+           COUNT(DISTINCT c.c_custkey) - COUNT(DISTINCT o2.o_custkey) AS orders_without_lines,
+           ROUND(CAST(COUNT(DISTINCT o2.o_custkey) AS DOUBLE)
+                 / NULLIF(COUNT(DISTINCT c.c_custkey), 0) * 100, 2) AS coverage_pct
+    FROM customer c
+    LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o2
+      ON c.c_custkey = o2.o_custkey"""
+
   def defs: Seq[Q] = Seq(
 
     // ----- A1/A2: conditional hash aggregation (sum(when), count, max) --
@@ -1365,6 +1423,34 @@ object Relational {
         s.sql(Relational.CompletenessSql)
       },
       Some(Relational.CompletenessSql)),
+
+    Q(
+      "sql03_validation_remaining",
+      "The REMAINING per-table validation blocks (VERDICT r11 #6; " +
+        "bronze_silver_validation_queries.sql:44-71): group counts " +
+        "over every other registered table plus the block-2 'empty " +
+        "seasons' ingestion-gap shape (GROUP BY ... HAVING count(*) " +
+        "< threshold) - the EXACT same ANSI SQL text on spark.sql " +
+        "over registered views and on the DuckDB oracle.",
+      (s, d) => {
+        graft.sources.LakeIO.registerTables(s, d)
+        s.sql(Relational.ValidationSql2)
+      },
+      Some(Relational.ValidationSql2)),
+
+    Q(
+      "sql04_coverage_audit",
+      "The LEFT JOIN DISTINCT coverage-%% audit block (VERDICT r11 " +
+        "#6; data_completeness_audit.sql:27-50 Q2/Q3): per-season " +
+        "parent counts, child-covered counts, gap, and ROUND(...,2) " +
+        "coverage pct, orders~games/lineitem~plays and " +
+        "customer/orders as the two coverage pairs - the EXACT same " +
+        "ANSI SQL text on both engines.",
+      (s, d) => {
+        graft.sources.LakeIO.registerTables(s, d)
+        s.sql(Relational.CoverageAuditSql)
+      },
+      Some(Relational.CoverageAuditSql)),
 
     // ----- W5/F9: exponential decay weighting ----------------------------------------------
     Q(

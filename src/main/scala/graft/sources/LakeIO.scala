@@ -61,10 +61,15 @@ object LakeIO {
 
   /** S8: register tables for the SQL surface (temp views standing in for
     * the reference's Glue catalog). */
-  def registerTables(spark: org.apache.spark.sql.SparkSession, dir: String): Unit =
+  def registerTables(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "documents", "embeddings")
       .foreach(t => Tables.table(spark, dir, t).createOrReplaceTempView(t))
+    // events goes through its normalizing reader (the parquet stores
+    // ns timestamps Spark 4 refuses raw; Tables.events truncates to
+    // the same µs instants DuckDB sees)
+    Tables.events(spark, dir).createOrReplaceTempView("events")
+  }
 
   /** S8 persistent path (reference glue_catalog.py:13-62): register an
     * EXTERNAL parquet location in the session catalog — the analog of
