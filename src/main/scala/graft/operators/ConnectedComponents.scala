@@ -76,7 +76,7 @@ object ConnectedComponents {
       changed = next.join(
           labels.withColumnRenamed("component", "__prev"), Seq("id"))
         .filter(col("component") =!= col("__prev")).count()
-      labels.unpersist()
+      Lineage.free(labels)
       labels = next
       round += 1
     }
@@ -98,10 +98,10 @@ object ConnectedComponents {
         .select(col("id"),
           coalesce(col("__root"), col("component")).as("component"))
         .localCheckpoint(true)
-      labels.unpersist()
+      Lineage.free(labels)
       labels = resolved
     }
-    e0.unpersist()
+    Lineage.free(e0)
     labels
   }
 
@@ -152,8 +152,8 @@ object ConnectedComponents {
       // fixed point: the canonical edge set stopped changing
       changed = next.join(cur, Seq("u", "v"), "left_anti").count() +
         cur.join(next, Seq("u", "v"), "left_anti").count()
-      ls.unpersist()
-      cur.unpersist()
+      Lineage.free(ls)
+      Lineage.free(cur)
       cur = next
       round += 1
     }
@@ -171,9 +171,9 @@ object ConnectedComponents {
       .groupBy(col("id"))
       .agg(min(coalesce(col("v"), col("id"))).as("component"))
       .localCheckpoint(true)
-    cur.unpersist()
-    nodes.unpersist()
-    e0.unpersist()
+    Lineage.free(cur)
+    Lineage.free(nodes)
+    Lineage.free(e0)
     out
   }
 
@@ -210,11 +210,11 @@ object ConnectedComponents {
       changed = next.join(
           labels.withColumnRenamed("component", "__prev"), Seq("id"))
         .filter(col("component") =!= col("__prev")).count()
-      labels.unpersist()
+      Lineage.free(labels)
       labels = next
       round += 1
     }
-    e0.unpersist()
+    Lineage.free(e0)
     labels
   }
 }

@@ -124,7 +124,7 @@ object LabelPropagation {
         if (cycled) throw new IllegalStateException(
           s"label propagation entered a period-2 oscillation at round $round")
       }
-      if (prevPrev != null) prevPrev.unpersist()
+      if (prevPrev != null) Lineage.free(prevPrev)
       prevPrev = labels
       labels = next
       lastChanged = changed

@@ -66,6 +66,18 @@ object StreamingVectorIndex {
       idCol: String, vecCol: String, batchId: Long, dir: String,
       codebook: Option[Array[Array[Array[Double]]]] = None): Unit = {
     if (batchId <= StateMarker.lastApplied(dir)) return // redelivery
+    // schema consistency is validated at WRITE time (ADVICE r11): the
+    // codebook arrives per call, and an index dir mixing code-bearing
+    // and plain batches would only fail — as an AnalysisException in
+    // unionByName — at read/compact time. The index's kind is recorded
+    // in the marker's second field on the first batch; a mismatched
+    // later batch is a caller bug (adding/retraining codes is an index
+    // REBUILD into a new dir + pointer swap, never an in-place mix).
+    val kind = if (codebook.isDefined) "codes" else "plain"
+    val prior = StateMarker.read(dir)
+    require(prior.length < 2 || prior(1) == kind,
+      s"index at $dir holds ${prior(1)} batches but this batch is $kind — " +
+        "changing the code layout is a rebuild (new dir), not a mixed append")
     Files.createDirectories(Paths.get(dir))
     // an empty trigger still advances the marker (so redelivery
     // no-ops) but writes no root — a data-less parquet root would
@@ -83,7 +95,7 @@ object StreamingVectorIndex {
       assigned.write.mode("overwrite").partitionBy("cell")
         .parquet(s"$dir/cells/b$batchId")
     }
-    StateMarker.publish(dir, batchId)
+    StateMarker.publish(dir, batchId, extras = Seq(kind))
   }
 
   /** The whole index: the current compacted root (if `compact` has

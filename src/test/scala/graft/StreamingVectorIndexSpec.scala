@@ -332,4 +332,86 @@ class StreamingVectorIndexSpec extends SparkSpec {
         files.mkString("\n"))
     } finally cleanup(dir)
   }
+
+  test("a crash mid-compaction is invisible to probes and the re-run heals") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    try {
+      def rows() = StreamingVectorIndex.readIndex(s, dir)
+        .select(col("vec_id"), col("cell").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      StreamingVectorIndex.applyBatch(
+        Seq((1L, vec(0.9, 0.1)), (2L, vec(-0.8, 0.2)))
+          .toDF("vec_id", "embedding"),
+        cent, "vec_id", "embedding", 0L, dir)
+      StreamingVectorIndex.compact(s, dir)
+      StreamingVectorIndex.applyBatch(
+        Seq((3L, vec(0.7, -0.3))).toDF("vec_id", "embedding"),
+        cent, "vec_id", "embedding", 1L, dir)
+      val live = rows()
+      assert(live == Set((1L, 0L), (2L, 1L), (3L, 0L)))
+
+      // crash window A: the next compaction died while WRITING the
+      // staging dir (possibly torn content) — readers resolve only
+      // compacted_v<marker>, so the staging name is unreachable
+      val staging = new java.io.File(s"$dir/compacted_v1__staging")
+      Seq((99L, vec(1.0, 0.0), 0L)).toDF("vec_id", "embedding", "cell")
+        .write.partitionBy("cell").parquet(staging.getPath)
+      assert(rows() == live)
+      // the re-run discards the torn staging and compacts cleanly
+      StreamingVectorIndex.compact(s, dir)
+      assert(StreamingVectorIndex.compactedUpTo(dir) == 1L)
+      assert(!staging.exists())
+      assert(rows() == live)
+
+      // crash window B: a compaction died between the staged→live
+      // RENAME and the `_compacted` marker flip — the renamed dir
+      // exists but no reader resolves it while the marker lags; plant
+      // a sentinel row inside to prove it is never read
+      StreamingVectorIndex.applyBatch(
+        Seq((4L, vec(-0.6, -0.4))).toDF("vec_id", "embedding"),
+        cent, "vec_id", "embedding", 2L, dir)
+      val live2 = rows()
+      Seq((99L, vec(1.0, 0.0), 0L)).toDF("vec_id", "embedding", "cell")
+        .write.partitionBy("cell")
+        .parquet(s"$dir/compacted_v2") // marker still at 1
+      assert(StreamingVectorIndex.compactedUpTo(dir) == 1L)
+      assert(rows() == live2, "unpublished rename leaked into reads")
+      // the re-run replaces the unpublished leftover wholesale
+      StreamingVectorIndex.compact(s, dir)
+      assert(StreamingVectorIndex.compactedUpTo(dir) == 2L)
+      assert(rows() == live2)
+      assert(!rows().exists(_._1 == 99L))
+    } finally cleanup(dir)
+  }
+
+  test("mixing plain and code-bearing batches is rejected at write time") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    try {
+      // 2-d vectors → one PQ subspace of dim 2, identity-ish codebook
+      val cb = Array(Array(Array(1.0, 0.0), Array(-1.0, 0.0)))
+      StreamingVectorIndex.applyBatch(
+        Seq((1L, vec(0.9, 0.1))).toDF("vec_id", "embedding"),
+        cent, "vec_id", "embedding", 0L, dir)
+      val e = intercept[IllegalArgumentException] {
+        StreamingVectorIndex.applyBatch(
+          Seq((2L, vec(-0.8, 0.2))).toDF("vec_id", "embedding"),
+          cent, "vec_id", "embedding", 1L, dir, Some(cb))
+      }
+      assert(e.getMessage.contains("rebuild"))
+      // redelivery of an already-applied id no-ops BEFORE the check
+      StreamingVectorIndex.applyBatch(
+        Seq((1L, vec(0.9, 0.1))).toDF("vec_id", "embedding"),
+        cent, "vec_id", "embedding", 0L, dir, Some(cb))
+      // and a consistent append still works
+      StreamingVectorIndex.applyBatch(
+        Seq((3L, vec(0.7, 0.3))).toDF("vec_id", "embedding"),
+        cent, "vec_id", "embedding", 1L, dir)
+      assert(StreamingVectorIndex.readIndex(s, dir)
+        .select("vec_id").collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    } finally cleanup(dir)
+  }
 }
