@@ -50,6 +50,16 @@ object Bench {
         name
     }
 
+  /** Extra-sample budget for a contended query (VERDICT r11 #2): r11
+    * had 12 contended medians vs r10's 0, and the worst offenders were
+    * all heavy (g06 spread 14.5 at a multi-second median) — 2 extra
+    * samples cannot outvote two polluted passes of a long query, so
+    * the budget scales with the median: heavy queries (> 2 s) get
+    * `heavy` re-runs, light ones keep `base`. Pure so BenchStatsSpec
+    * can pin the boundary. */
+  private[graft] def rerunCap(median: Double, base: Int, heavy: Int): Int =
+    if (median > 2.0) heavy else base
+
   /** The spread that feeds the contention flag. Plain max−min for a
     * query with only its main-pass samples; once a query has ADAPTIVE
     * RE-RUN samples (size > runs), the single worst sample is excluded
@@ -144,12 +154,15 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_CONTENTION_BOUND", "1.0").toDouble
     val rerunsMax =
       sys.env.getOrElse("SPARK_GRAFT_CONTENTION_RERUNS", "2").toInt
-    (1 to rerunsMax).foreach { _ =>
+    val rerunsHeavy =
+      sys.env.getOrElse("SPARK_GRAFT_CONTENTION_RERUNS_HEAVY", "4").toInt
+    (1 to math.max(rerunsMax, rerunsHeavy)).foreach { round =>
       val flagged = contendedFlags(
         samples.toSeq.map { case (n, ts) =>
           (n, med(ts), flagSpread(ts, runs)) }, contBound).toSet
       queries.foreach { case (name, fn) =>
-        if (flagged.contains(name)) {
+        if (flagged.contains(name) &&
+            round <= rerunCap(med(samples(name)), rerunsMax, rerunsHeavy)) {
           val refNow = timeRef()
           val t0 = System.nanoTime()
           try run(fn(spark, sfDir)) catch { case _: Throwable => () }

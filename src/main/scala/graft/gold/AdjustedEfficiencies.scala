@@ -106,7 +106,7 @@ object AdjustedEfficiencies {
     * recency decay (reference config default: null). */
   def build(spark: SparkSession, gameTeams: DataFrame, games: DataFrame,
       dimTeams: DataFrame, season: Int, cfg: Config = Config(),
-      halfLifeDays: Double = 0.0): DataFrame = {
+      halfLifeDays: Double = 0.0, warm: Boolean = true): DataFrame = {
     val prepped = prepare(gameTeams, games, dimTeams)
       .select("gameId", "teamId", "poss", "pts", "opp_poss", "opp_pts",
         "game_date", "neutral", "is_home")
@@ -124,7 +124,7 @@ object AdjustedEfficiencies {
         }
       }
     }.toSeq
-    runPerDate(spark, obs, dimTeams, season, cfg, halfLifeDays)
+    runPerDate(spark, obs, dimTeams, season, cfg, halfLifeDays, warm)
   }
 
   /** Flat prep for the garbage-removed variant (reference
@@ -194,13 +194,17 @@ object AdjustedEfficiencies {
     runPerDate(spark, obs, dimTeams, season, cfg, halfLifeDays)
   }
 
+  /** `warm=false` disables the date-to-date warm start (every date
+    * solves from the raw init) — the COLD comparison arm of the
+    * full-season measurement (tools.SeasonSolver); production always
+    * runs warm, exactly like the reference's snapshot driver. */
   private def runPerDate(spark: SparkSession, obs0: Seq[RawObs],
       dimTeams: DataFrame, season: Int, cfg: Config,
-      halfLifeDays: Double): DataFrame = {
+      halfLifeDays: Double, warm: Boolean = true): DataFrame = {
     import spark.implicits._
     val obs = obs0.sortBy(o => (o.date, o.team, o.opp))
     val dates = obs.map(_.date).distinct.sorted
-    var warm = Map.empty[Long, (Double, Double)]
+    var warmMap = Map.empty[Long, (Double, Double)]
     val out = dates.map { d =>
       val upTo = obs.filter(_.date <= d)
       val games = upTo.map { o =>
@@ -214,8 +218,9 @@ object AdjustedEfficiencies {
         GameObs(o.team, o.opp, o.pts, o.poss, o.oppPts, o.oppPoss, w,
           o.isHome, o.neutral)
       }
-      val ratings = IterativeRatings.solve(games, cfg, warm)
-      warm = ratings.map(r => r.team -> (r.adjOe, r.adjDe)).toMap
+      val ratings = IterativeRatings.solve(
+        games, cfg, if (warm) warmMap else Map.empty)
+      warmMap = ratings.map(r => r.team -> (r.adjOe, r.adjDe)).toMap
       d -> ratings
     }
 

@@ -36,12 +36,17 @@ object GoldGate {
 
   /** One game per order; team ids from custkey, scores from key modulos.
     * away = home + (orderkey%7 + 1) mod 25 — never equal to home. */
-  def games(s: SparkSession, d: String): DataFrame =
+  def games(s: SparkSession, d: String): DataFrame = games(s, d, 25)
+
+  /** nTeams-parameterized flavor: the gates pin 25 (the oracle
+    * FixtureSql replays %25); tools.SeasonSolver measures the
+    * production solver at the reference's ~360-team D1 field. */
+  def games(s: SparkSession, d: String, nTeams: Int): DataFrame =
     Tables.orders(s, d).select(
         col("o_orderkey").as("gameId"),
         concat(date_format(col("o_orderdate"), "yyyy-MM-dd"), lit("T19:00:00")).as("startDate"),
-        (col("o_custkey") % 25).as("homeTeamId"),
-        ((col("o_custkey") + col("o_orderkey") % 7 + 1) % 25).as("awayTeamId"),
+        (col("o_custkey") % nTeams).as("homeTeamId"),
+        ((col("o_custkey") + col("o_orderkey") % 7 + 1) % nTeams).as("awayTeamId"),
         (lit(55L) + col("o_orderkey") % 50).as("homeScore"),
         (lit(55L) + (col("o_orderkey") * 7 + col("o_custkey")) % 50).as("awayScore"),
         (col("o_orderkey") % 10 === 0).as("neutralSite"))

@@ -33,4 +33,14 @@ class BenchStatsSpec extends AnyFunSuite {
     val noisy = main ++ Seq(7.5, 1.0)
     assert(math.abs(Bench.flagSpread(noisy, runs = 5) - 6.5) < 1e-9)
   }
+
+  test("re-run budget scales with the median: heavy queries get more samples") {
+    // the 2 s boundary: a light query keeps the base budget; a query
+    // whose median exceeds 2 s gets the heavy budget (2 extra samples
+    // cannot outvote two polluted passes of a multi-second query)
+    assert(Bench.rerunCap(median = 0.5, base = 2, heavy = 4) == 2)
+    assert(Bench.rerunCap(median = 2.0, base = 2, heavy = 4) == 2)
+    assert(Bench.rerunCap(median = 2.01, base = 2, heavy = 4) == 4)
+    assert(Bench.rerunCap(median = 14.5, base = 2, heavy = 4) == 4)
+  }
 }
