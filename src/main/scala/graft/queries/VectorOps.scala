@@ -330,7 +330,8 @@ object VectorOps {
   /** Just the cell-routing part (d3g, a3, probes) — corpus assignment
     * plus query probes against cent2 — so v13's IVF-PQ oracle can
     * reuse the routing with a different (ADC) scoring tail. */
-  private[graft] def geoCellsSql(nprobe: Int) = s"""
+  private[graft] def geoCellsSql(nprobe: Int,
+      qPred: String = "vec_id < 20") = s"""
         d3g AS (SELECT l.vec_id, c2.cluster, sum(l.v * c2.cv) AS dot
                 FROM long l JOIN cent2 c2 USING (pos) GROUP BY 1, 2),
         a3 AS (SELECT vec_id AS g_cid, cluster AS cell FROM (
@@ -342,7 +343,7 @@ object VectorOps {
                  SELECT vec_id, cluster,
                         row_number() OVER (PARTITION BY vec_id
                           ORDER BY dot DESC, cluster ASC) AS rn
-                 FROM d3g WHERE vec_id < 20) WHERE rn <= $nprobe)"""
+                 FROM d3g WHERE $qPred) WHERE rn <= $nprobe)"""
 
   private[graft] def geoAnnSql(nprobe: Int) = s"""${geoCellsSql(nprobe)},
         sc AS (SELECT p.qid, g.g_cid AS cid,
@@ -671,6 +672,60 @@ object VectorOps {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("qid"), col("cid"))
+  }
+
+  /** BATCH IVFADC+R serving (v16): every corpus vector is a query —
+    * the shape of a full index refresh / all-pairs enrichment job,
+    * where the online-serving assumptions (tiny query set, broadcast
+    * joins, per-query rank windows) all break. Nothing broadcasts:
+    * the ADC stage is a cell-co-partitioned shuffle join of two
+    * corpus-sized frames, and BOTH per-query cuts (shortlist top-r,
+    * re-rank top-3) ride the TopKPerKey heap operator, whose partial
+    * heaps reduce each query to <=r rows per map task BEFORE the
+    * exchange — a row_number window would re-shuffle the full
+    * |corpus| x cell-size pair stream by qid. At 100 TB the
+    * shortlist is the only inter-stage frame and it is r rows per
+    * query, so every join after the ADC stage is delta-proportional.
+    * The batch-rebuild analogue of the reference's full-lake rebuild
+    * pass (scripts/rebuild_from_raw.py — every row reprocessed, not
+    * an online probe), re-expressed as the VERDICT-r11 plan note on
+    * v13 prescribes. */
+  private[graft] def ivfAdcBatchServe(s: SparkSession, d: String,
+      nprobe: Int, r: Int): org.apache.spark.sql.DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val cent = TrainedIndex.centroids(s, d, k = 8)
+    val cb = TrainedIndex.codebook(s, d)
+    val corpus = e.select(col("vec_id").as("cid") +:
+      (-element_at(nearestCells(cent, col("embedding"), 1), 1)
+        .getField("nc")).as("cell") +:
+      (0 until PqM).map(i => pqCodeCol(cb, i).as(s"c$i")): _*)
+    val queries = e.select(col("vec_id").as("qid") +:
+        explode(nearestCells(cent, col("embedding"), nprobe)).as("pc") +:
+        (0 until PqM).map(i => pqLutCol(cb, i).as(s"l$i")): _*)
+      .select(col("qid") +: (-col("pc.nc")).as("cell") +:
+        (0 until PqM).map(i => col(s"l$i")): _*)
+    // no broadcast hint: both sides are corpus-sized, the join
+    // co-partitions on cell
+    val scored = corpus.join(queries, Seq("cell"))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("score", pqScoreCol)
+      .select(col("qid"), col("cid"), col("score"))
+    val sl = graft.plans.TopKPerKey.topK(scored, Seq("qid"),
+        Seq(col("score").desc, col("cid").asc), r)
+      .select(col("qid"), col("cid"))
+    val q = e.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val rr = sl.join(q, Seq("qid")).join(c, Seq("cid"))
+      .withColumn("cos", cosine("qe", "ce"))
+      .select(col("qid"), col("cid"), col("cos"))
+    val top = graft.plans.TopKPerKey.topK(rr, Seq("qid"),
+      Seq(col("cos").desc, col("cid").asc), 3)
+    // rank over the <=3-rows-per-qid frame (the v14 convention)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cid").asc)
+    top.withColumn("rank", row_number().over(w))
+      .select(col("qid").as("query_id"), col("rank"),
+        col("cid").as("neighbor_id"), round(col("cos"), 4).as("cosine"))
   }
 
   /** Oracle CTEs for the PQ codebook build + encode (<p>longp …
@@ -1911,6 +1966,41 @@ object VectorOps {
                FROM embeddings),
         ${ivfAdcRerankSql(r = 10, qT = "qq", cT = "cc")}
         SELECT qid, cid
+        FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                ORDER BY cos DESC, cid ASC) rn FROM rr)
+        WHERE rn <= 3""")),
+
+    Q(
+      "v16_batch_ann_serving",
+      "BATCH IVFADC+R: every corpus vector queries the index " +
+        "(nprobe=2, R=25) - the full-refresh / all-pairs-enrichment " +
+        "job shape where online serving's assumptions break: the " +
+        "query side is corpus-sized so nothing broadcasts (the ADC " +
+        "stage is a cell-co-partitioned shuffle join of two " +
+        "corpus-sized frames), and BOTH per-query cuts (ADC top-25 " +
+        "shortlist, exact-cosine top-3 re-rank) ride the TopKPerKey " +
+        "heap operator: partial heaps reduce each query to <=k rows " +
+        "per map task BEFORE the exchange, where v13's row_number " +
+        "window would re-shuffle the whole |corpus| x cell-size " +
+        "pair stream by qid (the VERDICT-r11 plan note on v13, now " +
+        "gated). After the shortlist every join is delta-" +
+        "proportional (R rows per query). Artifacts come from the " +
+        "TrainedIndex cache - batch serving trains nothing. Oracle " +
+        "replays the full KMeans + PQ + routed-ADC + re-rank chain " +
+        "with an all-vectors probe set.",
+      (s, d) => ivfAdcBatchServe(s, d, nprobe = 2, r = 25),
+      Some(s"""
+        WITH ${KmeansSql.UpToCent2},
+        ${geoCellsSql(nprobe = 2, qPred = "TRUE")},
+        ${pqChainSql("p")},
+        $ivfAdcCellSql,
+        bq AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+               FROM embeddings),
+        bc AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+               FROM embeddings),
+        ${ivfAdcRerankSql(r = 25, qT = "bq", cT = "bc")}
+        SELECT qid AS query_id, CAST(rn AS INT) AS rank,
+               cid AS neighbor_id, round(cos, 4) AS cosine
         FROM (SELECT *, row_number() OVER (PARTITION BY qid
                 ORDER BY cos DESC, cid ASC) rn FROM rr)
         WHERE rn <= 3"""))

@@ -267,6 +267,28 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("v16 batch serving: both per-query cuts are TopKPerKey heaps and " +
+      "no exchange carries the raw pair stream") {
+    val g = graft.queries.VectorOps.ivfAdcBatchServe(spark, sf,
+      nprobe = 2, r = 25)
+    val p = g.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // shortlist top-25 and re-rank top-3 each plan partial+final heap
+    // phases; a row_number window on either cut would re-shuffle the
+    // whole |corpus| x cell-size ADC pair stream by qid
+    assert("TopKPerKey".r.findAllIn(p).size == 4,
+      s"expected 2x partial+final TopKPerKey phases:\n${p.take(3000)}")
+    // every shuffle is keyed on cell (the co-partitioned ADC join at
+    // scale), qid (heap cut / re-rank side) or cid (re-rank side) —
+    // never on the un-cut pair stream's full column set; at this SF
+    // the planner broadcasts the small sides (unhinted — at 100 TB
+    // size estimates turn these into the cell/cid shuffles)
+    val ex = "Exchange hashpartitioning\\((\\w+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(ex.subsetOf(Set("cell", "qid", "cid")),
+      s"only cell/qid/cid exchanges allowed, got $ex:\n${p.take(3000)}")
+  }
+
   test("PQ codebook training aggregates map-side: one explode + one " +
       "grouped agg, no join, no window") {
     // the map-side rewrite's contract: assignment is codebook-literal
