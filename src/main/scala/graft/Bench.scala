@@ -62,16 +62,23 @@ object Bench {
 
   /** The spread that feeds the contention flag. Plain max−min for a
     * query with only its main-pass samples; once a query has ADAPTIVE
-    * RE-RUN samples (size > runs), the single worst sample is excluded
-    * — it is exactly the suspected contention window the re-run was
-    * testing, and max−min can only grow with more samples, so without
-    * the trim a single polluted pass would flag a query forever no
-    * matter how much clean evidence accumulates. A query whose
-    * TRIMMED spread still exceeds the bound is genuinely noisy and
-    * stays flagged. Pure so BenchStatsSpec can pin both regimes. */
+    * RE-RUN samples (size > runs), the worst (size − runs) samples are
+    * excluded — one per earned re-run, because each re-run exists
+    * precisely to outvote one suspected contention window, and
+    * max−min can only grow with more samples, so without the trim a
+    * polluted pass would flag a query forever no matter how much
+    * clean evidence accumulates (r11's single-worst trim survived ONE
+    * polluted pass but not r12's two — gr01 sat at 9 samples with 2
+    * polluted and stayed flagged on clean evidence of 7). The flag is
+    * therefore judged on the spread of the best `runs`-sized subset:
+    * if even the cleanest `runs` samples spread past the bound, the
+    * query is genuinely noisy and stays flagged. The MEDIAN is still
+    * taken over ALL samples (median-of-9 tolerates 4 outliers), so
+    * the trim never moves a reported number — only the flag. Pure so
+    * BenchStatsSpec can pin both regimes. */
   private[graft] def flagSpread(ts: Seq[Double], runs: Int): Double = {
     val x = ts.sorted
-    if (ts.size > runs && x.size >= 2) x(x.size - 2) - x.head
+    if (ts.size > runs && runs >= 1) x(runs - 1) - x.head
     else x.last - x.head
   }
 

@@ -691,9 +691,10 @@ object VectorOps {
     * an online probe), re-expressed as the VERDICT-r11 plan note on
     * v13 prescribes. */
   private[graft] def ivfAdcBatchServe(s: SparkSession, d: String,
-      nprobe: Int, r: Int): org.apache.spark.sql.DataFrame = {
+      nprobe: Int, r: Int,
+      kCells: Int = 8): org.apache.spark.sql.DataFrame = {
     val e = Tables.embeddings(s, d)
-    val cent = TrainedIndex.centroids(s, d, k = 8)
+    val cent = TrainedIndex.centroids(s, d, k = kCells)
     val cb = TrainedIndex.codebook(s, d)
     val corpus = e.select(col("vec_id").as("cid") +:
       (-element_at(nearestCells(cent, col("embedding"), 1), 1)
