@@ -476,12 +476,26 @@ object VectorOps {
   private def pqSubcol(i: Int, vec: String): Column =
     expr(s"slice($vec, ${i * PqSubDim + 1}, $PqSubDim)")
 
-  /** Euclidean code assignment as one map-side expression: per
-    * codeword struct((dot - ||c||^2/2), -code), lexicographic
-    * struct-sort argmax — the nearestCells shape with the half-norm
-    * bias that makes max-key equal argmin ||x-c||^2. */
+  /** Euclidean code assignment for subspace i, as ONE native codegen'd
+    * expression (plans/PqSubspaceCode): per codeword key
+    * (dot - ||c||^2/2), argmax with ties to the smaller code — the
+    * same math the composed struct-sort form (pqCodeColComposed)
+    * declares, in one flat primitive loop. The composed form's
+    * zip_with/aggregate are CodegenFallback, and BatchProfile measured
+    * the 16-codeword tree at ~100x the raw flops per row; the native
+    * swap is bit-identical (PqSubspaceSpec pins it), so every PQ hash
+    * gate is unchanged. */
   private[graft] def pqCodeCol(cb: Array[Array[Array[Double]]], i: Int,
-      vec: String = "embedding"): Column = {
+      vec: String = "embedding"): Column =
+    org.apache.spark.sql.GraftPlanBridge.column(graft.plans.PqSubspaceCode(
+      org.apache.spark.sql.GraftPlanBridge.expr(col(vec)), cb(i), i * PqSubDim))
+
+  /** The composed higher-order-function twin of pqCodeCol — kept as
+    * the parity oracle for PqSubspaceSpec (the d03/d03b convention:
+    * the declarative form documents the semantics, the native form
+    * runs them). */
+  private[graft] def pqCodeColComposed(cb: Array[Array[Array[Double]]],
+      i: Int, vec: String = "embedding"): Column = {
     val ranked = cb(i).indices.map { c =>
       val cw = cb(i)(c)
       val cv = array(cw.map(lit(_)): _*)
@@ -499,9 +513,18 @@ object VectorOps {
     * MICRO-UNITS (the t31 fixed-point convention), so the ADC score —
     * a sum of m lookups — is exact integer math and both the rank key
     * and the reported score are bit-identical cross-engine regardless
-    * of summation order. */
+    * of summation order. Native codegen'd expression
+    * (plans/PqSubspaceLut) for the same reason as pqCodeCol; the
+    * round/cast semantics are Spark's own, replicated exactly
+    * (PqSubspaceSpec). */
   private[graft] def pqLutCol(cb: Array[Array[Array[Double]]], i: Int,
       vec: String = "embedding"): Column =
+    org.apache.spark.sql.GraftPlanBridge.column(graft.plans.PqSubspaceLut(
+      org.apache.spark.sql.GraftPlanBridge.expr(col(vec)), cb(i), i * PqSubDim))
+
+  /** Composed twin of pqLutCol (parity oracle for PqSubspaceSpec). */
+  private[graft] def pqLutColComposed(cb: Array[Array[Array[Double]]],
+      i: Int, vec: String = "embedding"): Column =
     array((0 until PqK).map { c =>
       round(aggregate(
         zip_with(array(cb(i)(c).map(lit(_)): _*), pqSubcol(i, vec),
@@ -706,8 +729,16 @@ object VectorOps {
       .select(col("qid") +: (-col("pc.nc")).as("cell") +:
         (0 until PqM).map(i => col(s"l$i")): _*)
     // no broadcast hint: both sides are corpus-sized, the join
-    // co-partitions on cell
-    val scored = corpus.join(queries, Seq("cell"))
+    // co-partitions on cell — EXPLICITLY. The repartition is not just
+    // the 100-TB shape: the exchange MATERIALIZES the encode/LUT
+    // projections. Fused into a broadcast-join stage they become
+    // deferred stream-side variables that codegen re-evaluates PER
+    // MATCH (measured: 128 BigDecimal rounds x |pairs| — the tiny-SF
+    // plan burned 75 s in round() at 1M pairs; the composed
+    // higher-order forms were accidentally immune because
+    // CodegenFallback forced their Project out of the fused stage).
+    val scored = corpus.repartition(col("cell"))
+      .join(queries.repartition(col("cell")), Seq("cell"))
       .filter(col("cid") =!= col("qid"))
       .withColumn("score", pqScoreCol)
       .select(col("qid"), col("cid"), col("score"))

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{TrainedIndex, VectorOps}
+
+/** Parity pins for the native PQ subspace expressions (plans/
+  * PqSubspace): the codegen'd encode/LUT must be BIT-IDENTICAL to the
+  * composed zip_with/aggregate twins they replaced — every PQ hash
+  * gate (v06/v08/v12/v13/v15/v16/st15/st17) rides these columns, so
+  * any drift here is a cross-engine hash mismatch waiting at the
+  * driver gate. Both codegen and interpreted paths are exercised. */
+class PqSubspaceSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("native pqCodeCol matches the composed struct-sort twin on real embeddings") {
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    val cb = TrainedIndex.codebook(spark, sf)
+    val both = e.select(
+      (0 until VectorOps.PqM).flatMap { i =>
+        Seq(VectorOps.pqCodeCol(cb, i).as(s"n$i"),
+          VectorOps.pqCodeColComposed(cb, i).as(s"c$i"))
+      }: _*)
+    val mismatches = both.filter(
+      (0 until VectorOps.PqM)
+        .map(i => col(s"n$i") =!= col(s"c$i")).reduce(_ || _)).count()
+    assert(mismatches == 0)
+  }
+
+  test("native pqLutCol matches the composed round/cast twin element-for-element") {
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    val cb = TrainedIndex.codebook(spark, sf)
+    val both = e.select(
+      (0 until VectorOps.PqM).flatMap { i =>
+        Seq(VectorOps.pqLutCol(cb, i).as(s"n$i"),
+          VectorOps.pqLutColComposed(cb, i).as(s"c$i"))
+      }: _*)
+    val mismatches = both.filter(
+      (0 until VectorOps.PqM)
+        .map(i => col(s"n$i") =!= col(s"c$i")).reduce(_ || _)).count()
+    assert(mismatches == 0)
+  }
+
+  test("interpreted eval (non-codegen path) agrees with codegen") {
+    // force the interpreted path the way Spark does on codegen
+    // fallback: evaluate the expression directly row-by-row
+    val e = graft.sources.Tables.embeddings(spark, sf).limit(64)
+    val cb = TrainedIndex.codebook(spark, sf)
+    val rows = e.select(col("embedding")).collect()
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(e.select(col("embedding")).schema)
+    val toInternal = org.apache.spark.sql.catalyst.encoders
+      .ExpressionEncoder(enc).createSerializer()
+    (0 until VectorOps.PqM).foreach { i =>
+      val code = graft.plans.PqSubspaceCode(
+        org.apache.spark.sql.catalyst.expressions.BoundReference(
+          0, e.schema("embedding").dataType, nullable = true),
+        cb(i), i * VectorOps.PqSubDim)
+      val lut = graft.plans.PqSubspaceLut(
+        org.apache.spark.sql.catalyst.expressions.BoundReference(
+          0, e.schema("embedding").dataType, nullable = true),
+        cb(i), i * VectorOps.PqSubDim)
+      rows.foreach { r =>
+        val ir = toInternal(r)
+        val c = code.eval(ir).asInstanceOf[Int]
+        assert(c >= 0 && c < VectorOps.PqK)
+        val l = lut.eval(ir)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        assert(l.numElements() == VectorOps.PqK)
+      }
+    }
+    // cross-check: the DataFrame (codegen) codes equal per-row eval codes
+    val dfCodes = e.select(VectorOps.pqCodeCol(cb, 0).as("c")).collect()
+      .map(_.getInt(0))
+    val evalCodes = rows.map { r =>
+      graft.plans.PqSubspaceCode(
+        org.apache.spark.sql.catalyst.expressions.BoundReference(
+          0, e.schema("embedding").dataType, nullable = true),
+        cb(0), 0).eval(toInternal(r)).asInstanceOf[Int]
+    }
+    assert(dfCodes.toSeq == evalCodes.toSeq)
+  }
+
+  test("null embedding yields null, matching the composed form's top-level null") {
+    val s = spark
+    import s.implicits._
+    val cb = TrainedIndex.codebook(spark, sf)
+    val df = Seq((1L, Option.empty[Array[Float]]),
+        (2L, Some(Array.fill(64)(0.5f))))
+      .toDF("id", "embedding")
+    val out = df.select(col("id"), VectorOps.pqCodeCol(cb, 0).as("c"),
+      VectorOps.pqLutCol(cb, 0).as("l")).collect()
+      .map(r => r.getLong(0) -> (r.isNullAt(1), r.isNullAt(2))).toMap
+    assert(out(1L) == ((true, true)))
+    assert(out(2L) == ((false, false)))
+  }
+}
