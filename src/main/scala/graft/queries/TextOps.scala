@@ -2356,6 +2356,109 @@ object TextOps {
                CASE CAST(floor(dd.idx * 3 / nd.nd) AS INT)
                  WHEN 2 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail'
                END AS ppl_bucket
-        FROM doc d JOIN dd USING (avg_logprob) CROSS JOIN nd"""))
+        FROM doc d JOIN dd USING (avg_logprob) CROSS JOIN nd""")),
+
+    Q(
+      "t32_backoff_eval",
+      "Held-out LM evaluation with Stupid Backoff (Brants et al. " +
+        "EMNLP'07 §3 — the large-LM recipe that replaces discounting " +
+        "with a fixed 0.4 multiplier because it needs no end-of-" +
+        "training normalization pass): the bigram model trains on " +
+        "t05's md5 'train' split ONLY, then scores the held-out " +
+        "docs, where — unlike t31's in-corpus form, whose model saw " +
+        "every doc it scores — bigrams genuinely UNSEEN in training " +
+        "occur and the score backs off: seen -> c12/c1, unseen " +
+        "bigram -> 0.4 * c2/total, out-of-vocabulary w2 -> the " +
+        "0.4/total floor. Per held-out doc: bigram volume, how " +
+        "often each backoff tier fired (n_backoff/n_oov — the " +
+        "model-coverage diagnostics a data-mixing run watches), and " +
+        "the micro-nat-quantized mean log score (t31's fixed-point " +
+        "convention: integer aggregate, two IEEE divisions, " +
+        "bit-identical cross-engine). Plan shape: model tables " +
+        "aggregate map-side-combine before any join, the three " +
+        "model joins are LEFT (absence IS the signal) and Heap's-" +
+        "law bounded so AQE broadcasts them, and the held-out tf " +
+        "aggregate runs BEFORE the joins so model rows attach to " +
+        "(doc, bigram) groups, not token instances. At 100 TB this " +
+        "is the production shape outright: the frozen model is " +
+        "yesterday's artifact, scoring is a map-side join per " +
+        "corpus shard.",
+      (s, d) => {
+        val withSplit = Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("t"),
+            (substring(md5(col("doc_id").cast("string")), 1, 2) < "e6")
+              .as("is_train"))
+        val bigramsOf = expr(
+          "transform(sequence(1, size(t) - 1), " +
+            "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))")
+        val long = withSplit.filter(col("is_train"))
+          .select(explode(col("t")).as("w2"))
+        val uni = long.groupBy(col("w2")).agg(count(lit(1)).as("c2"))
+        val tot = long.agg(count(lit(1)).as("total"))
+        val c12 = withSplit.filter(col("is_train"))
+          .filter(size(col("t")) >= 2)
+          .select(explode(bigramsOf).as("bg"))
+          .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+          .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+        val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+        val tf = withSplit.filter(!col("is_train"))
+          .filter(size(col("t")) >= 2)
+          .select(col("doc_id"), explode(bigramsOf).as("bg"))
+          .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+          .groupBy(col("doc_id"), col("w1"), col("w2"))
+          .agg(count(lit(1)).as("tf"))
+        tf.join(c12, Seq("w1", "w2"), "left")
+          .join(c1, Seq("w1"), "left")
+          .join(uni, Seq("w2"), "left")
+          .crossJoin(broadcast(tot))
+          .withColumn("p",
+            when(col("c12").isNotNull,
+              col("c12").cast("double") / col("c1"))
+              .when(col("c2").isNotNull,
+                lit(0.4) * (col("c2").cast("double") / col("total")))
+              .otherwise(lit(0.4) / col("total")))
+          .withColumn("lpm", round(log(col("p")) * 1e6).cast("long"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("tf")).as("n_bigrams"),
+            sum(when(col("c12").isNull, col("tf")).otherwise(0L))
+              .as("n_backoff"),
+            sum(when(col("c2").isNull, col("tf")).otherwise(0L))
+              .as("n_oov"),
+            round(sum(col("tf") * col("lpm")).cast("double")
+              / sum(col("tf")) / lit(1e6), 4).as("avg_logscore"))
+      },
+      Some("""
+        WITH dt AS (SELECT doc_id, string_split(text, ' ') AS t,
+                           substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' AS is_train
+                    FROM documents),
+        long AS (SELECT unnest(t) AS w2 FROM dt WHERE is_train),
+        uni AS (SELECT w2, count(*) AS c2 FROM long GROUP BY 1),
+        tot AS (SELECT count(*) AS total FROM long),
+        tb0 AS (SELECT t, unnest(range(1, len(t))) AS i
+                FROM dt WHERE is_train AND len(t) >= 2),
+        c12 AS (SELECT t[i] AS w1, t[i + 1] AS w2, count(*) AS c12
+                FROM tb0 GROUP BY 1, 2),
+        c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+        hb0 AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+                FROM dt WHERE NOT is_train AND len(t) >= 2),
+        tf AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2, count(*) AS tf
+               FROM hb0 GROUP BY 1, 2, 3),
+        sc AS (SELECT f.doc_id, f.tf,
+                      CASE WHEN b.c12 IS NOT NULL THEN b.c12 / c1.c1
+                           WHEN u.c2 IS NOT NULL THEN 0.4 * (u.c2 / tot.total)
+                           ELSE 0.4 / tot.total END AS p,
+                      CASE WHEN b.c12 IS NULL THEN f.tf ELSE 0 END AS bk,
+                      CASE WHEN u.c2 IS NULL THEN f.tf ELSE 0 END AS ov
+               FROM tf f
+               LEFT JOIN c12 b ON f.w1 = b.w1 AND f.w2 = b.w2
+               LEFT JOIN c1 ON f.w1 = c1.w1
+               LEFT JOIN uni u ON f.w2 = u.w2
+               CROSS JOIN tot)
+        SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+               CAST(sum(bk) AS BIGINT) AS n_backoff,
+               CAST(sum(ov) AS BIGINT) AS n_oov,
+               round(CAST(sum(tf * CAST(round(ln(p) * 1000000) AS BIGINT)) AS DOUBLE)
+                     / sum(tf) / 1000000, 4) AS avg_logscore
+        FROM sc GROUP BY 1"""))
   )
 }

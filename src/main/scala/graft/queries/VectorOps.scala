@@ -380,6 +380,45 @@ object VectorOps {
         FROM truth t LEFT JOIN hits h ON t.qid = h.qid
         GROUP BY t.qid"""
 
+  /** Oracle CTEs replaying graphAnnServe's beam walk hop by hop:
+    * entry scoring (s0/b0 — f0's medoid entries ranked), then per hop
+    * h: candidate union c<h> (previous beam + its out-edges, exact
+    * DISTINCT, self excluded), exact re-score s<h> (bf already holds
+    * every qid x cid cosine — the truth side computes it anyway), and
+    * beam cut b<h>. Ends with the top-3 `ann` the recall tail joins. */
+  private def beamHopsSql(beam: Int, hops: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"""
+        s0 AS (SELECT f.qid, f.cid, bf.cos
+               FROM f0 f JOIN bf ON bf.qid = f.qid AND bf.cid = f.cid),
+        b0 AS (SELECT qid, cid FROM (
+                 SELECT *, row_number() OVER (PARTITION BY qid
+                   ORDER BY cos DESC, cid ASC) rn FROM s0)
+               WHERE rn <= $beam)""")
+    for (h <- 1 to hops) {
+      val p = h - 1
+      sb.append(s""",
+        c$h AS (SELECT DISTINCT qid, cid FROM (
+                 SELECT qid, cid FROM b$p
+                 UNION ALL
+                 SELECT b.qid, e.dst AS cid
+                 FROM b$p b JOIN edges e ON e.src = b.cid)
+               WHERE cid <> qid),
+        s$h AS (SELECT x.qid, x.cid, bf.cos
+               FROM c$h x JOIN bf ON bf.qid = x.qid AND bf.cid = x.cid),
+        b$h AS (SELECT qid, cid FROM (
+                 SELECT *, row_number() OVER (PARTITION BY qid
+                   ORDER BY cos DESC, cid ASC) rn FROM s$h)
+               WHERE rn <= $beam)""")
+    }
+    sb.append(s""",
+        ann AS (SELECT qid, cid FROM (
+                 SELECT *, row_number() OVER (PARTITION BY qid
+                   ORDER BY cos DESC, cid ASC) rn FROM s$hops)
+               WHERE rn <= 3)""")
+    sb.toString
+  }
+
   // m=8 subspaces of 8 dims, k=16 codewords each: 1024 codebook
   // doubles, 8x4 = 32 bits per vector. r11 retune from (4, 16, 16) —
   // same codebook size, finer subspaces + Euclidean assignment
@@ -633,8 +672,8 @@ object VectorOps {
     * gate pins kCells=8 (the oracle-replayable KmeansSql chain);
     * tools.KnnGraphAb measures the k~sqrt(n) scaling rule that keeps
     * sum(cell_i^2) pair volume flat per point as the corpus grows. */
-  private[graft] def knnGraph(s: SparkSession, d: String, kCells: Int)
-      : org.apache.spark.sql.DataFrame = {
+  private[graft] def knnGraph(s: SparkSession, d: String, kCells: Int,
+      degree: Int = 3): org.apache.spark.sql.DataFrame = {
     val e = Tables.embeddings(s, d)
     val cent = TrainedIndex.centroids(s, d, k = kCells)
     // norms ride the row: computed once per VECTOR before the join,
@@ -661,10 +700,10 @@ object VectorOps {
       .withColumn("cos", dot("ae", "be") / (col("na") * col("nb")))
       .select(col("a_id"), col("b_id"), col("cos"))
     val top = graft.plans.TopKPerKey.topK(
-      pairs, Seq("a_id"), Seq(col("cos").desc, col("b_id").asc), 3)
+      pairs, Seq("a_id"), Seq(col("cos").desc, col("b_id").asc), degree)
     val w = Window.partitionBy(col("a_id"))
       .orderBy(col("cos").desc, col("b_id").asc)
-    top.withColumn("rank", row_number().over(w)) // over 3n rows
+    top.withColumn("rank", row_number().over(w)) // over degree*n rows
       .select(col("a_id").as("vec_id"), col("rank"),
         col("b_id").as("neighbor_id"),
         round(col("cos"), 4).as("cosine"))
@@ -758,6 +797,107 @@ object VectorOps {
     top.withColumn("rank", row_number().over(w))
       .select(col("qid").as("query_id"), col("rank"),
         col("cid").as("neighbor_id"), round(col("cos"), 4).as("cosine"))
+  }
+
+  /** Greedy beam-search ANN serving over the STORED kNN graph (v17) —
+    * the graph-navigation serving pattern (HNSW layer 0, Malkov &
+    * Yashunin TPAMI'18 §4; NSG, Fu et al. VLDB'19) re-expressed as a
+    * fixed number of bounded relational hops. Where IVF serving
+    * (v09/v13) scans whole cells, graph serving touches only
+    * `beam * degree` graph rows per query per hop: enter at the
+    * query's nprobe=2 nearest cells' MEDOIDS (the corpus vector with
+    * the max dot against its own cell centroid — k driver rows, the
+    * TrainedIndex artifact pattern), then each hop expands the
+    * current beam's out-edges, scores the candidate union exactly,
+    * and keeps the top-`beam` per query. Every per-hop frame is
+    * queries x beam x (1 + degree) rows — corpus-size-independent —
+    * so the hop joins broadcast the frontier into the stored edge /
+    * embedding tables; at 100 TB those tables are id-bucketed and
+    * each hop is a bucket-pruned point-lookup join, never a scan.
+    * The graph itself is v14's kernel built ONCE (the eager local
+    * checkpoint stands in for the stored edge table so hop joins
+    * read it instead of replaying the build per hop). Determinism:
+    * ranks order by (cos DESC, cid ASC) like every serving gate, and
+    * candidate sets are exact-distinct, so the walk is replayable in
+    * SQL hop by hop. */
+  private[graft] def graphAnnServe(s: SparkSession, d: String,
+      beam: Int, hops: Int,
+      degree: Int = 8): org.apache.spark.sql.DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val cent = TrainedIndex.centroids(s, d, k = 8)
+    // norms ride the row (the v14 convention)
+    val qn = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        sqrt(dot("embedding", "embedding")).as("nq"))
+    val cn = e.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+      sqrt(dot("embedding", "embedding")).as("nc"))
+    // per-cell medoid = argmax_{v in cell} dot(v, centroid(cell)),
+    // ties to the lower id. Map-side: the dot vs the OWN centroid is
+    // exactly nearestCells' top-1 struct, and max_by's partial
+    // aggregation reduces each map task to k rows — no exchange
+    // carries more than k rows per task.
+    val medoids = e.select(col("vec_id"),
+        element_at(nearestCells(cent, "embedding", 1), 1).as("best"))
+      .select(col("vec_id"), (-col("best.nc")).as("cell"),
+        col("best.dot").as("dt"))
+      .groupBy(col("cell"))
+      .agg(max_by(col("vec_id"),
+        struct(col("dt"), -col("vec_id"))).as("mid"))
+    // the stored graph = v14's cell-local kernel at `degree` edges
+    // per node UNION one long-range HUB edge (node -> the medoid of
+    // its SECOND-nearest cell): a cell-local graph traps the walk
+    // in the entry cells (measured 4/60 recall@3 at degree 3), and
+    // the hub edges are HNSW's upper-layer insight in single-table
+    // form — out-degree stays <= degree+1 while the walk can cross
+    // into the adjacent cell and navigate onward
+    val hub = e.select(col("vec_id").as("src"),
+        (-element_at(nearestCells(cent, "embedding", 2), 2)
+          .getField("nc")).as("cell"))
+      .join(broadcast(medoids), Seq("cell"))
+      .filter(col("mid") =!= col("src"))
+      .select(col("src"), col("mid").as("dst"))
+    val edges = knnGraph(s, d, kCells = 8, degree = degree)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+      .union(hub).distinct()
+      .localCheckpoint(true)
+    val probes = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"),
+        explode(nearestCells(cent, "embedding", 2)).as("pc"))
+      .select(col("qid"), (-col("pc.nc")).as("cell"))
+    val f0 = probes.join(broadcast(medoids), Seq("cell"))
+      .filter(col("mid") =!= col("qid"))
+      .select(col("qid"), col("mid").as("cid")).distinct()
+
+    // exact scoring of a (qid, cid) candidate frame: the tiny frame
+    // broadcasts into the embedding scan (bucket point-lookups at
+    // scale), queries broadcast by construction
+    def scoredOf(cands: org.apache.spark.sql.DataFrame) =
+      cn.join(broadcast(cands), Seq("cid"))
+        .join(broadcast(qn), Seq("qid"))
+        .withColumn("cos", dot("qe", "ce") / (col("nq") * col("nc")))
+        .select(col("qid"), col("cid"), col("cos"))
+
+    def topB(sc: org.apache.spark.sql.DataFrame) =
+      graft.plans.TopKPerKey.topK(sc, Seq("qid"),
+        Seq(col("cos").desc, col("cid").asc), beam)
+
+    // each frontier is <= queries x beam rows; the eager checkpoint
+    // keeps hop h+1's plan from re-running hop h's corpus touches
+    var frontier = topB(scoredOf(f0)).localCheckpoint(true)
+    for (_ <- 1 to hops) {
+      val neigh = edges
+        .join(broadcast(frontier.select(col("qid"), col("cid").as("src"))),
+          Seq("src"))
+        .select(col("qid"), col("dst").as("cid"))
+      val cands = frontier.select(col("qid"), col("cid"))
+        .union(neigh)
+        .filter(col("cid") =!= col("qid"))
+        .distinct()
+      frontier = topB(scoredOf(cands)).localCheckpoint(true)
+    }
+    graft.plans.TopKPerKey.topK(frontier, Seq("qid"),
+      Seq(col("cos").desc, col("cid").asc), 3)
+      .select(col("qid"), col("cid"))
   }
 
   /** Oracle CTEs for the PQ codebook build + encode (<p>longp …
@@ -2035,7 +2175,85 @@ object VectorOps {
                cid AS neighbor_id, round(cos, 4) AS cosine
         FROM (SELECT *, row_number() OVER (PARTITION BY qid
                 ORDER BY cos DESC, cid ASC) rn FROM rr)
-        WHERE rn <= 3"""))
+        WHERE rn <= 3""")),
+
+    Q(
+      "v17_graph_ann_beam",
+      "Graph-navigation ANN serving (HNSW layer 0 / NSG pattern): " +
+        "greedy beam search over a STORED kNN graph — enter at the " +
+        "query's 2 nearest cells' medoids, then 3 hops of " +
+        "expand-out-edges / exact-score / keep-top-16, exact " +
+        "intersection recall@3 vs brute force. The graph is v14's " +
+        "cell-local kernel at degree 16 UNION one long-range hub " +
+        "edge per node (-> the medoid of its second-nearest cell — " +
+        "HNSW's upper-layer escape in single-table form; without it " +
+        "the walk is trapped in the entry cells at 4/60). The third " +
+        "serving tier next to cell scans (v09) and IVFADC (v13): " +
+        "per query a hop touches beam x degree GRAPH rows and " +
+        "scores beam x (1 + degree) vectors — corpus-size-" +
+        "INDEPENDENT once the graph exists, which is why graph " +
+        "indexes dominate high-recall online serving. Measured " +
+        "recall@3 at the gate SF (tools.GraphAnnAb): 35/60 at " +
+        "degree=16/beam=16/hops=3 — ABOVE v09b's 33/60 full scan " +
+        "of the same 2 entry cells (hub escapes reach neighbors " +
+        "the cell scan cannot) at ~800 scored vectors per query vs " +
+        "the scan's 2n/8, a gap that widens with corpus size; the " +
+        "full degree/beam/hops grid is in BENCH_SCALE. Spark shape: " +
+        "per-hop frames are queries x beam x (1 + degree) rows, so " +
+        "hops broadcast the frontier into the stored edge/embedding " +
+        "tables (id-bucketed point lookups at 100 TB, never a " +
+        "scan); the one corpus-sized stage is the graph build " +
+        "itself (cell-keyed self-join + TopKPerKey heaps), built " +
+        "once and local-checkpointed as the stand-in for the " +
+        "stored edge table. Entry medoids are map-side max_by " +
+        "against centroid literals (k driver rows). Oracle replays " +
+        "the whole thing hop by hop: KMeans chain, in-cell edge " +
+        "build + hub union, medoid argmax, then beam CTEs " +
+        "b0->c1->b1->c2->b2->c3->top-3 — the hash matches only if " +
+        "every beam cut agrees cross-engine at every hop.",
+      (s, d) => recallOf(bruteTruth(s, d),
+        graphAnnServe(s, d, beam = 16, hops = 3, degree = 16)),
+      Some(s"""
+        WITH ${KmeansSql.UpToCent2},
+        $TruthSql,
+        ${geoCellsSql(nprobe = 2)},
+        cn AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce,
+                      sqrt(list_dot_product(embedding::DOUBLE[],
+                                            embedding::DOUBLE[])) AS nrm
+               FROM embeddings),
+        ep AS (SELECT x.g_cid AS src, y.g_cid AS dst,
+                      list_dot_product(ca.ce, cb.ce)
+                      / (ca.nrm * cb.nrm) AS cos
+               FROM a3 x JOIN a3 y ON x.cell = y.cell AND x.g_cid <> y.g_cid
+               JOIN cn ca ON ca.cid = x.g_cid
+               JOIN cn cb ON cb.cid = y.g_cid),
+        md AS (SELECT cell, g_cid AS mid FROM (
+                 SELECT a.cell, a.g_cid,
+                        row_number() OVER (PARTITION BY a.cell
+                          ORDER BY d.dot DESC, a.g_cid ASC) AS rn
+                 FROM a3 a JOIN d3g d
+                   ON d.vec_id = a.g_cid AND d.cluster = a.cell)
+               WHERE rn = 1),
+        edges0 AS (SELECT src, dst FROM (
+                   SELECT *, row_number() OVER (PARTITION BY src
+                     ORDER BY cos DESC, dst ASC) rn FROM ep)
+                 WHERE rn <= 16),
+        hub AS (SELECT vec_id AS src, cluster AS cell2 FROM (
+                 SELECT vec_id, cluster,
+                        row_number() OVER (PARTITION BY vec_id
+                          ORDER BY dot DESC, cluster ASC) AS rn
+                 FROM d3g) WHERE rn = 2),
+        hedges AS (SELECT h.src, m.mid AS dst
+                   FROM hub h JOIN md m ON m.cell = h.cell2
+                   WHERE m.mid <> h.src),
+        edges AS (SELECT DISTINCT src, dst FROM (
+                   SELECT src, dst FROM edges0
+                   UNION ALL SELECT src, dst FROM hedges)),
+        f0 AS (SELECT DISTINCT p.qid, m.mid AS cid
+               FROM probes p JOIN md m USING (cell)
+               WHERE m.mid <> p.qid),
+        ${beamHopsSql(beam = 16, hops = 3)},
+        $RecallTailSql"""))
   )
 
   /** Random-hyperplane LSH near-dup pairing at a given code width:

@@ -1,0 +1,45 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.queries.VectorOps
+
+/** Recall/touches sweep for v17's graph-navigation serving: runs the
+  * shared graphAnnServe kernel (one copy with the gate) over a
+  * (beam, hops) grid and prints recall@3 against the brute-force
+  * truth plus wall time — the evidence behind the gate's pinned
+  * operating point, the GraphAnn analogue of IvfProbe's nprobe table.
+  *
+  * Usage: graft.tools.GraphAnnAb <sfDir> [beams] [hops] [e.g. 4,8 2,3]
+  */
+object GraphAnnAb {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val beams = (if (args.length > 1) args(1) else "4,8")
+      .split(",").map(_.trim.toInt).toSeq
+    val hopsList = (if (args.length > 2) args(2) else "2,3")
+      .split(",").map(_.trim.toInt).toSeq
+    val degrees = (if (args.length > 3) args(3) else "8")
+      .split(",").map(_.trim.toInt).toSeq
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val truth = VectorOps.bruteTruth(spark, sfDir).localCheckpoint(true)
+    for (g <- degrees; b <- beams; h <- hopsList) {
+      val t0 = System.nanoTime()
+      val served = VectorOps.graphAnnServe(spark, sfDir, beam = b,
+        hops = h, degree = g)
+      val rec = VectorOps.recallOf(truth, served)
+        .agg(sum(col("n_hit")).as("hit"), sum(col("n_truth")).as("tot"))
+        .collect()(0)
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"graph_ann degree=$g%-3d beam=$b%-3d hops=$h%-2d recall@3=" +
+        f"${rec.getLong(0)}%3d/${rec.getLong(1)}%d  wall=$secs%7.2f s")
+    }
+    spark.stop()
+  }
+}

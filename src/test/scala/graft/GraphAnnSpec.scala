@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** v17 graph-navigation serving: determinism, output contract, and the
+  * hub-edge escape property that motivates the graph shape (a purely
+  * cell-local graph caps recall at the entry cells' contents —
+  * measured 4/60 at degree 3 vs 35/60 with hubs at the gate SF). */
+class GraphAnnSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("beam walk is deterministic: two runs serve identical sets") {
+    val a = graft.queries.VectorOps
+      .graphAnnServe(spark, sf, beam = 16, hops = 3, degree = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = graft.queries.VectorOps
+      .graphAnnServe(spark, sf, beam = 16, hops = 3, degree = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
+  test("output contract: <=3 neighbors per query, never self, all " +
+      "queries served") {
+    val rows = graft.queries.VectorOps
+      .graphAnnServe(spark, sf, beam = 16, hops = 3, degree = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.forall { case (q, c) => q != c })
+    val perQ = rows.groupBy(_._1).map { case (_, v) => v.length }
+    assert(perQ.forall(_ <= 3))
+    assert(rows.map(_._1).toSet == (0L until 20L).toSet,
+      "every query in vec_id < 20 must be served")
+  }
+
+  test("final per-query cut is the TopKPerKey heap, not a window") {
+    val p = graft.queries.VectorOps
+      .graphAnnServe(spark, sf, beam = 16, hops = 3, degree = 16)
+      .queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("TopKPerKey"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+  }
+
+  test("hub edges escape the entry cells: served neighbors include " +
+      "nodes outside the query's 2 probed cells") {
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    val cent = graft.queries.TrainedIndex.centroids(spark, sf, k = 8)
+    val asg = e.select(col("vec_id"),
+        (-element_at(graft.queries.VectorOps
+          .nearestCells(cent, "embedding", 1), 1)
+          .getField("nc")).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // probed cells per query, computed with the kernel's own helper
+    val probes = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"),
+        explode(graft.queries.VectorOps
+          .nearestCells(cent, "embedding", 2)).as("pc"))
+      .select(col("qid"), (-col("pc.nc")).as("cell"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val served = graft.queries.VectorOps
+      .graphAnnServe(spark, sf, beam = 16, hops = 3, degree = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val escapes = served.count { case (q, c) =>
+      !probes(q).contains(asg(c))
+    }
+    assert(escapes > 0,
+      "no served neighbor outside the entry cells — hub edges dead")
+  }
+}
