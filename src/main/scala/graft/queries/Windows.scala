@@ -1077,6 +1077,70 @@ object Windows {
                cid AS neighbor_id
         FROM (SELECT *, row_number() OVER (PARTITION BY qid
                 ORDER BY cos DESC, cid ASC) rn FROM rr)
+        WHERE rn <= 3""")),
+
+    Q(
+      "st18_streaming_knn_graph",
+      "Streaming kNN-GRAPH maintenance (streaming/StreamingKnnGraph " +
+        "- the stored graph v14 builds in batch and v17 serves " +
+        "from, kept current as vectors arrive): 3 deterministic " +
+        "micro-batches land in the st15 vector lake, and each batch " +
+        "updates the edge lists of its AFFECTED CELLS ONLY - form " +
+        "just the pairs that involve a new vector (old x old was " +
+        "scored when its younger side arrived), merge them against " +
+        "the affected nodes' STORED top-3 lists, re-cut through the " +
+        "TopKPerKey heap, and append a per-cell edge root under the " +
+        "atomic-pointer marker (per-cell latest-root read " +
+        "semantics; untouched cells are neither scanned nor " +
+        "rewritten). The merge is EXACT because per-node top-k is a " +
+        "merge monoid under the (cos DESC, neighbor ASC) total " +
+        "order: topk(A u B) = topk(topk(A) u B) - so the streamed " +
+        "graph equals the from-scratch rebuild independent of batch " +
+        "boundaries, and the gate hash-checks exactly that: the " +
+        "oracle IS v14's all-at-once batch replay, verbatim. " +
+        "Per-batch pair volume is |new_c| x |cell_c| over the " +
+        "batch's cells - v14's sum(cell^2)/k economics paid once " +
+        "per vector lifetime instead of once per rebuild, which at " +
+        "100 TB is the difference between maintaining the graph and " +
+        "re-deriving it nightly.",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("graft_st18_")
+        org.apache.commons.io.FileUtils.forceDeleteOnExit(dir.toFile)
+        val e = Tables.embeddings(s, d)
+        val cent = TrainedIndex.centroids(s, d, k = 8)
+        (0 until 3).foreach { b =>
+          graft.streaming.StreamingKnnGraph.applyBatch(
+            e.filter(pmod(col("vec_id"), lit(3)) === b)
+              .select(col("vec_id"), col("embedding")),
+            cent, "vec_id", "embedding", k = 3, b.toLong, dir.toString)
+        }
+        val g = graft.streaming.StreamingKnnGraph
+          .readGraph(s, dir.toString).get
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("a_id"))
+          .orderBy(col("cos").desc, col("b_id").asc)
+        g.withColumn("rank", row_number().over(w)) // over <=3n rows
+          .select(col("a_id").as("vec_id"), col("rank"),
+            col("b_id").as("neighbor_id"),
+            round(col("cos"), 4).as("cosine"))
+      },
+      Some(s"""
+        WITH ${KmeansSql.UpToCent2},
+        ${VectorOps.geoCellsSql(nprobe = 1)},
+        cc AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce,
+                      sqrt(list_dot_product(embedding::DOUBLE[],
+                                            embedding::DOUBLE[])) AS nrm
+               FROM embeddings),
+        sc AS (SELECT x.g_cid AS a_id, y.g_cid AS b_id,
+                      list_dot_product(ca.ce, cb.ce)
+                      / (ca.nrm * cb.nrm) AS cos
+               FROM a3 x JOIN a3 y ON x.cell = y.cell AND x.g_cid <> y.g_cid
+               JOIN cc ca ON ca.cid = x.g_cid
+               JOIN cc cb ON cb.cid = y.g_cid)
+        SELECT a_id AS vec_id, CAST(rn AS INT) AS rank,
+               b_id AS neighbor_id, round(cos, 4) AS cosine
+        FROM (SELECT *, row_number() OVER (PARTITION BY a_id
+                ORDER BY cos DESC, b_id ASC) rn FROM sc)
         WHERE rn <= 3"""))
   )
 }

@@ -1,0 +1,141 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming maintenance of the kNN EDGE table — the stored graph
+  * v14 builds in batch and v17 serves from, kept current as vectors
+  * arrive in micro-batches. The coarse quantizer is FIXED (the
+  * StreamingVectorIndex contract: retraining is an index rebuild),
+  * the vector lake rides StreamingVectorIndex under `dir/index`, and
+  * the edge lists update per batch with DELTA-PROPORTIONAL work:
+  *
+  *  1. assign the batch map-side (centroid literals, zero shuffle);
+  *  2. read back ONLY the batch's cells from the vector lake
+  *     (partition-pruned — untouched cells are never scanned);
+  *  3. form only the pairs that involve a NEW vector (old x old
+  *     pairs were scored when their younger side arrived);
+  *  4. merge those pairs against the affected nodes' STORED top-k
+  *     lists and re-cut through the TopKPerKey heap.
+  *
+  * The merge is EXACT, not approximate: per-node top-k is a merge
+  * monoid — topk(A ∪ B) = topk(topk(A) ∪ B) under a total order
+  * ((cos DESC, neighbor ASC) here) — so by induction the streamed
+  * edge table equals the from-scratch cell-local kNN graph over all
+  * arrived vectors, independent of batch boundaries. That equality
+  * is what the st18 gate hash-checks against v14's batch oracle.
+  *
+  * State layout (the StreamingVectorIndex convention):
+  *   dir/index/...              — the cell-partitioned vector lake
+  *   dir/graph/g<batchId>/cell= — affected cells' NEW edge lists
+  *   dir/_current               — atomic-pointer marker
+  * A batch rewrites nothing: it appends a new edge root holding only
+  * its affected cells, and a reader takes each cell's rows from the
+  * NEWEST root containing that cell (per-cell latest-pointer
+  * semantics — the w01 latest-per-key shape over roots). Crash
+  * redelivery re-overwrites the same g<id> root and republishes the
+  * same marker.
+  *
+  * 100-TB: per-batch pair volume is |new_c| x |cell_c| over the
+  * batch's cells only — the same sum(cell^2)/k economics as v14 but
+  * paid once per vector lifetime instead of per rebuild; stored
+  * lists are k rows per node, so the merge reads k x |affected
+  * nodes| rows; compacting many small g-roots is the offline
+  * OPTIMIZE pass, not this hot path.
+  */
+object StreamingKnnGraph {
+
+  /** Fold one micro-batch of (id, vector) rows into the graph. */
+  def applyBatch(batch: DataFrame, cent: Array[Array[Double]],
+      idCol: String, vecCol: String, k: Int, batchId: Long,
+      dir: String): Unit = {
+    if (batchId <= StateMarker.lastApplied(dir)) return // redelivery
+    val spark = batch.sparkSession
+    Files.createDirectories(Paths.get(dir))
+    // the vector lake advances first (its own marker makes this
+    // idempotent too); an empty batch still advances both markers
+    StreamingVectorIndex.applyBatch(batch, cent, idCol, vecCol,
+      batchId, s"$dir/index")
+    if (!batch.isEmpty) {
+      val dot = (a: String, b: String) => expr(
+        s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+          "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+      val newAsg = batch.select(col(idCol).as("vec_id"),
+          col(vecCol).as("embedding"))
+        .withColumn("cell",
+          -element_at(
+            graft.queries.VectorOps.nearestCells(cent, "embedding", 1), 1)
+            .getField("nc"))
+      // the batch's cells: bounded by the centroid count, never by
+      // data — the same bounded-collect class as the probe's isin
+      val cells = newAsg.select(col("cell")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      // only the affected cells' vectors scan (partition-pruned),
+      // flagged by whether they arrived in THIS batch
+      val newIds = newAsg.select(col("vec_id")).withColumn("is_new", lit(true))
+      val members = StreamingVectorIndex.readIndex(spark, s"$dir/index")
+        .select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
+          col("cell"))
+        .filter(col("cell").isin(cells: _*))
+        .join(broadcast(newIds), Seq("vec_id"), "left")
+        .select(col("cell"), col("vec_id"), col("embedding"),
+          coalesce(col("is_new"), lit(false)).as("is_new"),
+          sqrt(dot("embedding", "embedding")).as("nrm"))
+      val aSide = members.select(col("cell"), col("vec_id").as("a_id"),
+        col("embedding").as("ae"), col("nrm").as("na"),
+        col("is_new").as("a_new"))
+      val bSide = members.select(col("cell"), col("vec_id").as("b_id"),
+        col("embedding").as("be"), col("nrm").as("nb"),
+        col("is_new").as("b_new"))
+      // pairs involving a new vector only: old x old was already
+      // merged when its younger side arrived
+      val pairs = aSide.join(bSide, Seq("cell"))
+        .filter(col("a_id") =!= col("b_id"))
+        .filter(col("a_new") || col("b_new"))
+        .select(col("cell"), col("a_id"), col("b_id"),
+          (expr("aggregate(zip_with(ae, be, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+            "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+            / (col("na") * col("nb"))).as("cos"))
+      // stored lists of the affected cells (absent before the first
+      // batch touches a cell); disjoint from `pairs` by construction
+      // — stored rows' b side predates this batch
+      val cand = readGraph(spark, dir, Some(cells)) match {
+        case None => pairs
+        case Some(stored) => pairs.unionByName(
+          stored.select(col("cell"), col("a_id"), col("b_id"), col("cos")))
+      }
+      val merged = graft.plans.TopKPerKey.topK(cand, Seq("a_id"),
+        Seq(col("cos").desc, col("b_id").asc), k)
+      merged.select(col("cell"), col("a_id"), col("b_id"), col("cos"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$dir/graph/g$batchId")
+    }
+    StateMarker.publish(dir, batchId)
+  }
+
+  /** Current edge lists — per cell, the rows of the NEWEST g-root
+    * containing that cell (latest-per-key over roots). `cellsOnly`
+    * prunes the scan to the given cells' partition directories;
+    * None when no graph state exists yet. */
+  def readGraph(spark: SparkSession, dir: String,
+      cellsOnly: Option[Seq[Long]] = None): Option[DataFrame] = {
+    val roots = (0L to StateMarker.lastApplied(dir))
+      .map(b => b -> s"$dir/graph/g$b")
+      .filter { case (_, p) => new java.io.File(p).isDirectory }
+    if (roots.isEmpty) return None
+    val all = roots.map { case (b, p) =>
+      spark.read.option("basePath", p).parquet(p).withColumn("gb", lit(b))
+    }.reduce(_ unionByName _)
+    val pruned = cellsOnly match {
+      case Some(cs) => all.filter(col("cell").isin(cs: _*))
+      case None => all
+    }
+    val latest = pruned.groupBy(col("cell").as("c2"))
+      .agg(max(col("gb")).as("gb_max"))
+    Some(pruned.join(broadcast(latest),
+        pruned("cell") === col("c2") && pruned("gb") === col("gb_max"))
+      .select(pruned("cell"), col("a_id"), col("b_id"), col("cos")))
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingKnnGraph
+
+/** Streaming kNN-graph maintenance: exact batch-boundary independence
+  * (the top-k merge monoid), redelivery idempotence, delta-sized
+  * writes (untouched cells never rewritten), and empty-batch marker
+  * semantics. */
+class StreamingKnnGraphSpec extends SparkSpec {
+
+  // two well-separated unit clusters on axes 0 and 1: cells are
+  // unambiguous for any centroid seed on the same axes
+  private val cent = Array(
+    Array(1.0, 0.0, 0.0, 0.0),
+    Array(0.0, 1.0, 0.0, 0.0))
+
+  /** id -> cluster-0/1 vector with a tiny id-dependent wobble so
+    * cosines are distinct and the top-k order is strict. */
+  private def vecs(ids: Seq[Long]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rows = ids.map { i =>
+      val c = (i % 2).toInt
+      val base = Array.fill(4)(0.001f * (1 + (i % 7)))
+      base(c) = 1.0f
+      org.apache.spark.sql.Row(i, base.toSeq)
+    }
+    spark.createDataFrame(rows.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+  }
+
+  private def edgeSet(dir: String): Set[(Long, Long)] =
+    StreamingKnnGraph.readGraph(spark, dir).get
+      .select(col("a_id"), col("b_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("batch-boundary independence: 3-batch replay equals one-shot") {
+    val ids = 0L until 30L
+    val d1 = Files.createTempDirectory("knng_oneshot_").toString
+    StreamingKnnGraph.applyBatch(vecs(ids), cent,
+      "vec_id", "embedding", k = 3, 0L, d1)
+    val d3 = Files.createTempDirectory("knng_batched_").toString
+    Seq(0L, 1L, 2L).foreach { b =>
+      StreamingKnnGraph.applyBatch(vecs(ids.filter(_ % 3 == b)), cent,
+        "vec_id", "embedding", k = 3, b, d3)
+    }
+    assert(edgeSet(d1) == edgeSet(d3))
+    assert(edgeSet(d1).nonEmpty)
+  }
+
+  test("redelivery of an applied batch is a no-op") {
+    val dir = Files.createTempDirectory("knng_redeliver_").toString
+    StreamingKnnGraph.applyBatch(vecs(0L until 12L), cent,
+      "vec_id", "embedding", k = 3, 0L, dir)
+    val before = edgeSet(dir)
+    // same batch id, DIFFERENT (poisoned) payload: must be ignored
+    StreamingKnnGraph.applyBatch(vecs(100L until 112L), cent,
+      "vec_id", "embedding", k = 3, 0L, dir)
+    assert(edgeSet(dir) == before)
+  }
+
+  test("a batch touching one cell neither scans nor rewrites the " +
+      "other cell's edge root") {
+    val dir = Files.createTempDirectory("knng_delta_").toString
+    StreamingKnnGraph.applyBatch(vecs(0L until 12L), cent,
+      "vec_id", "embedding", k = 3, 0L, dir)
+    // cluster-0 vectors only (even ids): cell 1 is untouched
+    StreamingKnnGraph.applyBatch(vecs(Seq(20L, 22L, 24L)), cent,
+      "vec_id", "embedding", k = 3, 1L, dir)
+    val g1 = new java.io.File(s"$dir/graph/g1")
+    val cellsWritten = g1.listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("cell=")).toSet
+    assert(cellsWritten.size == 1, s"expected 1 cell dir, got $cellsWritten")
+    // the untouched cell's current rows still come from g0
+    val odd = StreamingKnnGraph.readGraph(spark, dir).get
+      .filter(col("a_id") % 2 === 1)
+    assert(odd.count() > 0)
+    assert(odd.filter(col("b_id") % 2 === 0).count() == 0,
+      "cluster-1 nodes must only neighbor cluster-1 nodes")
+  }
+
+  test("empty batch advances the marker and writes no edge root") {
+    val dir = Files.createTempDirectory("knng_empty_").toString
+    StreamingKnnGraph.applyBatch(vecs(0L until 8L), cent,
+      "vec_id", "embedding", k = 3, 0L, dir)
+    StreamingKnnGraph.applyBatch(vecs(Nil), cent,
+      "vec_id", "embedding", k = 3, 1L, dir)
+    assert(!new java.io.File(s"$dir/graph/g1").exists())
+    assert(graft.streaming.StateMarker.lastApplied(dir) == 1L)
+    assert(edgeSet(dir).nonEmpty) // g0 still serves
+  }
+}
