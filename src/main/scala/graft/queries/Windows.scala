@@ -1114,6 +1114,11 @@ object Windows {
               .select(col("vec_id"), col("embedding")),
             cent, "vec_id", "embedding", k = 3, b.toLong, dir.toString)
         }
+        // fold the per-batch roots through the pure-file OPTIMIZE
+        // pass (per-cell newest root wins; set-preserving, so the
+        // oracle is unchanged) — the gate serves off the compacted
+        // root exactly as production would
+        graft.streaming.StreamingKnnGraph.compact(dir.toString)
         val g = graft.streaming.StreamingKnnGraph
           .readGraph(s, dir.toString).get
         val w = org.apache.spark.sql.expressions.Window

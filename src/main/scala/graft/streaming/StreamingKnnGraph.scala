@@ -115,17 +115,27 @@ object StreamingKnnGraph {
     StateMarker.publish(dir, batchId)
   }
 
+  /** Highest batch id folded into the live compacted graph root
+    * (`gcompacted_v<id>`); -1 before the first compaction. */
+  def compactedUpTo(dir: String): Long =
+    StateMarker.lastApplied(dir, name = "_compacted")
+
   /** Current edge lists — per cell, the rows of the NEWEST g-root
-    * containing that cell (latest-per-key over roots). `cellsOnly`
-    * prunes the scan to the given cells' partition directories;
-    * None when no graph state exists yet. */
+    * containing that cell (latest-per-key over roots); the compacted
+    * root (when present) stands in for every root it folded, stamped
+    * at its fold point so later g-roots still win their cells.
+    * `cellsOnly` prunes the scan to the given cells' partition
+    * directories; None when no graph state exists yet. */
   def readGraph(spark: SparkSession, dir: String,
       cellsOnly: Option[Seq[Long]] = None): Option[DataFrame] = {
-    val roots = (0L to StateMarker.lastApplied(dir))
-      .map(b => b -> s"$dir/graph/g$b")
-      .filter { case (_, p) => new java.io.File(p).isDirectory }
-    if (roots.isEmpty) return None
-    val all = roots.map { case (b, p) =>
+    val cUpTo = compactedUpTo(dir)
+    val roots =
+      (if (cUpTo >= 0) Seq(cUpTo -> s"$dir/graph/gcompacted_v$cUpTo") else Nil) ++
+        ((cUpTo + 1) to StateMarker.lastApplied(dir))
+          .map(b => b -> s"$dir/graph/g$b")
+    val live = roots.filter { case (_, p) => new java.io.File(p).isDirectory }
+    if (live.isEmpty) return None
+    val all = live.map { case (b, p) =>
       spark.read.option("basePath", p).parquet(p).withColumn("gb", lit(b))
     }.reduce(_ unionByName _)
     val pruned = cellsOnly match {
@@ -137,5 +147,62 @@ object StreamingKnnGraph {
     Some(pruned.join(broadcast(latest),
         pruned("cell") === col("c2") && pruned("gb") === col("gb_max"))
       .select(pruned("cell"), col("a_id"), col("b_id"), col("cos")))
+  }
+
+  /** The offline OPTIMIZE pass for the edge roots. Because a cell's
+    * CURRENT edge list lives wholly in its newest root (applyBatch
+    * rewrites a touched cell's whole list), compaction is pure FILE
+    * work — no Spark job: for each cell, byte-copy its newest
+    * `cell=` directory into a staged root (later roots override
+    * earlier per cell), rename to `gcompacted_v<upTo>`, flip the
+    * `_compacted` marker, delete the folded roots. Every carried
+    * cell is byte-for-byte stable (spec-pinned). Crash-safe by the
+    * StreamingVectorIndex versioned-root convention: readers resolve
+    * the compacted root through the marker only, so a crash before
+    * the flip leaves them on the old roots (untouched) and a crash
+    * after it leaves only unreferenced garbage that the cleanup
+    * tail — or any later compact — removes. */
+  def compact(dir: String): Unit = {
+    val upTo = StateMarker.lastApplied(dir)
+    val prev = compactedUpTo(dir)
+    if (upTo < 0 || upTo == prev) return // nothing new
+    def cellDirs(root: java.io.File): Seq[java.io.File] =
+      Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isDirectory && f.getName.startsWith("cell=")).toSeq
+    // ascending fold order: the old compacted root first, then each
+    // later g-root — a later root overrides its cells' source
+    val sources =
+      (if (prev >= 0) Seq(new java.io.File(s"$dir/graph/gcompacted_v$prev"))
+       else Nil) ++
+        ((prev + 1) to upTo).map(b => new java.io.File(s"$dir/graph/g$b"))
+    val newest = scala.collection.mutable.LinkedHashMap.empty[String, java.io.File]
+    sources.filter(_.isDirectory).foreach { r =>
+      cellDirs(r).foreach(cd => newest(cd.getName) = cd)
+    }
+    if (newest.isEmpty) { // only empty batches so far
+      StateMarker.publish(dir, upTo, name = "_compacted")
+      return
+    }
+    val staged = new java.io.File(s"$dir/graph/gcompacted_v${upTo}__staging")
+    org.apache.commons.io.FileUtils.deleteQuietly(staged)
+    newest.foreach { case (cellName, src) =>
+      org.apache.commons.io.FileUtils.copyDirectory(
+        src, new java.io.File(staged, cellName))
+    }
+    val live = Paths.get(s"$dir/graph/gcompacted_v$upTo")
+    // an existing target can only be the unpublished leftover of a
+    // crash between rename and marker flip — safe to replace
+    org.apache.commons.io.FileUtils.deleteQuietly(live.toFile)
+    Files.move(staged.toPath, live)
+    StateMarker.publish(dir, upTo, name = "_compacted")
+    // cleanup: unreferenced once the marker flipped
+    Option(new java.io.File(s"$dir/graph").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter { f =>
+        val n = f.getName
+        (n.startsWith("gcompacted_v") && n != s"gcompacted_v$upTo") ||
+          ((prev + 1) to upTo).exists(b => n == s"g$b")
+      }
+      .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
   }
 }

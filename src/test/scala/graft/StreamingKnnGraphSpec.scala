@@ -88,6 +88,60 @@ class StreamingKnnGraphSpec extends SparkSpec {
       "cluster-1 nodes must only neighbor cluster-1 nodes")
   }
 
+  test("compaction preserves the edge set, keeps untouched cells " +
+      "byte-stable, and later batches keep merging correctly") {
+    val dir = Files.createTempDirectory("knng_compact_").toString
+    StreamingKnnGraph.applyBatch(vecs(0L until 12L), cent,
+      "vec_id", "embedding", k = 3, 0L, dir)
+    // batch 1 touches only cluster-0's cell; cluster-1's cell dir in
+    // g0 is the byte-stability candidate
+    StreamingKnnGraph.applyBatch(vecs(Seq(20L, 22L)), cent,
+      "vec_id", "embedding", k = 3, 1L, dir)
+    val before = edgeSet(dir)
+    val untouchedCell = new java.io.File(s"$dir/graph/g0").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+      .filterNot(new java.io.File(s"$dir/graph/g1").listFiles()
+        .filter(_.isDirectory).map(_.getName).toSet).head
+    def bytesOf(root: String, cell: String): Seq[(String, Long)] =
+      new java.io.File(root, cell).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        .map(f => (f.getName, f.length())).toSeq
+    val pre = bytesOf(s"$dir/graph/g0", untouchedCell)
+    StreamingKnnGraph.compact(dir)
+    assert(StreamingKnnGraph.compactedUpTo(dir) == 1L)
+    assert(edgeSet(dir) == before)
+    assert(!new java.io.File(s"$dir/graph/g0").exists(),
+      "folded roots must be cleaned up")
+    assert(bytesOf(s"$dir/graph/gcompacted_v1", untouchedCell) == pre,
+      "untouched cell must carry over byte-for-byte")
+    // merging continues against the compacted root
+    StreamingKnnGraph.applyBatch(vecs(Seq(30L, 31L)), cent,
+      "vec_id", "embedding", k = 3, 2L, dir)
+    val oneShot = Files.createTempDirectory("knng_compact_ref_").toString
+    StreamingKnnGraph.applyBatch(
+      vecs((0L until 12L) ++ Seq(20L, 22L, 30L, 31L)), cent,
+      "vec_id", "embedding", k = 3, 0L, oneShot)
+    assert(edgeSet(dir) == edgeSet(oneShot))
+  }
+
+  test("a crash between root rename and marker flip is invisible and " +
+      "healed by the re-run") {
+    val dir = Files.createTempDirectory("knng_crash_").toString
+    StreamingKnnGraph.applyBatch(vecs(0L until 12L), cent,
+      "vec_id", "embedding", k = 3, 0L, dir)
+    val before = edgeSet(dir)
+    // simulate the crash window: the staged root was renamed to its
+    // live name but the _compacted marker never flipped
+    val orphan = new java.io.File(s"$dir/graph/gcompacted_v0")
+    orphan.mkdirs()
+    new java.io.File(orphan, "junk").createNewFile()
+    assert(StreamingKnnGraph.compactedUpTo(dir) == -1L)
+    assert(edgeSet(dir) == before, "readers must not resolve the orphan")
+    StreamingKnnGraph.compact(dir) // re-run replaces the orphan
+    assert(StreamingKnnGraph.compactedUpTo(dir) == 0L)
+    assert(edgeSet(dir) == before)
+  }
+
   test("empty batch advances the marker and writes no edge root") {
     val dir = Files.createTempDirectory("knng_empty_").toString
     StreamingKnnGraph.applyBatch(vecs(0L until 8L), cent,
