@@ -2262,6 +2262,38 @@ object VectorOps {
         WHERE rn <= 3""")),
 
     Q(
+      "v16b_batch_ann_serving_scaled",
+      "v16 at the sqrt(n)-scaled cell count (kCells=25), GATING the " +
+        "operating point BatchServeAb measures — the v13b/v14b " +
+        "convention applied to batch serving: with every corpus " +
+        "vector querying the index, the cell-co-partitioned ADC " +
+        "join's pair volume is nprobe*n^2/k, so a FIXED cell count " +
+        "goes quadratic as the corpus grows while k~sqrt(n) holds " +
+        "per-query candidate lists to sqrt(n) (measured at the 10x " +
+        "fixture, medians of 5: k=8 10.8 s vs k=25 7.5 s — and the " +
+        "gap compounds with scale). Same kernel (ivfAdcBatchServe), " +
+        "same TrainedIndex artifact cache at its own k; the oracle " +
+        "replays the identical chain at k=25 (KmeansSql." +
+        "upToCent2(25) — tools.KmProbe brackets that tol=0.12 stops " +
+        "at exactly 2 Lloyd iterations for k=25 at every SF).",
+      (s, d) => ivfAdcBatchServe(s, d, nprobe = 2, r = 25, kCells = 25),
+      Some(s"""
+        WITH ${KmeansSql.upToCent2(25)},
+        ${geoCellsSql(nprobe = 2, qPred = "TRUE")},
+        ${pqChainSql("p")},
+        $ivfAdcCellSql,
+        bq AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+               FROM embeddings),
+        bc AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+               FROM embeddings),
+        ${ivfAdcRerankSql(r = 25, qT = "bq", cT = "bc")}
+        SELECT qid AS query_id, CAST(rn AS INT) AS rank,
+               cid AS neighbor_id, round(cos, 4) AS cosine
+        FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                ORDER BY cos DESC, cid ASC) rn FROM rr)
+        WHERE rn <= 3""")),
+
+    Q(
       "v17_graph_ann_beam",
       "Graph-navigation ANN serving (HNSW layer 0 / NSG pattern): " +
         "greedy beam search over a STORED kNN graph — enter at the " +
