@@ -195,13 +195,16 @@ object StreamingKnnGraph {
     org.apache.commons.io.FileUtils.deleteQuietly(live.toFile)
     Files.move(staged.toPath, live)
     StateMarker.publish(dir, upTo, name = "_compacted")
-    // cleanup: unreferenced once the marker flipped
+    // cleanup: unreferenced once the marker flipped. The g-root range
+    // covers ALL b <= upTo (not just this fold's prev+1..upTo) so
+    // garbage left by a crash between a previous publish and its
+    // cleanup is collected too (the StreamingVectorIndex convention).
     Option(new java.io.File(s"$dir/graph").listFiles())
       .getOrElse(Array.empty[java.io.File])
       .filter { f =>
         val n = f.getName
         (n.startsWith("gcompacted_v") && n != s"gcompacted_v$upTo") ||
-          ((prev + 1) to upTo).exists(b => n == s"g$b")
+          (0L to upTo).exists(b => n == s"g$b")
       }
       .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
   }
