@@ -175,6 +175,50 @@ object TextOps {
   // ---- shared Spark-side pipeline pieces -----------------------------------
 
   /** (doc_id, sh): word 4-shingles, single-space tokenization. */
+  /** d08's kernel: exact-threshold (Jaccard >= 0.5) set-similarity
+    * join over a DISTINCT (doc_id, sh) element frame — rarity-ordered
+    * prefix candidates (lossless: a disjoint-prefix pair's overlap is
+    * capped below the threshold's requirement), exact verify, integer
+    * threshold compare. One copy with the gate so PrefixFilterSpec
+    * can drive adversarial synthetic sets through the same code. */
+  private[graft] def setSimPrefixJoin(sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val dfT = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val prefix = sh.join(dfT, Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("sh"))))
+        .as("a"))
+      .join(sizes, Seq("doc_id"))
+      .select(col("doc_id"),
+        explode(slice(col("a"), lit(1),
+          (col("sz") - ceil(col("sz") * lit(0.5)).cast("long") + 1)
+            .cast("int"))).as("e"))
+      .select(col("doc_id"), col("e.sh").as("sh"))
+    val cand = prefix.as("x")
+      .join(prefix.as("y"),
+        col("x.sh") === col("y.sh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")),
+        Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")),
+        Seq("doc_b"))
+      .filter(col("n_inter") * 3 >= col("sz_a") + col("sz_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        (col("sz_a") + col("sz_b") - col("n_inter")).as("n_union"),
+        round(col("n_inter") * lit(1.0)
+          / (col("sz_a") + col("sz_b") - col("n_inter")), 4)
+          .as("jaccard"))
+  }
+
   private def shingles(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
@@ -1680,44 +1724,7 @@ object TextOps {
         "makes the prefix join nearly tight, not just lossless). " +
         "Spark shape: df agg + per-doc sort_array/slice (no window), " +
         "one prefix self-join, one verify join.",
-      (s, d) => {
-        val sh = shingles(s, d).distinct()
-        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-        val dfT = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-        val prefix = sh.join(dfT, Seq("sh"))
-          .groupBy(col("doc_id"))
-          .agg(sort_array(collect_list(struct(col("df"), col("sh"))))
-            .as("a"))
-          .join(sizes, Seq("doc_id"))
-          .select(col("doc_id"),
-            explode(slice(col("a"), lit(1),
-              (col("sz") - ceil(col("sz") * lit(0.5)).cast("long") + 1)
-                .cast("int"))).as("e"))
-          .select(col("doc_id"), col("e.sh").as("sh"))
-        val cand = prefix.as("x")
-          .join(prefix.as("y"),
-            col("x.sh") === col("y.sh") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-          .distinct()
-        val inter = cand
-          .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
-          .join(sh.select(col("doc_id").as("doc_b"), col("sh")),
-            Seq("doc_b", "sh"))
-          .groupBy(col("doc_a"), col("doc_b"))
-          .agg(count(lit(1)).as("n_inter"))
-        inter
-          .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")),
-            Seq("doc_a"))
-          .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")),
-            Seq("doc_b"))
-          .filter(col("n_inter") * 3 >= col("sz_a") + col("sz_b"))
-          .select(col("doc_a"), col("doc_b"), col("n_inter"),
-            (col("sz_a") + col("sz_b") - col("n_inter")).as("n_union"),
-            round(col("n_inter") * lit(1.0)
-              / (col("sz_a") + col("sz_b") - col("n_inter")), 4)
-              .as("jaccard"))
-      },
+      (s, d) => setSimPrefixJoin(shingles(s, d).distinct()),
       Some("""
         WITH dt AS (SELECT doc_id, string_split(text, ' ') AS w
                     FROM documents),
