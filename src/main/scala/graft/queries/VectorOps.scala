@@ -464,6 +464,86 @@ object VectorOps {
         FROM truth t LEFT JOIN hits h ON t.qid = h.qid
         GROUP BY t.qid"""
 
+  /** Oracle CTEs for the stored hub graph + entry medoids (cn, ep,
+    * md, edges0, hub, hedges, edges, f0) — the SQL replay of
+    * hubGraphAndEntry, shared by the v17 and v19 gates. Expects
+    * KmeansSql.UpToCent2 and geoCellsSql (d3g, a3, probes) upstream. */
+  private def hubGraphSql(degree: Int): String = s"""
+        cn AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce,
+                      sqrt(list_dot_product(embedding::DOUBLE[],
+                                            embedding::DOUBLE[])) AS nrm
+               FROM embeddings),
+        ep AS (SELECT x.g_cid AS src, y.g_cid AS dst,
+                      list_dot_product(ca.ce, cb.ce)
+                      / (ca.nrm * cb.nrm) AS cos
+               FROM a3 x JOIN a3 y ON x.cell = y.cell AND x.g_cid <> y.g_cid
+               JOIN cn ca ON ca.cid = x.g_cid
+               JOIN cn cb ON cb.cid = y.g_cid),
+        md AS (SELECT cell, g_cid AS mid FROM (
+                 SELECT a.cell, a.g_cid,
+                        row_number() OVER (PARTITION BY a.cell
+                          ORDER BY d.dot DESC, a.g_cid ASC) AS rn
+                 FROM a3 a JOIN d3g d
+                   ON d.vec_id = a.g_cid AND d.cluster = a.cell)
+               WHERE rn = 1),
+        edges0 AS (SELECT src, dst FROM (
+                   SELECT *, row_number() OVER (PARTITION BY src
+                     ORDER BY cos DESC, dst ASC) rn FROM ep)
+                 WHERE rn <= $degree),
+        hub AS (SELECT vec_id AS src, cluster AS cell2 FROM (
+                 SELECT vec_id, cluster,
+                        row_number() OVER (PARTITION BY vec_id
+                          ORDER BY dot DESC, cluster ASC) AS rn
+                 FROM d3g) WHERE rn = 2),
+        hedges AS (SELECT h.src, m.mid AS dst
+                   FROM hub h JOIN md m ON m.cell = h.cell2
+                   WHERE m.mid <> h.src),
+        edges AS (SELECT DISTINCT src, dst FROM (
+                   SELECT src, dst FROM edges0
+                   UNION ALL SELECT src, dst FROM hedges)),
+        f0 AS (SELECT DISTINCT p.qid, m.mid AS cid
+               FROM probes p JOIN md m USING (cell)
+               WHERE m.mid <> p.qid)"""
+
+  /** Oracle CTEs replaying graphAnnServeAdc's walk: like beamHopsSql
+    * but every beam cut ranks on the INTEGER ADC score from `adcall`,
+    * and the final `ann` is the exact-cosine re-rank of the last
+    * beam (bf already holds every cosine). */
+  private def beamHopsAdcSql(beam: Int, hops: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"""
+        s0 AS (SELECT f.qid, f.cid, a.score
+               FROM f0 f JOIN adcall a ON a.qid = f.qid AND a.cid = f.cid),
+        b0 AS (SELECT qid, cid FROM (
+                 SELECT *, row_number() OVER (PARTITION BY qid
+                   ORDER BY score DESC, cid ASC) rn FROM s0)
+               WHERE rn <= $beam)""")
+    for (h <- 1 to hops) {
+      val p = h - 1
+      sb.append(s""",
+        c$h AS (SELECT DISTINCT qid, cid FROM (
+                 SELECT qid, cid FROM b$p
+                 UNION ALL
+                 SELECT b.qid, e.dst AS cid
+                 FROM b$p b JOIN edges e ON e.src = b.cid)
+               WHERE cid <> qid),
+        s$h AS (SELECT x.qid, x.cid, a.score
+               FROM c$h x JOIN adcall a ON a.qid = x.qid AND a.cid = x.cid),
+        b$h AS (SELECT qid, cid FROM (
+                 SELECT *, row_number() OVER (PARTITION BY qid
+                   ORDER BY score DESC, cid ASC) rn FROM s$h)
+               WHERE rn <= $beam)""")
+    }
+    sb.append(s""",
+        rr AS (SELECT b.qid, b.cid, bf.cos
+               FROM b$hops b JOIN bf ON bf.qid = b.qid AND bf.cid = b.cid),
+        ann AS (SELECT qid, cid FROM (
+                 SELECT *, row_number() OVER (PARTITION BY qid
+                   ORDER BY cos DESC, cid ASC) rn FROM rr)
+               WHERE rn <= 3)""")
+    sb.toString
+  }
+
   /** Oracle CTEs replaying graphAnnServe's beam walk hop by hop:
     * entry scoring (s0/b0 — f0's medoid entries ranked), then per hop
     * h: candidate union c<h> (previous beam + its out-edges, exact
@@ -904,22 +984,25 @@ object VectorOps {
     * ranks order by (cos DESC, cid ASC) like every serving gate, and
     * candidate sets are exact-distinct, so the walk is replayable in
     * SQL hop by hop. */
-  private[graft] def graphAnnServe(s: SparkSession, d: String,
-      beam: Int, hops: Int,
-      degree: Int = 8): org.apache.spark.sql.DataFrame = {
+  /** The stored hub graph + per-query entry points shared by the
+    * graph-serving tiers (v17 exact-cosine walk, v19 ADC walk):
+    * v14's cell-local kernel at `degree` edges per node UNION one
+    * long-range HUB edge (node -> the medoid of its SECOND-nearest
+    * cell — a cell-local graph traps the walk in the entry cells,
+    * measured 4/60 recall@3 at degree 3; the hub edges are HNSW's
+    * upper-layer insight in single-table form, out-degree
+    * <= degree+1). Entry f0 = the query's nprobe=2 nearest cells'
+    * medoids. Per-cell medoid = argmax_{v in cell} dot(v,
+    * centroid(cell)), ties to the lower id — map-side: the dot vs
+    * the OWN centroid is exactly nearestCells' top-1 struct, and
+    * max_by's partial aggregation reduces each map task to k rows.
+    * The eager local checkpoint on `edges` stands in for the stored
+    * edge table so hop joins read it instead of replaying the
+    * build per hop. */
+  private def hubGraphAndEntry(s: SparkSession, d: String, degree: Int)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val e = Tables.embeddings(s, d)
     val cent = TrainedIndex.centroids(s, d, k = 8)
-    // norms ride the row (the v14 convention)
-    val qn = e.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        sqrt(dot("embedding", "embedding")).as("nq"))
-    val cn = e.select(col("vec_id").as("cid"), col("embedding").as("ce"),
-      sqrt(dot("embedding", "embedding")).as("nc"))
-    // per-cell medoid = argmax_{v in cell} dot(v, centroid(cell)),
-    // ties to the lower id. Map-side: the dot vs the OWN centroid is
-    // exactly nearestCells' top-1 struct, and max_by's partial
-    // aggregation reduces each map task to k rows — no exchange
-    // carries more than k rows per task.
     val medoids = e.select(col("vec_id"),
         element_at(nearestCells(cent, "embedding", 1), 1).as("best"))
       .select(col("vec_id"), (-col("best.nc")).as("cell"),
@@ -927,13 +1010,6 @@ object VectorOps {
       .groupBy(col("cell"))
       .agg(max_by(col("vec_id"),
         struct(col("dt"), -col("vec_id"))).as("mid"))
-    // the stored graph = v14's cell-local kernel at `degree` edges
-    // per node UNION one long-range HUB edge (node -> the medoid of
-    // its SECOND-nearest cell): a cell-local graph traps the walk
-    // in the entry cells (measured 4/60 recall@3 at degree 3), and
-    // the hub edges are HNSW's upper-layer insight in single-table
-    // form — out-degree stays <= degree+1 while the walk can cross
-    // into the adjacent cell and navigate onward
     val hub = e.select(col("vec_id").as("src"),
         (-element_at(nearestCells(cent, "embedding", 2), 2)
           .getField("nc")).as("cell"))
@@ -951,6 +1027,20 @@ object VectorOps {
     val f0 = probes.join(broadcast(medoids), Seq("cell"))
       .filter(col("mid") =!= col("qid"))
       .select(col("qid"), col("mid").as("cid")).distinct()
+    (edges, f0)
+  }
+
+  private[graft] def graphAnnServe(s: SparkSession, d: String,
+      beam: Int, hops: Int,
+      degree: Int = 8): org.apache.spark.sql.DataFrame = {
+    val e = Tables.embeddings(s, d)
+    // norms ride the row (the v14 convention)
+    val qn = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        sqrt(dot("embedding", "embedding")).as("nq"))
+    val cn = e.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+      sqrt(dot("embedding", "embedding")).as("nc"))
+    val (edges, f0) = hubGraphAndEntry(s, d, degree)
 
     // exact scoring of a (qid, cid) candidate frame: the tiny frame
     // broadcasts into the embedding scan (bucket point-lookups at
@@ -980,6 +1070,64 @@ object VectorOps {
       frontier = topB(scoredOf(cands)).localCheckpoint(true)
     }
     graft.plans.TopKPerKey.topK(frontier, Seq("qid"),
+      Seq(col("cos").desc, col("cid").asc), 3)
+      .select(col("qid"), col("cid"))
+  }
+
+  /** DiskANN-style serving (v19, Subramanya et al. NeurIPS'19): the
+    * v17 beam walk COMPASSED BY PQ/ADC scores instead of exact
+    * cosines — candidates are scored from their stored 32-bit codes
+    * against the query's lookup table (integer micro-unit sums, so
+    * every beam cut ranks on exact integers), and full vectors are
+    * touched ONLY for the final beam's exact re-rank. That is
+    * DiskANN's memory economics: the walk reads codes (RAM-resident
+    * at any corpus size), the exact pass reads queries x beam
+    * vectors (the "disk" tier) once at the end. */
+  private[graft] def graphAnnServeAdc(s: SparkSession, d: String,
+      beam: Int, hops: Int,
+      degree: Int = 8): org.apache.spark.sql.DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val cb = TrainedIndex.codebook(s, d)
+    val (edges, f0) = hubGraphAndEntry(s, d, degree)
+    // the stored serving representation: 8 code columns, map-side
+    // (this is what the walk reads — never the vector column)
+    val codes = e.select(col("vec_id").as("cid") +:
+      (0 until PqM).map(i => pqCodeCol(cb, i).as(s"c$i")): _*)
+    val qlut = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid") +:
+        (0 until PqM).map(i => pqLutCol(cb, i).as(s"l$i")): _*)
+    def scoredAdc(cands: org.apache.spark.sql.DataFrame) =
+      codes.join(broadcast(cands), Seq("cid"))
+        .join(broadcast(qlut), Seq("qid"))
+        .withColumn("score", pqScoreCol)
+        .select(col("qid"), col("cid"), col("score"))
+    def topB(sc: org.apache.spark.sql.DataFrame) =
+      graft.plans.TopKPerKey.topK(sc, Seq("qid"),
+        Seq(col("score").desc, col("cid").asc), beam)
+    var frontier = topB(scoredAdc(f0)).localCheckpoint(true)
+    for (_ <- 1 to hops) {
+      val neigh = edges
+        .join(broadcast(frontier.select(col("qid"), col("cid").as("src"))),
+          Seq("src"))
+        .select(col("qid"), col("dst").as("cid"))
+      val cands = frontier.select(col("qid"), col("cid"))
+        .union(neigh)
+        .filter(col("cid") =!= col("qid"))
+        .distinct()
+      frontier = topB(scoredAdc(cands)).localCheckpoint(true)
+    }
+    // the one full-vector touch: exact re-rank of the final beam
+    val qn = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        sqrt(dot("embedding", "embedding")).as("nq"))
+    val cn = e.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+      sqrt(dot("embedding", "embedding")).as("nc"))
+    val rr = cn.join(broadcast(frontier.select(col("qid"), col("cid"))),
+        Seq("cid"))
+      .join(broadcast(qn), Seq("qid"))
+      .withColumn("cos", dot("qe", "ce") / (col("nq") * col("nc")))
+      .select(col("qid"), col("cid"), col("cos"))
+    graft.plans.TopKPerKey.topK(rr, Seq("qid"),
       Seq(col("cos").desc, col("cid").asc), 3)
       .select(col("qid"), col("cid"))
   }
@@ -2333,42 +2481,50 @@ object VectorOps {
         WITH ${KmeansSql.UpToCent2},
         $TruthSql,
         ${geoCellsSql(nprobe = 2)},
-        cn AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce,
-                      sqrt(list_dot_product(embedding::DOUBLE[],
-                                            embedding::DOUBLE[])) AS nrm
-               FROM embeddings),
-        ep AS (SELECT x.g_cid AS src, y.g_cid AS dst,
-                      list_dot_product(ca.ce, cb.ce)
-                      / (ca.nrm * cb.nrm) AS cos
-               FROM a3 x JOIN a3 y ON x.cell = y.cell AND x.g_cid <> y.g_cid
-               JOIN cn ca ON ca.cid = x.g_cid
-               JOIN cn cb ON cb.cid = y.g_cid),
-        md AS (SELECT cell, g_cid AS mid FROM (
-                 SELECT a.cell, a.g_cid,
-                        row_number() OVER (PARTITION BY a.cell
-                          ORDER BY d.dot DESC, a.g_cid ASC) AS rn
-                 FROM a3 a JOIN d3g d
-                   ON d.vec_id = a.g_cid AND d.cluster = a.cell)
-               WHERE rn = 1),
-        edges0 AS (SELECT src, dst FROM (
-                   SELECT *, row_number() OVER (PARTITION BY src
-                     ORDER BY cos DESC, dst ASC) rn FROM ep)
-                 WHERE rn <= 16),
-        hub AS (SELECT vec_id AS src, cluster AS cell2 FROM (
-                 SELECT vec_id, cluster,
-                        row_number() OVER (PARTITION BY vec_id
-                          ORDER BY dot DESC, cluster ASC) AS rn
-                 FROM d3g) WHERE rn = 2),
-        hedges AS (SELECT h.src, m.mid AS dst
-                   FROM hub h JOIN md m ON m.cell = h.cell2
-                   WHERE m.mid <> h.src),
-        edges AS (SELECT DISTINCT src, dst FROM (
-                   SELECT src, dst FROM edges0
-                   UNION ALL SELECT src, dst FROM hedges)),
-        f0 AS (SELECT DISTINCT p.qid, m.mid AS cid
-               FROM probes p JOIN md m USING (cell)
-               WHERE m.mid <> p.qid),
+        ${hubGraphSql(degree = 16)},
         ${beamHopsSql(beam = 16, hops = 3)},
+        $RecallTailSql""")),
+
+    Q(
+      "v19_diskann_serving",
+      "DiskANN-style serving (Subramanya et al. NeurIPS'19): v17's " +
+        "beam walk COMPASSED BY PQ/ADC scores — candidates score " +
+        "from their stored 32-bit codes against the query's lookup " +
+        "table, so the walk never reads a vector byte; full vectors " +
+        "are touched ONLY for the final beam's exact re-rank " +
+        "(queries x beam rows, once). That is the DiskANN memory " +
+        "hierarchy on a lake: codes are the RAM tier (64x smaller " +
+        "than floats — billions fit where millions of vectors " +
+        "would), vectors are the disk tier read once at the end, " +
+        "and the graph bounds how much of either a query touches. " +
+        "Every beam cut ranks on exact INTEGERS (the micro-unit LUT " +
+        "convention), so the walk is bit-deterministic cross-engine " +
+        "by construction — stronger than v17's double ranks. " +
+        "Measured recall@3 at the gate SF (tools.GraphAnnAb adc " +
+        "mode): 20/60 vs v17's 35/60 at the same (degree=16, " +
+        "beam=16, hops=3) — the ADC compass is lossy (32-bit " +
+        "codes), the price DiskANN pays for the memory tier — and " +
+        "widening the beam buys it back with CODE reads, not " +
+        "vector reads: beam=32 recovers exactly v17's 35/60, " +
+        "beam=48 exceeds it at 36/60. Oracle replays the " +
+        "identical chain: KMeans cells, hub graph, PQ codebook + " +
+        "codes + LUTs, integer-ranked beam CTEs, exact re-rank of " +
+        "the final beam.",
+      (s, d) => recallOf(bruteTruth(s, d),
+        graphAnnServeAdc(s, d, beam = 16, hops = 3, degree = 16)),
+      Some(s"""
+        WITH ${KmeansSql.UpToCent2},
+        $TruthSql,
+        ${geoCellsSql(nprobe = 2)},
+        ${hubGraphSql(degree = 16)},
+        ${pqChainSql("p")},
+        adcall AS (SELECT l.vec_id AS qid, pc.vec_id AS cid,
+                          ${pqAdcTermsSql("pc", "l")} AS score
+                   FROM pcodes pc
+                   JOIN pd2 l ON l.sub = pc.sub AND l.code = pc.code
+                   WHERE l.vec_id < 20 AND l.vec_id <> pc.vec_id
+                   GROUP BY 1, 2),
+        ${beamHopsAdcSql(beam = 16, hops = 3)},
         $RecallTailSql""")),
 
     Q(

@@ -22,6 +22,7 @@ object GraphAnnAb {
       .split(",").map(_.trim.toInt).toSeq
     val degrees = (if (args.length > 3) args(3) else "8")
       .split(",").map(_.trim.toInt).toSeq
+    val adc = args.length > 4 && args(4) == "adc" // v19's compass
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -31,7 +32,10 @@ object GraphAnnAb {
     val truth = VectorOps.bruteTruth(spark, sfDir).localCheckpoint(true)
     for (g <- degrees; b <- beams; h <- hopsList) {
       val t0 = System.nanoTime()
-      val served = VectorOps.graphAnnServe(spark, sfDir, beam = b,
+      val served = if (adc)
+        VectorOps.graphAnnServeAdc(spark, sfDir, beam = b,
+          hops = h, degree = g)
+      else VectorOps.graphAnnServe(spark, sfDir, beam = b,
         hops = h, degree = g)
       val rec = VectorOps.recallOf(truth, served)
         .agg(sum(col("n_hit")).as("hit"), sum(col("n_truth")).as("tot"))
