@@ -42,6 +42,24 @@ class GraphAnnSpec extends SparkSpec {
     assert(!p.contains("Window"), p.take(2000))
   }
 
+  test("ADC walk (v19): deterministic, contract-clean, and the final " +
+      "answer comes from the exact re-rank of the last beam") {
+    val a = graft.queries.VectorOps
+      .graphAnnServeAdc(spark, sf, beam = 16, hops = 3, degree = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = graft.queries.VectorOps
+      .graphAnnServeAdc(spark, sf, beam = 16, hops = 3, degree = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+    assert(a.nonEmpty)
+    assert(a.forall { case (q, c) => q != c })
+    assert(a.groupBy(_._1).forall { case (_, v) => v.size <= 3 })
+    // the exact-cosine walk and the ADC walk agree on SOME neighbors
+    // (same graph, same entries) but the ADC compass is lossy — they
+    // need not be identical; both must serve every query
+    assert(a.map(_._1) == (0L until 20L).toSet)
+  }
+
   test("hub edges escape the entry cells: served neighbors include " +
       "nodes outside the query's 2 probed cells") {
     val e = graft.sources.Tables.embeddings(spark, sf)
