@@ -41,6 +41,43 @@ private[graft] trait PqSubspaceBase extends UnaryExpression {
   /** Flat row-major copy for O(1) generated-code access. */
   protected lazy val flatCb: Array[Double] = codebook.flatten
 
+  /** Malformed inputs yield NULL, never garbage (ADVICE r12): parquet
+    * array columns are containsNull=true by schema default, so the
+    * type check can't reject them without rejecting every real
+    * embedding column — instead a vector too short for this subspace
+    * (numElements < offset+subDim) or holding a null element in the
+    * subspace range returns NULL from both eval and codegen. The
+    * composed higher-order twins' behavior on such input is
+    * unspecified (null-padded zip_with feeding array_sort);
+    * PqSubspaceSpec pins bit-parity on well-formed data and the NULL
+    * contract on malformed data. */
+  override def nullable: Boolean = true
+
+  /** True when the vector can't supply this subspace's elements. */
+  protected def malformed(vec: ArrayData): Boolean = {
+    if (vec.numElements() < offset + subDim) return true
+    var j = 0
+    while (j < subDim) {
+      if (vec.isNullAt(offset + j)) return true
+      j += 1
+    }
+    false
+  }
+
+  /** Generated twin of `malformed`, declaring boolean `bad`. */
+  protected def genGuard(ctx: CodegenContext, vec: String,
+      bad: String): String = {
+    val j = ctx.freshName("gj")
+    s"""
+       |boolean $bad = $vec.numElements() < ${offset + subDim};
+       |if (!$bad) {
+       |  for (int $j = 0; $j < $subDim; $j++) {
+       |    if ($vec.isNullAt($offset + $j)) { $bad = true; break; }
+       |  }
+       |}
+     """.stripMargin
+  }
+
   protected def elemIsFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false
@@ -96,6 +133,7 @@ case class PqSubspaceCode(child: Expression,
 
   override protected def nullSafeEval(v: Any): Any = {
     val vec = v.asInstanceOf[ArrayData]
+    if (malformed(vec)) return null
     var best = 0
     var bestKey = Double.NegativeInfinity
     var c = 0
@@ -116,15 +154,21 @@ case class PqSubspaceCode(child: Expression,
       val key = ctx.freshName("key")
       val best = ctx.freshName("best")
       val bestKey = ctx.freshName("bestKey")
+      val bad = ctx.freshName("bad")
       s"""
-         |int $best = 0;
-         |double $bestKey = Double.NEGATIVE_INFINITY;
-         |for (int $c = 0; $c < $nCodes; $c++) {
-         |  ${genDot(ctx, vec, cbRef, c, s)}
-         |  double $key = $s - $hnRef[$c];
-         |  if ($key > $bestKey) { $bestKey = $key; $best = $c; }
+         |${genGuard(ctx, vec, bad)}
+         |if ($bad) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $best = 0;
+         |  double $bestKey = Double.NEGATIVE_INFINITY;
+         |  for (int $c = 0; $c < $nCodes; $c++) {
+         |    ${genDot(ctx, vec, cbRef, c, s)}
+         |    double $key = $s - $hnRef[$c];
+         |    if ($key > $bestKey) { $bestKey = $key; $best = $c; }
+         |  }
+         |  ${ev.value} = $best;
          |}
-         |${ev.value} = $best;
        """.stripMargin
     })
 
@@ -143,6 +187,7 @@ case class PqSubspaceLut(child: Expression,
 
   override protected def nullSafeEval(v: Any): Any = {
     val vec = v.asInstanceOf[ArrayData]
+    if (malformed(vec)) return null
     val out = new Array[Long](nCodes)
     var c = 0
     while (c < nCodes) {
@@ -159,21 +204,27 @@ case class PqSubspaceLut(child: Expression,
       val s = ctx.freshName("s")
       val x = ctx.freshName("x")
       val out = ctx.freshName("out")
+      val bad = ctx.freshName("bad")
       // microUnits inlined (Janino + Scala-object static forwarders
       // don't mix reliably): Spark round(_, 0) HALF_UP semantics,
       // then the non-ANSI double->long cast
       s"""
-         |long[] $out = new long[$nCodes];
-         |for (int $c = 0; $c < $nCodes; $c++) {
-         |  ${genDot(ctx, vec, cbRef, c, s)}
-         |  double $x = $s * 1.0E6;
-         |  if (Double.isNaN($x)) $out[$c] = 0L;
-         |  else if ($x == Double.POSITIVE_INFINITY) $out[$c] = Long.MAX_VALUE;
-         |  else if ($x == Double.NEGATIVE_INFINITY) $out[$c] = Long.MIN_VALUE;
-         |  else $out[$c] = (long) java.math.BigDecimal.valueOf($x)
-         |    .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue();
+         |${genGuard(ctx, vec, bad)}
+         |if ($bad) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long[] $out = new long[$nCodes];
+         |  for (int $c = 0; $c < $nCodes; $c++) {
+         |    ${genDot(ctx, vec, cbRef, c, s)}
+         |    double $x = $s * 1.0E6;
+         |    if (Double.isNaN($x)) $out[$c] = 0L;
+         |    else if ($x == Double.POSITIVE_INFINITY) $out[$c] = Long.MAX_VALUE;
+         |    else if ($x == Double.NEGATIVE_INFINITY) $out[$c] = Long.MIN_VALUE;
+         |    else $out[$c] = (long) java.math.BigDecimal.valueOf($x)
+         |      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue();
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
     })
 

@@ -296,6 +296,12 @@ object GoldGate {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(pDir.toString, "part-00000.parquet"),
       "not a parquet file".getBytes("UTF-8"))
+    // VERDICT r12 #5: the "not a Parquet file" stack trace this plants
+    // in every bench/verify tail is DELIBERATE — flag it inline so the
+    // tail self-documents instead of reading as a real failure
+    System.err.println("# expected error below: g08 poison fixture " +
+      "(deliberate unreadable parquet; the error-isolation runner is " +
+      "the thing under test — GoldGate.goldFixtures)")
     root
   }
 

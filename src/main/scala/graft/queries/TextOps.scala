@@ -126,6 +126,26 @@ object TextOps {
 
   /** Per-doc DISTINCT word-8-gram md5s — shared by the t10/t10b
     * decontamination twins so both probe the identical gram space. */
+  /** The composed explode-per-kgram fingerprint — the declarative twin
+    * of the t04b native expression, DEMOTED from its own hash gate to
+    * a spec-level parity oracle (VERDICT r12 #4: it paid a |text|-row
+    * explode + shuffle per doc — 5.1 s of bench — for no coverage the
+    * native gate doesn't give; KgramFingerprintSpec pins row-for-row
+    * equality on real documents, the d03/d03b convention). */
+  private[graft] def fingerprintComposed(s: SparkSession, d: String)
+      : DataFrame = {
+    val docs = Tables.documents(s, d)
+    docs.filter(length(col("text")) >= 8)
+      .select(col("doc_id"),
+        expr("explode(transform(sequence(1, length(text)-7), " +
+          "i -> substring(text, i, 8)))").as("kg"))
+      .groupBy(col("doc_id"))
+      .agg(
+        countDistinct(col("kg")).as("n_kgrams"),
+        min(md5(col("kg"))).as("fp"))
+      .withColumn("fp8", substring(col("fp"), 1, 8))
+  }
+
   private def word8Grams(df: DataFrame): DataFrame =
     df.select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 8)
@@ -631,40 +651,20 @@ object TextOps {
         SELECT *, pred_lang = lang AS is_correct FROM p""")),
 
     // ----- document fingerprinting --------------------------------------------
-    Q(
-      "t04_fingerprint",
-      "Rolling-hash document fingerprinting (winnowing-lite): 8-char " +
-        "k-gram md5s, keep the min as the doc fingerprint plus the " +
-        "distinct-kgram count. Equivalent work per doc regardless of " +
-        "corpus size.",
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        docs.filter(length(col("text")) >= 8)
-          .select(col("doc_id"),
-            expr("explode(transform(sequence(1, length(text)-7), " +
-              "i -> substring(text, i, 8)))").as("kg"))
-          .groupBy(col("doc_id"))
-          .agg(
-            countDistinct(col("kg")).as("n_kgrams"),
-            min(md5(col("kg"))).as("fp"))
-          .withColumn("fp8", substring(col("fp"), 1, 8))
-      },
-      Some("""
-        WITH kg AS (SELECT doc_id, substr(text, i, 8) AS kg
-                    FROM (SELECT doc_id, text, unnest(range(1, length(text)-6)) AS i
-                          FROM documents WHERE length(text) >= 8))
-        SELECT doc_id, count(DISTINCT kg) AS n_kgrams, min(md5(kg)) AS fp,
-               substr(min(md5(kg)), 1, 8) AS fp8
-        FROM kg GROUP BY 1""")),
-
-    // ----- t04 as a native expression: same oracle, zero shuffle ---------------
+    // (the composed explode-per-kgram form that used to gate as
+    // t04_fingerprint was demoted to a spec-level parity check —
+    // fingerprintComposed + KgramFingerprintSpec — per VERDICT r12 #4:
+    // it paid a |text|-row explode+shuffle per doc, 5.1 s of bench for
+    // no coverage the native gate below doesn't give)
     Q(
       "t04b_fingerprint_native",
-      "t04 as ONE codegen'd Catalyst expression " +
+      "Rolling-hash document fingerprinting (winnowing-lite): 8-char " +
+        "k-gram md5s, keep the min as the doc fingerprint plus the " +
+        "distinct-kgram count, as ONE codegen'd Catalyst expression " +
         "(graft.plans.KgramFingerprint): min-md5 + distinct count over " +
         "all k-grams computed inside the scan projection — the composed " +
-        "form explodes ~|text| rows per doc through a shuffle; this " +
-        "moves zero rows. Same DuckDB oracle as t04.",
+        "form (fingerprintComposed, spec-pinned parity twin) explodes " +
+        "~|text| rows per doc through a shuffle; this moves zero rows.",
       (s, d) => {
         graft.plans.KgramFingerprint.register(s)
         val docs = Tables.documents(s, d)

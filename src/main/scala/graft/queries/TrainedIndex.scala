@@ -36,6 +36,11 @@ object TrainedIndex {
 
   private val centCache = TrieMap.empty[(String, Int), Array[Array[Double]]]
   private val cbCache = TrieMap.empty[String, Array[Array[Array[Double]]]]
+  // frame-valued artifacts memoize their STORE DIR, not a DataFrame:
+  // every call re-reads the persisted parquet, so serving plans scan
+  // the artifact exactly as a production fleet would
+  private val graphCache = TrieMap.empty[(String, Int, Int), String]
+  private val codesCache = TrieMap.empty[String, String]
 
   /** TrieMap.getOrElseUpdate may evaluate the thunk more than once
     * under a concurrent miss (Verify runs gates in parallel), and two
@@ -72,4 +77,48 @@ object TrainedIndex {
         graft.sources.IndexArtifacts.loadCodebook(s, dir).get
       })
     })
+
+  /** The stored hub kNN graph + entry medoids for `d`'s embeddings at
+    * (degree, kCells) — VERDICT r12 #1: the graph tier the v17/v19
+    * walks read used to be REBUILT inside every serving gate (the
+    * repo's last quadratic-per-serve cost, 40x at 10x data); now the
+    * first demand per JVM builds it once, persists both frames
+    * through the versioned IndexArtifacts store, and every serving
+    * call reads the persisted parquet (edges: src/dst longs, the
+    * corpus-sized frame; medoids: cell/mid, centroid-bounded).
+    * Longs round-trip parquet bit-exactly, so a walk off the loaded
+    * graph equals a walk off the in-memory build — the v20 gate pins
+    * the round-trip the way v15 did for centroids+codebook. */
+  def graph(s: SparkSession, d: String, degree: Int, kCells: Int)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val dir = graphCache.getOrElse((d, degree, kCells), fillLock.synchronized {
+      graphCache.getOrElseUpdate((d, degree, kCells), {
+        val (edges, medoids) = VectorOps.buildHubGraph(s, d, degree, kCells)
+        val dir0 = store(d, s"graph_d${degree}_k$kCells")
+        graft.sources.IndexArtifacts.saveFrames(s, dir0,
+          Seq("edges" -> edges, "medoids" -> medoids))
+        dir0
+      })
+    })
+    (graft.sources.IndexArtifacts.loadFrame(s, dir, "edges"),
+      graft.sources.IndexArtifacts.loadFrame(s, dir, "medoids"))
+  }
+
+  /** The stored PQ code columns (cid, c0..c<m-1>) — the 32-bit
+    * serving representation v19's walk reads. Encoded map-side once
+    * per JVM (pqCorpus over the cached codebook), persisted as a
+    * frame artifact, and served from the parquet scan — codes are
+    * deterministic ints, so the loaded frame is bit-identical to the
+    * in-gate encode it replaces. */
+  def codes(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val dir = codesCache.getOrElse(d, fillLock.synchronized {
+      codesCache.getOrElseUpdate(d, {
+        val frame = VectorOps.pqCorpus(Tables.embeddings(s, d), codebook(s, d))
+        val dir0 = store(d, "codes")
+        graft.sources.IndexArtifacts.saveFrames(s, dir0, Seq("codes" -> frame))
+        dir0
+      })
+    })
+    graft.sources.IndexArtifacts.loadFrame(s, dir, "codes")
+  }
 }

@@ -87,7 +87,7 @@ private[queries] object KmeansSql {
 object VectorOps {
 
   /** Left-to-right double dot product over two float-array columns. */
-  private def dot(a: String, b: String): Column =
+  private[graft] def dot(a: String, b: String): Column =
     expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
       "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
 
@@ -281,6 +281,68 @@ object VectorOps {
       .select(col("qid"), col("cid"))
   }
 
+  /** The RARE-predicate serving plan (v18c): when the filter keeps
+    * ~sel*n rows with sel << 1/kCells, cell routing starves — the
+    * probed cells hold ~sel*n*nprobe/k eligible rows (<1 at the gate
+    * point: measured 17/49 recall for the cell-routed pre-filter,
+    * 0/49 for post-filter, vs 49/49 here at 0.66% selectivity) — so
+    * the correct plan inverts: the predicate becomes the JOIN KEY
+    * (label, residue) and the exact rank runs over the equi-joined
+    * eligible subset only. No index is consulted at all; at 100 TB
+    * the lake's label/tenant partitioning turns the join into
+    * partition-pruned point lookups reading sel of the corpus,
+    * cheaper than any probe. The complement regime (90.4%
+    * selectivity) is where pre/post-filter CONVERGE (measured 32/60
+    * vs 31/60) — the full selectivity sweep is tools.FilteredAnnAb's
+    * table in BENCH_SCALE. */
+  private[graft] def rareFilteredExact(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("label").as("q_lab"),
+        pmod(col("vec_id"), lit(16)).as("q_res"),
+        col("embedding").as("qe"),
+        sqrt(dot("embedding", "embedding")).as("nq"))
+    val c = e.select(col("vec_id").as("cid"), col("label").as("c_lab"),
+      pmod(col("vec_id"), lit(16)).as("c_res"),
+      col("embedding").as("ce"),
+      sqrt(dot("embedding", "embedding")).as("nc"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cid").asc)
+    c.join(broadcast(q),
+        col("c_lab") === col("q_lab") && col("c_res") === col("q_res") &&
+          col("qid") =!= col("cid"))
+      .withColumn("cos", dot("qe", "ce") / (col("nq") * col("nc")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("cid"))
+  }
+
+  /** Brute-force truth for the rare composite predicate — all-pairs
+    * scored, THEN filtered and ranked (the grading frame v18c's
+    * equi-join plan must reproduce). */
+  private[graft] def bruteTruthRare(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("label").as("q_lab"),
+        pmod(col("vec_id"), lit(16)).as("q_res"),
+        col("embedding").as("qe"),
+        sqrt(dot("embedding", "embedding")).as("nq"))
+    val c = e.select(col("vec_id").as("cid"), col("label").as("c_lab"),
+      pmod(col("vec_id"), lit(16)).as("c_res"),
+      col("embedding").as("ce"),
+      sqrt(dot("embedding", "embedding")).as("nc"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cid").asc)
+    c.join(broadcast(q), col("qid") =!= col("cid"))
+      .withColumn("cos", dot("qe", "ce") / (col("nq") * col("nc")))
+      .filter(col("c_lab") === col("q_lab") && col("c_res") === col("q_res"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("cid"))
+  }
+
   /** v07's SemDeDup assignment kernel, k-parameterized: deterministic
     * md5-seed pick, broadcast seed assignment with a max_by argmax
     * that carries the embedding through the agg, repartitioned on the
@@ -352,7 +414,7 @@ object VectorOps {
   }
 
   /** Oracle CTEs for the brute-force truth set (q, c, bf, truth). */
-  private val TruthSql = """
+  private[queries] val TruthSql = """
         q AS (SELECT vec_id qid, embedding::DOUBLE[] qe FROM embeddings WHERE vec_id < 20),
         c AS (SELECT vec_id cid, label c_lab, embedding::DOUBLE[] ce FROM embeddings),
         bf AS (SELECT qid, cid, list_dot_product(qe, ce)
@@ -455,7 +517,7 @@ object VectorOps {
                   FROM sc)"""
 
   /** Oracle tail: the exact-intersection recall rollup. */
-  private val RecallTailSql = """
+  private[queries] val RecallTailSql = """
         hits AS (SELECT t.qid, count(*) AS h
                  FROM truth t JOIN ann a ON t.qid = a.qid AND t.cid = a.cid
                  GROUP BY 1)
@@ -468,7 +530,7 @@ object VectorOps {
     * md, edges0, hub, hedges, edges, f0) — the SQL replay of
     * hubGraphAndEntry, shared by the v17 and v19 gates. Expects
     * KmeansSql.UpToCent2 and geoCellsSql (d3g, a3, probes) upstream. */
-  private def hubGraphSql(degree: Int): String = s"""
+  private[queries] def hubGraphSql(degree: Int): String = s"""
         cn AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce,
                       sqrt(list_dot_product(embedding::DOUBLE[],
                                             embedding::DOUBLE[])) AS nrm
@@ -509,7 +571,7 @@ object VectorOps {
     * but every beam cut ranks on the INTEGER ADC score from `adcall`,
     * and the final `ann` is the exact-cosine re-rank of the last
     * beam (bf already holds every cosine). */
-  private def beamHopsAdcSql(beam: Int, hops: Int): String = {
+  private[queries] def beamHopsAdcSql(beam: Int, hops: Int): String = {
     val sb = new StringBuilder
     sb.append(s"""
         s0 AS (SELECT f.qid, f.cid, a.score
@@ -984,25 +1046,24 @@ object VectorOps {
     * ranks order by (cos DESC, cid ASC) like every serving gate, and
     * candidate sets are exact-distinct, so the walk is replayable in
     * SQL hop by hop. */
-  /** The stored hub graph + per-query entry points shared by the
-    * graph-serving tiers (v17 exact-cosine walk, v19 ADC walk):
-    * v14's cell-local kernel at `degree` edges per node UNION one
-    * long-range HUB edge (node -> the medoid of its SECOND-nearest
-    * cell — a cell-local graph traps the walk in the entry cells,
-    * measured 4/60 recall@3 at degree 3; the hub edges are HNSW's
-    * upper-layer insight in single-table form, out-degree
-    * <= degree+1). Entry f0 = the query's nprobe=2 nearest cells'
-    * medoids. Per-cell medoid = argmax_{v in cell} dot(v,
-    * centroid(cell)), ties to the lower id — map-side: the dot vs
-    * the OWN centroid is exactly nearestCells' top-1 struct, and
-    * max_by's partial aggregation reduces each map task to k rows.
-    * The eager local checkpoint on `edges` stands in for the stored
-    * edge table so hop joins read it instead of replaying the
-    * build per hop. */
-  private def hubGraphAndEntry(s: SparkSession, d: String, degree: Int)
+  /** The graph-tier BUILD shared by the graph-serving gates (v17
+    * exact-cosine walk, v19 ADC walk): v14's cell-local kernel at
+    * `degree` edges per node UNION one long-range HUB edge (node ->
+    * the medoid of its SECOND-nearest cell — a cell-local graph
+    * traps the walk in the entry cells, measured 4/60 recall@3 at
+    * degree 3; the hub edges are HNSW's upper-layer insight in
+    * single-table form, out-degree <= degree+1). Per-cell medoid =
+    * argmax_{v in cell} dot(v, centroid(cell)), ties to the lower
+    * id — map-side: the dot vs the OWN centroid is exactly
+    * nearestCells' top-1 struct, and max_by's partial aggregation
+    * reduces each map task to k rows. Returns (edges, medoids) —
+    * the frames TrainedIndex persists through IndexArtifacts
+    * (VERDICT r12 #1); serving NEVER calls this directly. */
+  private[graft] def buildHubGraph(s: SparkSession, d: String,
+      degree: Int, kCells: Int)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val e = Tables.embeddings(s, d)
-    val cent = TrainedIndex.centroids(s, d, k = 8)
+    val cent = TrainedIndex.centroids(s, d, k = kCells)
     val medoids = e.select(col("vec_id"),
         element_at(nearestCells(cent, "embedding", 1), 1).as("best"))
       .select(col("vec_id"), (-col("best.nc")).as("cell"),
@@ -1016,23 +1077,58 @@ object VectorOps {
       .join(broadcast(medoids), Seq("cell"))
       .filter(col("mid") =!= col("src"))
       .select(col("src"), col("mid").as("dst"))
-    val edges = knnGraph(s, d, kCells = 8, degree = degree)
+    val edges = knnGraph(s, d, kCells = kCells, degree = degree)
       .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
       .union(hub).distinct()
-      .localCheckpoint(true)
-    val probes = e.filter(col("vec_id") < 20)
+    (edges, medoids)
+  }
+
+  /** Entry frontier f0 for the broadcast query set: each query's
+    * nprobe=2 nearest cells' medoids (self excluded) — queries route
+    * map-side against centroid literals, medoids broadcast. Factored
+    * out of the build so serving paths that LOAD the medoid frame
+    * (v20 artifact round-trip, st19 maintained graph) compute their
+    * entries from the stored artifact. */
+  private[graft] def graphEntries(s: SparkSession, d: String,
+      cent: Array[Array[Double]],
+      medoids: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val probes = Tables.embeddings(s, d).filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"),
         explode(nearestCells(cent, "embedding", 2)).as("pc"))
       .select(col("qid"), (-col("pc.nc")).as("cell"))
-    val f0 = probes.join(broadcast(medoids), Seq("cell"))
+    probes.join(broadcast(medoids), Seq("cell"))
       .filter(col("mid") =!= col("qid"))
       .select(col("qid"), col("mid").as("cid")).distinct()
-    (edges, f0)
+  }
+
+  /** Stored graph + entry frontier for serving: loads the persisted
+    * (edges, medoids) frames from the TrainedIndex artifact store —
+    * the first demand per JVM builds and persists, every later call
+    * is a parquet scan (the v13→v15 train-once payoff applied to the
+    * graph tier, VERDICT r12 #1). */
+  private def hubGraphAndEntry(s: SparkSession, d: String, degree: Int,
+      kCells: Int = 8)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val (edges, medoids) = TrainedIndex.graph(s, d, degree, kCells)
+    val cent = TrainedIndex.centroids(s, d, k = kCells)
+    (edges, graphEntries(s, d, cent, medoids))
   }
 
   private[graft] def graphAnnServe(s: SparkSession, d: String,
-      beam: Int, hops: Int,
-      degree: Int = 8): org.apache.spark.sql.DataFrame = {
+      beam: Int, hops: Int, degree: Int = 8,
+      kCells: Int = 8): org.apache.spark.sql.DataFrame = {
+    val (edges, f0) = hubGraphAndEntry(s, d, degree, kCells)
+    exactWalkServe(s, d, edges, f0, beam, hops)
+  }
+
+  /** v17's exact-cosine beam walk over an EXPLICIT (edges, f0) pair —
+    * the serving kernel, decoupled from where the graph came from
+    * (artifact store, st18-maintained roots, or a fresh build). */
+  private[graft] def exactWalkServe(s: SparkSession, d: String,
+      edges: org.apache.spark.sql.DataFrame,
+      f0: org.apache.spark.sql.DataFrame,
+      beam: Int, hops: Int): org.apache.spark.sql.DataFrame = {
     val e = Tables.embeddings(s, d)
     // norms ride the row (the v14 convention)
     val qn = e.filter(col("vec_id") < 20)
@@ -1040,7 +1136,6 @@ object VectorOps {
         sqrt(dot("embedding", "embedding")).as("nq"))
     val cn = e.select(col("vec_id").as("cid"), col("embedding").as("ce"),
       sqrt(dot("embedding", "embedding")).as("nc"))
-    val (edges, f0) = hubGraphAndEntry(s, d, degree)
 
     // exact scoring of a (qid, cid) candidate frame: the tiny frame
     // broadcasts into the embedding scan (bucket point-lookups at
@@ -1086,13 +1181,26 @@ object VectorOps {
   private[graft] def graphAnnServeAdc(s: SparkSession, d: String,
       beam: Int, hops: Int,
       degree: Int = 8): org.apache.spark.sql.DataFrame = {
+    val (edges, f0) = hubGraphAndEntry(s, d, degree)
+    adcWalkServe(s, d, edges, f0, beam, hops,
+      Some(TrainedIndex.codes(s, d)))
+  }
+
+  /** v19's ADC beam walk over an EXPLICIT (edges, f0) pair.
+    * `codesIn` is the stored 32-bit serving representation (cid,
+    * c0..c<m-1>) — normally the persisted TrainedIndex.codes frame,
+    * so the walk reads the code ARTIFACT, never the vector column;
+    * None falls back to the map-side encode (codes are deterministic
+    * ints, so both sources are bit-identical). Query LUTs always
+    * compute at query time — queries are not stored. */
+  private[graft] def adcWalkServe(s: SparkSession, d: String,
+      edges: org.apache.spark.sql.DataFrame,
+      f0: org.apache.spark.sql.DataFrame, beam: Int, hops: Int,
+      codesIn: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
     val e = Tables.embeddings(s, d)
     val cb = TrainedIndex.codebook(s, d)
-    val (edges, f0) = hubGraphAndEntry(s, d, degree)
-    // the stored serving representation: 8 code columns, map-side
-    // (this is what the walk reads — never the vector column)
-    val codes = e.select(col("vec_id").as("cid") +:
-      (0 until PqM).map(i => pqCodeCol(cb, i).as(s"c$i")): _*)
+    val codes = codesIn.getOrElse(pqCorpus(e, cb))
     val qlut = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid") +:
         (0 until PqM).map(i => pqLutCol(cb, i).as(s"l$i")): _*)
@@ -1148,7 +1256,7 @@ object VectorOps {
   /** Per-subspace ADC sum over micro-unit-quantized dots (matches the
     * engine's pqLutCol quantization term for term — the sum is exact
     * integer math, so term order is immaterial cross-engine). */
-  private def pqAdcTermsSql(c: String, l: String): String =
+  private[queries] def pqAdcTermsSql(c: String, l: String): String =
     (0 until PqM).map(i =>
       s"sum(CASE WHEN $c.sub = $i THEN CAST(round($l.dot * 1000000) AS BIGINT) END)")
       .mkString("\n                       + ")
@@ -2486,6 +2594,36 @@ object VectorOps {
         $RecallTailSql""")),
 
     Q(
+      "v17b_graph_ann_scaled",
+      "v17 with the graph BUILT at the sqrt(n)-scaled cell count " +
+        "(kCells=25) — VERDICT r12 #2: the serving walk was already " +
+        "corpus-size-independent (beam x degree rows per hop), but " +
+        "the in-gate build pinned kCells=8, whose sum(cell^2)/k " +
+        "pair volume BENCH_SCALE measured at 40-48x at 10x data; " +
+        "k~sqrt(n) (the gated v14b/v16b rule) holds per-cell " +
+        "occupancy flat, so the build's pair volume grows linearly " +
+        "with the corpus instead of quadratically. Same kernels " +
+        "(buildHubGraph -> persisted TrainedIndex.graph artifact -> " +
+        "exactWalkServe), same (degree=16, beam=16, hops=3) " +
+        "operating point; entry medoids and hub escapes now come " +
+        "from the k=25 cell geometry. The oracle replays the " +
+        "identical 2-Lloyd chain at k=25 (KmeansSql.upToCent2(25) — " +
+        "tools.KmProbe brackets that tol=0.12 stops at exactly 2 " +
+        "iterations for k=25 at every SF) plus the hub-graph and " +
+        "beam-walk CTEs, so every beam cut must agree cross-engine " +
+        "on the scaled geometry too.",
+      (s, d) => recallOf(bruteTruth(s, d),
+        graphAnnServe(s, d, beam = 16, hops = 3, degree = 16,
+          kCells = 25)),
+      Some(s"""
+        WITH ${KmeansSql.upToCent2(25)},
+        $TruthSql,
+        ${geoCellsSql(nprobe = 2)},
+        ${hubGraphSql(degree = 16)},
+        ${beamHopsSql(beam = 16, hops = 3)},
+        $RecallTailSql""")),
+
+    Q(
       "v19_diskann_serving",
       "DiskANN-style serving (Subramanya et al. NeurIPS'19): v17's " +
         "beam walk COMPASSED BY PQ/ADC scores — candidates score " +
@@ -2525,6 +2663,64 @@ object VectorOps {
                    WHERE l.vec_id < 20 AND l.vec_id <> pc.vec_id
                    GROUP BY 1, 2),
         ${beamHopsAdcSql(beam = 16, hops = 3)},
+        $RecallTailSql""")),
+
+    Q(
+      "v20_graph_artifacts",
+      "Graph-tier artifact round-trip (VERDICT r12 #1 — v15's " +
+        "build->save->load->serve contract extended to the LAST " +
+        "unfrozen derived state): the hub kNN edge table, the entry " +
+        "medoids, and the PQ code columns are PERSISTED as versioned " +
+        "FRAME artifacts (IndexArtifacts.saveFrames — parquet roots " +
+        "behind the same atomic-pointer marker; these are corpus-" +
+        "sized, so they stay distributed frames and never collect " +
+        "the way centroids/codebooks do), LOADED back, and the " +
+        "DiskANN-style ADC walk serves ENTIRELY from the loaded " +
+        "copies at a distinct operating point: beam=32 — the " +
+        "measured beam-doubling recovery point where the lossy ADC " +
+        "compass buys back exactly v17's 35/60 recall with CODE " +
+        "reads, not vector reads (BENCH_SCALE grid), now gated. " +
+        "Longs and ints round-trip parquet bit-exactly, so the " +
+        "served recall rows must hash-match the oracle's " +
+        "from-scratch replay (KMeans chain + hub graph + PQ chain + " +
+        "integer-ranked beam-32 walk + exact re-rank). At 100 TB " +
+        "this is the production serving story: build once on the " +
+        "training cadence, atomically publish edges+medoids+codes, " +
+        "and every serving fleet query is pure point-lookup reads " +
+        "against frozen artifacts — nothing quadratic ever runs at " +
+        "serve time. IndexArtifactsSpec pins the frame store's " +
+        "crash windows (torn v-dir invisible, marker-gated reads).",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("graft_v20_")
+        org.apache.commons.io.FileUtils.forceDeleteOnExit(dir.toFile)
+        // the JVM-cached build (itself already artifact-backed) is
+        // re-persisted into the gate's OWN versioned store, then
+        // everything the walk touches is loaded from disk
+        val (edges, medoids) = TrainedIndex.graph(s, d, degree = 16,
+          kCells = 8)
+        graft.sources.IndexArtifacts.saveFrames(s, dir.toString, Seq(
+          "edges" -> edges, "medoids" -> medoids,
+          "codes" -> TrainedIndex.codes(s, d)))
+        val le = graft.sources.IndexArtifacts.loadFrame(s, dir.toString, "edges")
+        val lm = graft.sources.IndexArtifacts.loadFrame(s, dir.toString, "medoids")
+        val lc = graft.sources.IndexArtifacts.loadFrame(s, dir.toString, "codes")
+        val f0 = graphEntries(s, d, TrainedIndex.centroids(s, d, k = 8), lm)
+        recallOf(bruteTruth(s, d),
+          adcWalkServe(s, d, le, f0, beam = 32, hops = 3, Some(lc)))
+      },
+      Some(s"""
+        WITH ${KmeansSql.UpToCent2},
+        $TruthSql,
+        ${geoCellsSql(nprobe = 2)},
+        ${hubGraphSql(degree = 16)},
+        ${pqChainSql("p")},
+        adcall AS (SELECT l.vec_id AS qid, pc.vec_id AS cid,
+                          ${pqAdcTermsSql("pc", "l")} AS score
+                   FROM pcodes pc
+                   JOIN pd2 l ON l.sub = pc.sub AND l.code = pc.code
+                   WHERE l.vec_id < 20 AND l.vec_id <> pc.vec_id
+                   GROUP BY 1, 2),
+        ${beamHopsAdcSql(beam = 32, hops = 3)},
         $RecallTailSql""")),
 
     Q(
@@ -2590,6 +2786,49 @@ object VectorOps {
                  SELECT *, row_number() OVER (PARTITION BY qid
                    ORDER BY cos DESC, cid ASC) rn FROM sc18)
                WHERE rn <= 3 AND c_lab = q_lab),
+        $RecallTailSql""")),
+
+    Q(
+      "v18c_filtered_ann_rare",
+      "Filtered ANN at the RARE-selectivity extreme (VERDICT r12 #6 — " +
+        "the regime where the v18 plan choice FLIPS): the query's " +
+        "constraint is a composite key (label AND vec_id%16 residue — " +
+        "the tenant-plus-category shape), keeping ~0.6% of the " +
+        "corpus, far below 1/kCells. Cell routing now starves: the " +
+        "2 probed cells hold <1 eligible row per query on average, " +
+        "so v18's own pre-filter plan collapses (measured via " +
+        "tools.FilteredAnnAb; the full selectivity sweep is the " +
+        "BENCH_SCALE table). The correct plan INVERTS the index: " +
+        "the predicate becomes the JOIN KEY — queries broadcast-" +
+        "equi-join the corpus on (label, residue), and the exact " +
+        "cosine rank runs over the eligible subset only, no ANN " +
+        "structure consulted. At 100 TB the lake's label/tenant " +
+        "partitioning turns that join into partition-pruned point " +
+        "lookups reading 0.6% of the data — cheaper than any cell " +
+        "probe, and EXACT. The gate grades the equi-join plan " +
+        "against the all-pairs-then-filter truth: hash equality " +
+        "pins that filter-as-join-key below the rank reproduces " +
+        "filter-inside-the-global-rank row for row — the plan-" +
+        "equivalence that makes the flip safe to serve.",
+      (s, d) => recallOf(bruteTruthRare(s, d), rareFilteredExact(s, d)),
+      Some(s"""
+        WITH qr AS (SELECT vec_id qid, label q_lab, vec_id % 16 AS q_res,
+                           embedding::DOUBLE[] qe
+                    FROM embeddings WHERE vec_id < 20),
+        cr AS (SELECT vec_id cid, label c_lab, vec_id % 16 AS c_res,
+                      embedding::DOUBLE[] ce
+               FROM embeddings),
+        bfr AS (SELECT qid, cid,
+                       list_dot_product(qe, ce)
+                       / (sqrt(list_dot_product(qe, qe))
+                          * sqrt(list_dot_product(ce, ce))) AS cos
+                FROM qr, cr
+                WHERE qid <> cid AND c_lab = q_lab AND c_res = q_res),
+        truth AS (SELECT qid, cid
+                  FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                          ORDER BY cos DESC, cid ASC) rn FROM bfr)
+                  WHERE rn <= 3),
+        ann AS (SELECT qid, cid FROM truth),
         $RecallTailSql"""))
   )
 

@@ -54,11 +54,15 @@ object StreamingKnnGraph {
     if (batchId <= StateMarker.lastApplied(dir)) return // redelivery
     val spark = batch.sparkSession
     Files.createDirectories(Paths.get(dir))
+    // emptiness is evaluated ONCE for both layers (ADVICE r12: the
+    // lake's applyBatch used to re-probe the uncached batch — two
+    // extra Spark jobs per micro-batch)
+    val batchIsEmpty = batch.isEmpty
     // the vector lake advances first (its own marker makes this
     // idempotent too); an empty batch still advances both markers
     StreamingVectorIndex.applyBatch(batch, cent, idCol, vecCol,
-      batchId, s"$dir/index")
-    if (!batch.isEmpty) {
+      batchId, s"$dir/index", knownIsEmpty = Some(batchIsEmpty))
+    if (!batchIsEmpty) {
       val dot = (a: String, b: String) => expr(
         s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
           "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
@@ -202,9 +206,11 @@ object StreamingKnnGraph {
     Option(new java.io.File(s"$dir/graph").listFiles())
       .getOrElse(Array.empty[java.io.File])
       .filter { f =>
+        // parse the id out of the name (ADVICE r12: an existence scan
+        // over 0..upTo is O(upTo) string allocations per file)
         val n = f.getName
         (n.startsWith("gcompacted_v") && n != s"gcompacted_v$upTo") ||
-          (0L to upTo).exists(b => n == s"g$b")
+          (n.matches("g\\d+") && n.stripPrefix("g").toLong <= upTo)
       }
       .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
   }

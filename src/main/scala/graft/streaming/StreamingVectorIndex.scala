@@ -64,7 +64,8 @@ object StreamingVectorIndex {
     * never an in-place re-encode. */
   def applyBatch(batch: DataFrame, cent: Array[Array[Double]],
       idCol: String, vecCol: String, batchId: Long, dir: String,
-      codebook: Option[Array[Array[Array[Double]]]] = None): Unit = {
+      codebook: Option[Array[Array[Array[Double]]]] = None,
+      knownIsEmpty: Option[Boolean] = None): Unit = {
     if (batchId <= StateMarker.lastApplied(dir)) return // redelivery
     // schema consistency is validated at WRITE time (ADVICE r11): the
     // codebook arrives per call, and an index dir mixing code-bearing
@@ -81,8 +82,10 @@ object StreamingVectorIndex {
     Files.createDirectories(Paths.get(dir))
     // an empty trigger still advances the marker (so redelivery
     // no-ops) but writes no root — a data-less parquet root would
-    // break schema inference for every later read
-    if (!batch.isEmpty) {
+    // break schema inference for every later read. A caller that has
+    // already probed emptiness passes the answer through (ADVICE r12)
+    // so the uncached batch isn't re-evaluated.
+    if (!knownIsEmpty.getOrElse(batch.isEmpty)) {
       val codeCols = codebook.toSeq.flatMap { cb =>
         (0 until graft.queries.VectorOps.PqM).map(i =>
           graft.queries.VectorOps.pqCodeCol(cb, i, vecCol).as(s"c$i"))

@@ -11,7 +11,9 @@ import graft.queries.VectorOps
   * truth plus wall time — the evidence behind the gate's pinned
   * operating point, the GraphAnn analogue of IvfProbe's nprobe table.
   *
-  * Usage: graft.tools.GraphAnnAb <sfDir> [beams] [hops] [e.g. 4,8 2,3]
+  * Usage: graft.tools.GraphAnnAb <sfDir> [beams] [hops] [degrees] [adc]
+  *   beams/hops/degrees are comma lists (e.g. 4,8 2,3 8,16); a literal
+  *   5th arg `adc` switches to v19's PQ-compassed walk.
   */
 object GraphAnnAb {
   def main(args: Array[String]): Unit = {

@@ -77,4 +77,60 @@ class IndexArtifactsSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       IndexArtifacts.loadCentroids(spark, tmp()))
   }
+
+  // ---- frame artifacts (the graph tier, VERDICT r12 #1) ------------------
+
+  test("frame artifacts round-trip exactly and version together") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    val medoids = Seq((0L, 7L), (1L, 3L)).toDF("cell", "mid")
+    val v = IndexArtifacts.saveFrames(spark, dir,
+      Seq("edges" -> edges, "medoids" -> medoids))
+    assert(v === 0L)
+    val le = IndexArtifacts.loadFrame(spark, dir, "edges")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(le === Set((1L, 2L), (2L, 1L), (3L, 1L)))
+    val lm = IndexArtifacts.loadFrame(spark, dir, "medoids")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lm === Set((0L, 7L), (1L, 3L)))
+    // a rebuild publishes the next version; readers follow the marker
+    val v2 = IndexArtifacts.saveFrames(spark, dir,
+      Seq("edges" -> Seq((9L, 9L)).toDF("src", "dst")))
+    assert(v2 === 1L)
+    assert(IndexArtifacts.loadFrame(spark, dir, "edges").count() === 1L)
+  }
+
+  test("a crash mid-saveFrames (torn v-dir, marker not flipped) is " +
+      "invisible and the re-save supersedes it — the " +
+      "StreamingVectorIndexSpec crash-window contract for frames") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    IndexArtifacts.saveFrames(spark, dir,
+      Seq("edges" -> Seq((1L, 2L)).toDF("src", "dst")))
+    // crash window: the v1 parquet landed (possibly torn — here a
+    // sentinel row) but the marker never flipped
+    Seq((99L, 99L)).toDF("src", "dst").write.parquet(s"$dir/v1/edges")
+    assert(IndexArtifacts.currentVersion(dir) === 0L)
+    assert(IndexArtifacts.loadFrame(spark, dir, "edges")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+    // the next save supersedes the torn directory rather than serving it
+    val v = IndexArtifacts.saveFrames(spark, dir,
+      Seq("edges" -> Seq((5L, 6L)).toDF("src", "dst")))
+    assert(v === 1L)
+    assert(IndexArtifacts.loadFrame(spark, dir, "edges")
+      .collect().map(_.getLong(0)).toSeq === Seq(5L))
+  }
+
+  test("loadFrame fails fast on a missing frame name") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    IndexArtifacts.saveFrames(spark, dir,
+      Seq("edges" -> Seq((1L, 2L)).toDF("src", "dst")))
+    assertThrows[IllegalArgumentException](
+      IndexArtifacts.loadFrame(spark, dir, "medoids"))
+  }
 }

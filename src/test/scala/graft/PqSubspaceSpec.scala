@@ -95,4 +95,43 @@ class PqSubspaceSpec extends SparkSpec {
     assert(out(1L) == ((true, true)))
     assert(out(2L) == ((false, false)))
   }
+
+  test("malformed embeddings (short array, null element) yield NULL, " +
+      "never garbage — codegen and interpreted agree (ADVICE r12)") {
+    val s = spark
+    import s.implicits._
+    val cb = TrainedIndex.codebook(spark, sf)
+    // sub 7 reads offsets 56..63 — row 1 is too short for it but fine
+    // for sub 0; row 2 has a null element inside sub 0's range; row 3
+    // is well-formed
+    val df = Seq(
+        (1L, Array.fill(40)(0.5f).map(Option(_))),
+        (2L, Array.tabulate(64)(j =>
+          if (j == 3) Option.empty[Float] else Some(0.5f))),
+        (3L, Array.fill(64)(0.5f).map(Option(_))))
+      .toDF("id", "embedding")
+    val out = df.select(col("id"),
+        VectorOps.pqCodeCol(cb, 0).as("c0"),
+        VectorOps.pqCodeCol(cb, 7).as("c7"),
+        VectorOps.pqLutCol(cb, 0).as("l0"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.isNullAt(1), r.isNullAt(2), r.isNullAt(3))).toMap
+    assert(out(1L) == ((false, true, false)), "short array: only the " +
+      "out-of-range subspace is null")
+    assert(out(2L) == ((true, false, true)), "null element nulls its " +
+      "own subspace's code and LUT")
+    assert(out(3L) == ((false, false, false)))
+    // interpreted path agrees with codegen on the malformed rows
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(df.select(col("embedding")).schema)
+    val toInternal = org.apache.spark.sql.catalyst.encoders
+      .ExpressionEncoder(enc).createSerializer()
+    val bound = org.apache.spark.sql.catalyst.expressions.BoundReference(
+      0, df.schema("embedding").dataType, nullable = true)
+    val shortRow = toInternal(df.select(col("embedding"))
+      .filter(size(col("embedding")) === 40).collect().head)
+    assert(graft.plans.PqSubspaceCode(bound, cb(7), 56).eval(shortRow) == null)
+    assert(graft.plans.PqSubspaceLut(bound, cb(7), 56).eval(shortRow) == null)
+  }
 }

@@ -142,6 +142,36 @@ class StreamingKnnGraphSpec extends SparkSpec {
     assert(edgeSet(dir) == before)
   }
 
+  test("a batch append changes the served lists only via the new " +
+      "vectors — the maintain->serve stability contract st19 rides") {
+    val dir = Files.createTempDirectory("knng_append_").toString
+    StreamingKnnGraph.applyBatch(vecs(0L until 20L), cent,
+      "vec_id", "embedding", k = 3, 0L, dir)
+    val before = edgeSet(dir)
+    val newIds = Seq(40L, 41L, 42L, 43L)
+    StreamingKnnGraph.applyBatch(vecs(newIds), cent,
+      "vec_id", "embedding", k = 3, 1L, dir)
+    val after = edgeSet(dir)
+    val isNew = newIds.toSet
+    val added = after diff before
+    val removed = before diff after
+    assert(added.nonEmpty)
+    // every appearing edge involves a new vector (merge candidates
+    // for an old node are its stored list + new-vector pairs only)
+    assert(added.forall { case (a, b) => isNew(a) || isNew(b) },
+      s"old-only edges appeared: ${added.filterNot { case (a, b) =>
+        isNew(a) || isNew(b) }}")
+    // an old node loses a stored neighbor only by displacement from a
+    // new vector — never by reshuffling among old neighbors
+    removed.groupBy(_._1).foreach { case (a, lost) =>
+      assert(!isNew(a))
+      val gainedNew = added.count { case (x, b) => x == a && isNew(b) }
+      assert(gainedNew >= lost.size,
+        s"node $a lost ${lost.size} edges but gained only $gainedNew " +
+          "new-vector edges")
+    }
+  }
+
   test("empty batch advances the marker and writes no edge root") {
     val dir = Files.createTempDirectory("knng_empty_").toString
     StreamingKnnGraph.applyBatch(vecs(0L until 8L), cent,
