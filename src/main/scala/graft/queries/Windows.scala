@@ -1149,6 +1149,62 @@ object Windows {
         WHERE rn <= 3""")),
 
     Q(
+      "st18b_streaming_knn_graph_scaled",
+      "st18 at the sqrt(n)-scaled cell count (kCells=25 - VERDICT " +
+        "r12 #2's st18 arm, completing the v14b/v16b/v17b " +
+        "convention): per-batch pair volume is |new_c| x |cell_c| " +
+        "over the batch's cells, so a FIXED cell count makes the " +
+        "per-batch work grow linearly with cell size as the corpus " +
+        "grows (BENCH_SCALE measured 26x at 10x for k=8) while " +
+        "k~sqrt(n) holds cell occupancy - and therefore per-vector " +
+        "maintenance cost - flat. Same streaming kernel " +
+        "(StreamingKnnGraph, 3 batches + compact), same " +
+        "TrainedIndex centroid artifact at its own k; the oracle " +
+        "replays v14b's all-at-once batch build at k=25 verbatim, " +
+        "so the hash pins that the merge-monoid equality holds on " +
+        "the scaled geometry too.",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("graft_st18b_")
+        org.apache.commons.io.FileUtils.forceDeleteOnExit(dir.toFile)
+        val e = Tables.embeddings(s, d)
+        val cent = TrainedIndex.centroids(s, d, k = 25)
+        (0 until 3).foreach { b =>
+          graft.streaming.StreamingKnnGraph.applyBatch(
+            e.filter(pmod(col("vec_id"), lit(3)) === b)
+              .select(col("vec_id"), col("embedding")),
+            cent, "vec_id", "embedding", k = 3, b.toLong, dir.toString)
+        }
+        graft.streaming.StreamingKnnGraph.compact(dir.toString)
+        val g = graft.streaming.StreamingKnnGraph
+          .readGraph(s, dir.toString).get
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("a_id"))
+          .orderBy(col("cos").desc, col("b_id").asc)
+        g.withColumn("rank", row_number().over(w)) // over <=3n rows
+          .select(col("a_id").as("vec_id"), col("rank"),
+            col("b_id").as("neighbor_id"),
+            round(col("cos"), 4).as("cosine"))
+      },
+      Some(s"""
+        WITH ${KmeansSql.upToCent2(25)},
+        ${VectorOps.geoCellsSql(nprobe = 1)},
+        cc AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce,
+                      sqrt(list_dot_product(embedding::DOUBLE[],
+                                            embedding::DOUBLE[])) AS nrm
+               FROM embeddings),
+        sc AS (SELECT x.g_cid AS a_id, y.g_cid AS b_id,
+                      list_dot_product(ca.ce, cb.ce)
+                      / (ca.nrm * cb.nrm) AS cos
+               FROM a3 x JOIN a3 y ON x.cell = y.cell AND x.g_cid <> y.g_cid
+               JOIN cc ca ON ca.cid = x.g_cid
+               JOIN cc cb ON cb.cid = y.g_cid)
+        SELECT a_id AS vec_id, CAST(rn AS INT) AS rank,
+               b_id AS neighbor_id, round(cos, 4) AS cosine
+        FROM (SELECT *, row_number() OVER (PARTITION BY a_id
+                ORDER BY cos DESC, b_id ASC) rn FROM sc)
+        WHERE rn <= 3""")),
+
+    Q(
       "st19_maintained_ann_serving",
       "The maintain->serve contract END TO END (VERDICT r12 #3 - " +
         "st18 and v19 were two disjoint gates; the production story " +

@@ -60,6 +60,24 @@ class GraphAnnSpec extends SparkSpec {
     assert(a.map(_._1) == (0L until 20L).toSet)
   }
 
+  test("the served graph is a stored artifact: the edge/medoid frames " +
+      "TrainedIndex.graph returns are pure parquet scans — no join, " +
+      "no aggregate, no exchange (the build never runs at serve time)") {
+    val (edges, medoids) = graft.queries.TrainedIndex
+      .graph(spark, sf, degree = 16, kCells = 8)
+    Seq("edges" -> edges, "medoids" -> medoids).foreach { case (n, df) =>
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("FileScan parquet"), s"$n: ${p.take(500)}")
+      Seq("Join", "HashAggregate", "Exchange", "TopKPerKey").foreach { op =>
+        assert(!p.contains(op), s"$n plan contains $op — the serving " +
+          s"path is rebuilding: ${p.take(800)}")
+      }
+    }
+    // and the loaded graph is non-trivial (hub edges included:
+    // out-degree can exceed the kNN degree by 1)
+    assert(edges.count() > 0 && medoids.count() > 0)
+  }
+
   test("hub edges escape the entry cells: served neighbors include " +
       "nodes outside the query's 2 probed cells") {
     val e = graft.sources.Tables.embeddings(spark, sf)
