@@ -1084,18 +1084,23 @@ object VectorOps {
   }
 
   /** Entry frontier f0 for the broadcast query set: each query's
-    * nprobe=2 nearest cells' medoids (self excluded) — queries route
+    * `entries` nearest cells' medoids (self excluded) — queries route
     * map-side against centroid literals, medoids broadcast. Factored
     * out of the build so serving paths that LOAD the medoid frame
     * (v20 artifact round-trip, st19 maintained graph) compute their
-    * entries from the stored artifact. */
+    * entries from the stored artifact. Every gate pins entries=2
+    * (the oracle f0 CTE); wider entry sets are the multi-entry
+    * search lever GraphAnnAb measures — when the greedy walk
+    * converges to a local minimum (recall saturates in beam/degree/
+    * hops), more DIVERSE starts are the remaining recall axis, at
+    * `entries` extra scored rows per query and zero graph cost. */
   private[graft] def graphEntries(s: SparkSession, d: String,
       cent: Array[Array[Double]],
-      medoids: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
+      medoids: org.apache.spark.sql.DataFrame,
+      entries: Int = 2): org.apache.spark.sql.DataFrame = {
     val probes = Tables.embeddings(s, d).filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"),
-        explode(nearestCells(cent, "embedding", 2)).as("pc"))
+        explode(nearestCells(cent, "embedding", entries)).as("pc"))
       .select(col("qid"), (-col("pc.nc")).as("cell"))
     probes.join(broadcast(medoids), Seq("cell"))
       .filter(col("mid") =!= col("qid"))
@@ -1108,17 +1113,17 @@ object VectorOps {
     * is a parquet scan (the v13→v15 train-once payoff applied to the
     * graph tier, VERDICT r12 #1). */
   private def hubGraphAndEntry(s: SparkSession, d: String, degree: Int,
-      kCells: Int = 8)
+      kCells: Int = 8, entries: Int = 2)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val (edges, medoids) = TrainedIndex.graph(s, d, degree, kCells)
     val cent = TrainedIndex.centroids(s, d, k = kCells)
-    (edges, graphEntries(s, d, cent, medoids))
+    (edges, graphEntries(s, d, cent, medoids, entries))
   }
 
   private[graft] def graphAnnServe(s: SparkSession, d: String,
-      beam: Int, hops: Int, degree: Int = 8,
-      kCells: Int = 8): org.apache.spark.sql.DataFrame = {
-    val (edges, f0) = hubGraphAndEntry(s, d, degree, kCells)
+      beam: Int, hops: Int, degree: Int = 8, kCells: Int = 8,
+      entries: Int = 2): org.apache.spark.sql.DataFrame = {
+    val (edges, f0) = hubGraphAndEntry(s, d, degree, kCells, entries)
     exactWalkServe(s, d, edges, f0, beam, hops)
   }
 
@@ -1179,9 +1184,9 @@ object VectorOps {
     * at any corpus size), the exact pass reads queries x beam
     * vectors (the "disk" tier) once at the end. */
   private[graft] def graphAnnServeAdc(s: SparkSession, d: String,
-      beam: Int, hops: Int,
-      degree: Int = 8): org.apache.spark.sql.DataFrame = {
-    val (edges, f0) = hubGraphAndEntry(s, d, degree)
+      beam: Int, hops: Int, degree: Int = 8, kCells: Int = 8,
+      entries: Int = 2): org.apache.spark.sql.DataFrame = {
+    val (edges, f0) = hubGraphAndEntry(s, d, degree, kCells, entries)
     adcWalkServe(s, d, edges, f0, beam, hops,
       Some(TrainedIndex.codes(s, d)))
   }
@@ -2619,6 +2624,37 @@ object VectorOps {
         WITH ${KmeansSql.upToCent2(25)},
         $TruthSql,
         ${geoCellsSql(nprobe = 2)},
+        ${hubGraphSql(degree = 16)},
+        ${beamHopsSql(beam = 16, hops = 3)},
+        $RecallTailSql""")),
+
+    Q(
+      "v17c_graph_ann_multientry",
+      "v17b's scaled geometry with MULTI-ENTRY search (entries=8): " +
+        "the measured answer to the recall-saturation finding in " +
+        "GraphAnnAb's 10x grid — once the greedy walk converges to " +
+        "a local minimum, recall saturates in EVERY per-walk axis " +
+        "(beam 16->48: 15->17/60; degree 16->32: 17/60 flat; hops " +
+        "3->8: 17/60 flat at the 10x fixture), and the remaining " +
+        "lever is entry DIVERSITY: starting the walk from the " +
+        "query's 8 nearest cells' medoids instead of 2 lifts 10x " +
+        "recall 17->37/60 (entries 2/4/8/16 = 17/21/30/37) at ZERO " +
+        "graph cost and ~3 s walks — more diverse starts escape " +
+        "more local minima, the multi-restart insight of the " +
+        "graph-ANN literature in lake form. At the gate SF the same " +
+        "lever reads 30->38/60 (k=25, entries 2->8), gated here at " +
+        "(kCells=25, degree=16, beam=16, hops=3, entries=8); the " +
+        "extra cost is 6 more scored rows per query at hop 0 — " +
+        "corpus-size-independent like every other walk frame. " +
+        "Oracle: the k=25 chain with the probes CTE widened to " +
+        "rn<=8 feeding the same f0 medoid-entry construction.",
+      (s, d) => recallOf(bruteTruth(s, d),
+        graphAnnServe(s, d, beam = 16, hops = 3, degree = 16,
+          kCells = 25, entries = 8)),
+      Some(s"""
+        WITH ${KmeansSql.upToCent2(25)},
+        $TruthSql,
+        ${geoCellsSql(nprobe = 8)},
         ${hubGraphSql(degree = 16)},
         ${beamHopsSql(beam = 16, hops = 3)},
         $RecallTailSql""")),

@@ -11,9 +11,12 @@ import graft.queries.VectorOps
   * truth plus wall time — the evidence behind the gate's pinned
   * operating point, the GraphAnn analogue of IvfProbe's nprobe table.
   *
-  * Usage: graft.tools.GraphAnnAb <sfDir> [beams] [hops] [degrees] [adc]
+  * Usage: graft.tools.GraphAnnAb <sfDir> [beams] [hops] [degrees] [adc|-] [kCells]
   *   beams/hops/degrees are comma lists (e.g. 4,8 2,3 8,16); a literal
-  *   5th arg `adc` switches to v19's PQ-compassed walk.
+  *   5th arg `adc` switches to v19's PQ-compassed walk (`-` keeps the
+  *   exact walk); the 6th arg sets the graph-build cell count
+  *   (default 8 — pass the sqrt(n)-scaled k to measure the v17b
+  *   geometry's recall).
   */
 object GraphAnnAb {
   def main(args: Array[String]): Unit = {
@@ -25,6 +28,9 @@ object GraphAnnAb {
     val degrees = (if (args.length > 3) args(3) else "8")
       .split(",").map(_.trim.toInt).toSeq
     val adc = args.length > 4 && args(4) == "adc" // v19's compass
+    val kCells = if (args.length > 5) args(5).toInt else 8
+    val entriesList = (if (args.length > 6) args(6) else "2")
+      .split(",").map(_.trim.toInt).toSeq
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -32,18 +38,19 @@ object GraphAnnAb {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val truth = VectorOps.bruteTruth(spark, sfDir).localCheckpoint(true)
-    for (g <- degrees; b <- beams; h <- hopsList) {
+    for (g <- degrees; b <- beams; h <- hopsList; ent <- entriesList) {
       val t0 = System.nanoTime()
       val served = if (adc)
         VectorOps.graphAnnServeAdc(spark, sfDir, beam = b,
-          hops = h, degree = g)
+          hops = h, degree = g, kCells = kCells, entries = ent)
       else VectorOps.graphAnnServe(spark, sfDir, beam = b,
-        hops = h, degree = g)
+        hops = h, degree = g, kCells = kCells, entries = ent)
       val rec = VectorOps.recallOf(truth, served)
         .agg(sum(col("n_hit")).as("hit"), sum(col("n_truth")).as("tot"))
         .collect()(0)
       val secs = (System.nanoTime() - t0) / 1e9
-      println(f"graph_ann degree=$g%-3d beam=$b%-3d hops=$h%-2d recall@3=" +
+      println(f"graph_ann k=$kCells%-3d degree=$g%-3d beam=$b%-3d hops=$h%-2d " +
+        f"entries=$ent%-2d recall@3=" +
         f"${rec.getLong(0)}%3d/${rec.getLong(1)}%d  wall=$secs%7.2f s")
     }
     spark.stop()
