@@ -1159,10 +1159,7 @@ object VectorOps {
     // keeps hop h+1's plan from re-running hop h's corpus touches
     var frontier = topB(scoredOf(f0)).localCheckpoint(true)
     for (_ <- 1 to hops) {
-      val neigh = edges
-        .join(broadcast(frontier.select(col("qid"), col("cid").as("src"))),
-          Seq("src"))
-        .select(col("qid"), col("dst").as("cid"))
+      val neigh = hopEdges(edges, frontier)
       val cands = frontier.select(col("qid"), col("cid"))
         .union(neigh)
         .filter(col("cid") =!= col("qid"))
@@ -1172,6 +1169,29 @@ object VectorOps {
     graft.plans.TopKPerKey.topK(frontier, Seq("qid"),
       Seq(col("cos").desc, col("cid").asc), 3)
       .select(col("qid"), col("cid"))
+  }
+
+  /** One hop's out-edge expansion: the frontier's src ids ride into
+    * the stored edge table's SCAN as a pushed predicate before the
+    * broadcast join resolves (qid, dst) pairs. The id set is
+    * driver-bounded (<= queries x beam rows — the frontier is
+    * already localCheckpointed, so the collect re-reads checkpoint
+    * blocks, not the plan; the same bounded-collect class as probe
+    * cell ids). Semantically a no-op (the join restricts to the same
+    * keys), but it is what makes a hop a POINT LOOKUP instead of a
+    * full edge scan: the isin lands in the parquet scan's
+    * PushedFilters (GraphAnnSpec pins it), so at 100 TB an
+    * id-sorted/bucketed edge artifact serves each hop from the few
+    * row groups holding the frontier's ids. */
+  private[graft] def hopEdges(edges: org.apache.spark.sql.DataFrame,
+      frontier: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val srcIds = frontier.select(col("cid")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    edges.filter(col("src").isin(srcIds: _*))
+      .join(broadcast(frontier.select(col("qid"), col("cid").as("src"))),
+        Seq("src"))
+      .select(col("qid"), col("dst").as("cid"))
   }
 
   /** DiskANN-style serving (v19, Subramanya et al. NeurIPS'19): the
@@ -1219,10 +1239,7 @@ object VectorOps {
         Seq(col("score").desc, col("cid").asc), beam)
     var frontier = topB(scoredAdc(f0)).localCheckpoint(true)
     for (_ <- 1 to hops) {
-      val neigh = edges
-        .join(broadcast(frontier.select(col("qid"), col("cid").as("src"))),
-          Seq("src"))
-        .select(col("qid"), col("dst").as("cid"))
+      val neigh = hopEdges(edges, frontier)
       val cands = frontier.select(col("qid"), col("cid"))
         .union(neigh)
         .filter(col("cid") =!= col("qid"))

@@ -78,6 +78,30 @@ class GraphAnnSpec extends SparkSpec {
     assert(edges.count() > 0 && medoids.count() > 0)
   }
 
+  test("a hop is a point lookup: the frontier's src ids reach the " +
+      "stored edge scan as PushedFilters, and the expansion equals " +
+      "the unpruned join") {
+    val s = spark
+    import s.implicits._
+    val (edges, _) = graft.queries.TrainedIndex
+      .graph(spark, sf, degree = 16, kCells = 8)
+    val frontier = edges.select(col("src").as("cid")).distinct()
+      .orderBy(col("cid")).limit(3)
+      .withColumn("qid", lit(0L)).select(col("qid"), col("cid"))
+      .localCheckpoint(true)
+    val hop = graft.queries.VectorOps.hopEdges(edges, frontier)
+    val p = hop.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") &&
+      Seq("In(src", "in(src").exists(p.contains), p.take(1200))
+    // pruning is a semantic no-op: same rows as the plain join
+    val plain = edges
+      .join(frontier.select(col("qid"), col("cid").as("src")), Seq("src"))
+      .select(col("qid"), col("dst").as("cid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pruned = hop.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pruned == plain && pruned.nonEmpty)
+  }
+
   test("hub edges escape the entry cells: served neighbors include " +
       "nodes outside the query's 2 probed cells") {
     val e = graft.sources.Tables.embeddings(spark, sf)
