@@ -95,8 +95,15 @@ object TrainedIndex {
       graphCache.getOrElseUpdate((d, degree, kCells), {
         val (edges, medoids) = VectorOps.buildHubGraph(s, d, degree, kCells)
         val dir0 = store(d, s"graph_d${degree}_k$kCells")
+        // the artifact is ID-SORTED at write time (one build-side
+        // sort, amortized like the build itself) so the hop walks'
+        // pushed src-id predicates prune to the row groups actually
+        // holding the frontier — parquet min/max stats are useless
+        // on an unsorted edge table; row order is invisible to the
+        // hash gates (edge SETS) and to the walk
         graft.sources.IndexArtifacts.saveFrames(s, dir0,
-          Seq("edges" -> edges, "medoids" -> medoids))
+          Seq("edges" -> edges.sort(org.apache.spark.sql.functions.col("src")),
+            "medoids" -> medoids))
         dir0
       })
     })
