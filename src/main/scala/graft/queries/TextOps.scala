@@ -124,8 +124,6 @@ object TextOps {
                CAST(sum(CASE WHEN f_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
         FROM f GROUP BY 1"""
 
-  /** Per-doc DISTINCT word-8-gram md5s — shared by the t10/t10b
-    * decontamination twins so both probe the identical gram space. */
   /** The composed explode-per-kgram fingerprint — the declarative twin
     * of the t04b native expression, DEMOTED from its own hash gate to
     * a spec-level parity oracle (VERDICT r12 #4: it paid a |text|-row
@@ -146,6 +144,8 @@ object TextOps {
       .withColumn("fp8", substring(col("fp"), 1, 8))
   }
 
+  /** Per-doc DISTINCT word-8-gram md5s — shared by the t10/t10b
+    * decontamination twins so both probe the identical gram space. */
   private def word8Grams(df: DataFrame): DataFrame =
     df.select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 8)

@@ -295,18 +295,34 @@ object VectorOps {
     * selectivity) is where pre/post-filter CONVERGE (measured 32/60
     * vs 31/60) — the full selectivity sweep is tools.FilteredAnnAb's
     * table in BENCH_SCALE. */
-  private[graft] def rareFilteredExact(s: SparkSession, d: String)
-      : org.apache.spark.sql.DataFrame = {
+  /** The composite-key modulus of the rare-filter regime (label AND
+    * vec_id % this — ~0.66% selectivity at the gate SF). One constant
+    * shared by the gate pair below AND tools.FilteredAnnAb, so the
+    * gate and the A/B sweep can never measure different predicates. */
+  private[graft] val RareResidueMod = 16
+
+  /** The (query, corpus) frames of the rare-filter regime — labels,
+    * residues, embeddings and norms, built once and shared by the
+    * truth and serving plans so the predicate columns exist in
+    * exactly one copy. */
+  private def rareFrames(s: SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val e = Tables.embeddings(s, d)
     val q = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("label").as("q_lab"),
-        pmod(col("vec_id"), lit(16)).as("q_res"),
+        pmod(col("vec_id"), lit(RareResidueMod)).as("q_res"),
         col("embedding").as("qe"),
         sqrt(dot("embedding", "embedding")).as("nq"))
     val c = e.select(col("vec_id").as("cid"), col("label").as("c_lab"),
-      pmod(col("vec_id"), lit(16)).as("c_res"),
+      pmod(col("vec_id"), lit(RareResidueMod)).as("c_res"),
       col("embedding").as("ce"),
       sqrt(dot("embedding", "embedding")).as("nc"))
+    (q, c)
+  }
+
+  private[graft] def rareFilteredExact(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val (q, c) = rareFrames(s, d)
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("cid").asc)
     c.join(broadcast(q),
@@ -323,16 +339,7 @@ object VectorOps {
     * equi-join plan must reproduce). */
   private[graft] def bruteTruthRare(s: SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
-    val e = Tables.embeddings(s, d)
-    val q = e.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("qid"), col("label").as("q_lab"),
-        pmod(col("vec_id"), lit(16)).as("q_res"),
-        col("embedding").as("qe"),
-        sqrt(dot("embedding", "embedding")).as("nq"))
-    val c = e.select(col("vec_id").as("cid"), col("label").as("c_lab"),
-      pmod(col("vec_id"), lit(16)).as("c_res"),
-      col("embedding").as("ce"),
-      sqrt(dot("embedding", "embedding")).as("nc"))
+    val (q, c) = rareFrames(s, d)
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("cid").asc)
     c.join(broadcast(q), col("qid") =!= col("cid"))
@@ -1062,25 +1069,36 @@ object VectorOps {
   private[graft] def buildHubGraph(s: SparkSession, d: String,
       degree: Int, kCells: Int)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    val e = Tables.embeddings(s, d)
     val cent = TrainedIndex.centroids(s, d, k = kCells)
-    val medoids = e.select(col("vec_id"),
+    val (hub, medoids) = hubAndMedoidsFrom(Tables.embeddings(s, d), cent)
+    val edges = knnGraph(s, d, kCells = kCells, degree = degree)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+      .union(hub).distinct()
+    (edges, medoids)
+  }
+
+  /** The hub-edge + entry-medoid kernel over an ARBITRARY (vec_id,
+    * embedding) frame — one copy shared by the batch build (raw
+    * table) and the maintained-lake serving path (st19), so the
+    * medoid tie-break and the second-nearest-cell hub convention
+    * can never diverge between them (both must match hubGraphSql). */
+  private[graft] def hubAndMedoidsFrom(
+      vecs: org.apache.spark.sql.DataFrame, cent: Array[Array[Double]])
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val medoids = vecs.select(col("vec_id"),
         element_at(nearestCells(cent, "embedding", 1), 1).as("best"))
       .select(col("vec_id"), (-col("best.nc")).as("cell"),
         col("best.dot").as("dt"))
       .groupBy(col("cell"))
       .agg(max_by(col("vec_id"),
         struct(col("dt"), -col("vec_id"))).as("mid"))
-    val hub = e.select(col("vec_id").as("src"),
+    val hub = vecs.select(col("vec_id").as("src"),
         (-element_at(nearestCells(cent, "embedding", 2), 2)
           .getField("nc")).as("cell"))
       .join(broadcast(medoids), Seq("cell"))
       .filter(col("mid") =!= col("src"))
       .select(col("src"), col("mid").as("dst"))
-    val edges = knnGraph(s, d, kCells = kCells, degree = degree)
-      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
-      .union(hub).distinct()
-    (edges, medoids)
+    (hub, medoids)
   }
 
   /** Entry frontier f0 for the broadcast query set: each query's
@@ -1282,6 +1300,19 @@ object VectorOps {
     (0 until PqM).map(i =>
       s"sum(CASE WHEN $c.sub = $i THEN CAST(round($l.dot * 1000000) AS BIGINT) END)")
       .mkString("\n                       + ")
+
+  /** The all-candidates integer ADC frame over the p-prefixed PQ
+    * chain (qid < 20, self excluded) — the beam compass's oracle
+    * scores, shared VERBATIM by the v19/v20/st19 gates so a fix to
+    * the join keys or the query predicate can never desynchronize
+    * the three "identical replay" oracles. */
+  private[queries] def adcAllSql: String =
+    s"""adcall AS (SELECT l.vec_id AS qid, pc.vec_id AS cid,
+                          ${pqAdcTermsSql("pc", "l")} AS score
+                   FROM pcodes pc
+                   JOIN pd2 l ON l.sub = pc.sub AND l.code = pc.code
+                   WHERE l.vec_id < 20 AND l.vec_id <> pc.vec_id
+                   GROUP BY 1, 2)"""
 
   private[graft] def pqChainSql(p: String): String = s"""${p}longp AS (
                          SELECT vec_id, unnest(embedding)::DOUBLE AS v,
@@ -2709,12 +2740,7 @@ object VectorOps {
         ${geoCellsSql(nprobe = 2)},
         ${hubGraphSql(degree = 16)},
         ${pqChainSql("p")},
-        adcall AS (SELECT l.vec_id AS qid, pc.vec_id AS cid,
-                          ${pqAdcTermsSql("pc", "l")} AS score
-                   FROM pcodes pc
-                   JOIN pd2 l ON l.sub = pc.sub AND l.code = pc.code
-                   WHERE l.vec_id < 20 AND l.vec_id <> pc.vec_id
-                   GROUP BY 1, 2),
+        $adcAllSql,
         ${beamHopsAdcSql(beam = 16, hops = 3)},
         $RecallTailSql""")),
 
@@ -2767,12 +2793,7 @@ object VectorOps {
         ${geoCellsSql(nprobe = 2)},
         ${hubGraphSql(degree = 16)},
         ${pqChainSql("p")},
-        adcall AS (SELECT l.vec_id AS qid, pc.vec_id AS cid,
-                          ${pqAdcTermsSql("pc", "l")} AS score
-                   FROM pcodes pc
-                   JOIN pd2 l ON l.sub = pc.sub AND l.code = pc.code
-                   WHERE l.vec_id < 20 AND l.vec_id <> pc.vec_id
-                   GROUP BY 1, 2),
+        $adcAllSql,
         ${beamHopsAdcSql(beam = 32, hops = 3)},
         $RecallTailSql""")),
 

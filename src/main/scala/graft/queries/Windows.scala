@@ -1246,26 +1246,19 @@ object Windows {
           .readGraph(s, dir.toString).get
           .select(col("a_id").as("src"), col("b_id").as("dst"))
         // hub edges + entry medoids derive from the maintained LAKE
-        // (map-side vs centroid literals - the buildHubGraph shape,
-        // sourced from stream state instead of the raw table)
+        // through the ONE shared kernel (VectorOps.hubAndMedoidsFrom
+        // - sourced from stream state instead of the raw table, so
+        // the medoid tie-break can never diverge from the batch
+        // build's). The eager checkpoint re-establishes the stored-
+        // edge-table invariant for this computed frame: hop joins
+        // read materialized blocks instead of replaying the lake
+        // scan + union-distinct per hop (v17/v19 get this for free
+        // from their parquet artifacts).
         val lake = graft.streaming.StreamingVectorIndex
           .readIndex(s, s"$dir/index")
           .select(col("vec_id"), col("embedding"))
-        val medoids = lake.select(col("vec_id"),
-            element_at(VectorOps.nearestCells(cent, "embedding", 1), 1)
-              .as("best"))
-          .select(col("vec_id"), (-col("best.nc")).as("cell"),
-            col("best.dot").as("dt"))
-          .groupBy(col("cell"))
-          .agg(max_by(col("vec_id"),
-            struct(col("dt"), -col("vec_id"))).as("mid"))
-        val hub = lake.select(col("vec_id").as("src"),
-            (-element_at(VectorOps.nearestCells(cent, "embedding", 2), 2)
-              .getField("nc")).as("cell"))
-          .join(broadcast(medoids), Seq("cell"))
-          .filter(col("mid") =!= col("src"))
-          .select(col("src"), col("mid").as("dst"))
-        val edges = maintained.union(hub).distinct()
+        val (hub, medoids) = VectorOps.hubAndMedoidsFrom(lake, cent)
+        val edges = maintained.union(hub).distinct().localCheckpoint(true)
         val f0 = VectorOps.graphEntries(s, d, cent, medoids)
         VectorOps.recallOf(VectorOps.bruteTruth(s, d),
           VectorOps.adcWalkServe(s, d, edges, f0, beam = 16, hops = 3,
@@ -1277,12 +1270,7 @@ object Windows {
         ${VectorOps.geoCellsSql(nprobe = 2)},
         ${VectorOps.hubGraphSql(degree = 16)},
         ${VectorOps.pqChainSql("p")},
-        adcall AS (SELECT l.vec_id AS qid, pc.vec_id AS cid,
-                          ${VectorOps.pqAdcTermsSql("pc", "l")} AS score
-                   FROM pcodes pc
-                   JOIN pd2 l ON l.sub = pc.sub AND l.code = pc.code
-                   WHERE l.vec_id < 20 AND l.vec_id <> pc.vec_id
-                   GROUP BY 1, 2),
+        ${VectorOps.adcAllSql},
         ${VectorOps.beamHopsAdcSql(beam = 16, hops = 3)},
         ${VectorOps.RecallTailSql}"""))
   )

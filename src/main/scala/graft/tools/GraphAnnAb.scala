@@ -11,12 +11,15 @@ import graft.queries.VectorOps
   * truth plus wall time — the evidence behind the gate's pinned
   * operating point, the GraphAnn analogue of IvfProbe's nprobe table.
   *
-  * Usage: graft.tools.GraphAnnAb <sfDir> [beams] [hops] [degrees] [adc|-] [kCells]
-  *   beams/hops/degrees are comma lists (e.g. 4,8 2,3 8,16); a literal
-  *   5th arg `adc` switches to v19's PQ-compassed walk (`-` keeps the
-  *   exact walk); the 6th arg sets the graph-build cell count
-  *   (default 8 — pass the sqrt(n)-scaled k to measure the v17b
-  *   geometry's recall).
+  * Usage:
+  *   graft.tools.GraphAnnAb <sfDir> [beams] [hops] [degrees] [adc|-]
+  *                          [kCells] [entries]
+  *   beams/hops/degrees/entries are comma lists (e.g. 4,8 2,3 8,16
+  *   2,8); a literal 5th arg `adc` switches to v19's PQ-compassed walk
+  *   (`-` keeps the exact walk); the 6th arg sets the graph-build cell
+  *   count (default 8 — pass the sqrt(n)-scaled k to measure the v17b
+  *   geometry); the 7th sweeps the entry-medoid count (default 2 — the
+  *   v17c multi-entry lever).
   */
 object GraphAnnAb {
   def main(args: Array[String]): Unit = {
