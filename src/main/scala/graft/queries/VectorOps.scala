@@ -1189,24 +1189,45 @@ object VectorOps {
       .select(col("qid"), col("cid"))
   }
 
+  /** Frontier-id pushdown cap for [[hopEdges]] (VERDICT r13 #2). Below
+    * it the hop inlines the frontier ids as an isin literal; above it
+    * the literal list itself becomes the cost — O(ids) analysis/codegen
+    * work per hop plan, which at a fleet-sized serving batch (10^4
+    * queries x beam 32 ~ 10^5 ids) bloats the plan long before the scan
+    * ever wins — so the hop falls back to the PLAIN broadcast join, the
+    * semantic base the pruned form is row-equal to (GraphAnnSpec pins
+    * both regimes). 1024 keeps every gate (20 queries x beam <= 48)
+    * on the point-lookup arm while bounding the literal list at ~3
+    * orders of magnitude under the pathological case. */
+  private[graft] val HopPushdownMaxIds = 1024
+
   /** One hop's out-edge expansion: the frontier's src ids ride into
     * the stored edge table's SCAN as a pushed predicate before the
     * broadcast join resolves (qid, dst) pairs. The id set is
-    * driver-bounded (<= queries x beam rows — the frontier is
-    * already localCheckpointed, so the collect re-reads checkpoint
-    * blocks, not the plan; the same bounded-collect class as probe
-    * cell ids). Semantically a no-op (the join restricts to the same
-    * keys), but it is what makes a hop a POINT LOOKUP instead of a
-    * full edge scan: the isin lands in the parquet scan's
-    * PushedFilters (GraphAnnSpec pins it), so at 100 TB an
-    * id-sorted/bucketed edge artifact serves each hop from the few
-    * row groups holding the frontier's ids. */
+    * driver-bounded TWICE over: by construction (<= queries x beam
+    * rows — the frontier is already localCheckpointed, so the collect
+    * re-reads checkpoint blocks, not the plan) and by `limit(cap+1)`,
+    * so even a mis-sized frontier can never collect more than the cap
+    * before the hop flips to the join arm. Semantically a no-op (the
+    * join restricts to the same keys), but it is what makes a hop a
+    * POINT LOOKUP instead of a full edge scan: the isin lands in the
+    * parquet scan's PushedFilters (GraphAnnSpec pins it; past
+    * parquet's inFilterThreshold=10 the reader prunes row groups by
+    * the id range, which the src-sorted edge artifact keeps tight —
+    * the >10-id shape is spec-pinned too), so at 100 TB an id-sorted/
+    * bucketed edge artifact serves each hop from the few row groups
+    * holding the frontier's ids. */
   private[graft] def hopEdges(edges: org.apache.spark.sql.DataFrame,
-      frontier: org.apache.spark.sql.DataFrame)
+      frontier: org.apache.spark.sql.DataFrame,
+      maxPushIds: Int = HopPushdownMaxIds)
       : org.apache.spark.sql.DataFrame = {
     val srcIds = frontier.select(col("cid")).distinct()
+      .limit(maxPushIds + 1)
       .collect().map(_.getLong(0)).toSeq
-    edges.filter(col("src").isin(srcIds: _*))
+    val scan =
+      if (srcIds.size <= maxPushIds) edges.filter(col("src").isin(srcIds: _*))
+      else edges // fleet-sized frontier: literal list would bloat the plan
+    scan
       .join(broadcast(frontier.select(col("qid"), col("cid").as("src"))),
         Seq("src"))
       .select(col("qid"), col("dst").as("cid"))

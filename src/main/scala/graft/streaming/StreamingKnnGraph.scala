@@ -207,10 +207,13 @@ object StreamingKnnGraph {
       .getOrElse(Array.empty[java.io.File])
       .filter { f =>
         // parse the id out of the name (ADVICE r12: an existence scan
-        // over 0..upTo is O(upTo) string allocations per file)
+        // over 0..upTo is O(upTo) string allocations per file; ADVICE
+        // r13: the digit count is bounded so a foreign g<20+ digits>
+        // name can't overflow Long and crash the cleanup — batch ids
+        // fit in 18 digits forever, anything longer is not ours)
         val n = f.getName
         (n.startsWith("gcompacted_v") && n != s"gcompacted_v$upTo") ||
-          (n.matches("g\\d+") && n.stripPrefix("g").toLong <= upTo)
+          (n.matches("g\\d{1,18}") && n.stripPrefix("g").toLong <= upTo)
       }
       .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
   }

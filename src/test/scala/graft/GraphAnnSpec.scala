@@ -102,6 +102,55 @@ class GraphAnnSpec extends SparkSpec {
     assert(pruned == plain && pruned.nonEmpty)
   }
 
+  test("a serving-sized hop (>10 ids — past parquet's " +
+      "inFilterThreshold) still pushes the In filter and equals the " +
+      "plain join") {
+    val (edges, _) = graft.queries.TrainedIndex
+      .graph(spark, sf, degree = 16, kCells = 8)
+    // 16 distinct src ids: above the parquet reader's 10-value OR
+    // expansion threshold, so the row-group filter is the ids' min/max
+    // RANGE — the pushed data-source filter is still In(src, ...)
+    // (GraphAnnSpec's 3-id case never exercised this regime; the
+    // src-sorted edge artifact is what keeps the range tight)
+    val frontier = edges.select(col("src").as("cid")).distinct()
+      .orderBy(col("cid")).limit(16)
+      .withColumn("qid", lit(0L)).select(col("qid"), col("cid"))
+      .localCheckpoint(true)
+    assert(frontier.count() == 16)
+    val hop = graft.queries.VectorOps.hopEdges(edges, frontier)
+    val p = hop.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") &&
+      Seq("In(src", "in(src").exists(p.contains), p.take(1200))
+    val plain = edges
+      .join(frontier.select(col("qid"), col("cid").as("src")), Seq("src"))
+      .select(col("qid"), col("dst").as("cid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pruned = hop.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pruned == plain && pruned.nonEmpty)
+  }
+
+  test("above the pushdown cap the hop flips to the plain broadcast " +
+      "join — no id literals in the scan, same rows (VERDICT r13 #2: " +
+      "a fleet-sized frontier must not inline 10^5 literals)") {
+    val (edges, _) = graft.queries.TrainedIndex
+      .graph(spark, sf, degree = 16, kCells = 8)
+    val frontier = edges.select(col("src").as("cid")).distinct()
+      .orderBy(col("cid")).limit(16)
+      .withColumn("qid", lit(0L)).select(col("qid"), col("cid"))
+      .localCheckpoint(true)
+    val hop = graft.queries.VectorOps
+      .hopEdges(edges, frontier, maxPushIds = 8) // 16 ids > cap of 8
+    val p = hop.queryExecution.executedPlan.toString
+    assert(!Seq("In(src", "in(src").exists(p.contains),
+      "above-cap arm must not inline frontier ids: " + p.take(1200))
+    val plain = edges
+      .join(frontier.select(col("qid"), col("cid").as("src")), Seq("src"))
+      .select(col("qid"), col("dst").as("cid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val flipped = hop.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(flipped == plain && flipped.nonEmpty)
+  }
+
   test("hub edges escape the entry cells: served neighbors include " +
       "nodes outside the query's 2 probed cells") {
     val e = graft.sources.Tables.embeddings(spark, sf)
