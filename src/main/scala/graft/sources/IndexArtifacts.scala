@@ -116,6 +116,39 @@ object IndexArtifacts {
     spark.read.parquet(s"$dir/v$v/$name")
   }
 
+  /** Version GC (VERDICT r13 #3): delete superseded v-directories,
+    * keeping the `keep` most recent published versions (the current
+    * one plus `keep - 1` predecessors a still-running reader may hold
+    * open). Pure file work, mirroring StreamingKnnGraph's OPTIMIZE
+    * cleanup discipline; without it a training-cadence republish of
+    * corpus-sized frame artifacts (edges + codes) accumulates a full
+    * corpus copy per dead version. Never touches the `_current`
+    * marker, never deletes at or above the retained floor — in
+    * particular a TORN-BUT-NEWER v-dir (the crash window between a
+    * save's parquet landing and its marker flip, pinned at
+    * IndexArtifactsSpec) is above the floor by construction and is
+    * left for the next save() to supersede; deleting it could race a
+    * concurrent in-flight publish. Torn dirs BELOW the floor are
+    * ancient crash garbage and are collected with their cohort. The
+    * version parse is digit-bounded (the ADVICE r13 compact rule) so
+    * a foreign v<20+ digits> name can't overflow Long.
+    * @return the reaped version ids, ascending. */
+  def reap(dir: String, keep: Int = 2): Seq[Long] = {
+    require(keep >= 1, s"keep must retain at least the current version")
+    val cur = currentVersion(dir)
+    if (cur < 0) return Nil // nothing published — nothing is garbage yet
+    val floor = cur - (keep - 1)
+    Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.matches("v\\d{1,18}"))
+      .map(f => f.getName.stripPrefix("v").toLong -> f)
+      .filter { case (v, _) => v < floor }
+      .sortBy(_._1)
+      .map { case (v, f) =>
+        org.apache.commons.io.FileUtils.deleteQuietly(f); v
+      }.toSeq
+  }
+
   /** PQ codebook at the current version (None when the version was
     * saved without one), as the Array[sub][code][lpos] the encode and
     * LUT expressions take. */

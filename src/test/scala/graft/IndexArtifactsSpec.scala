@@ -124,6 +124,71 @@ class IndexArtifactsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq === Seq(5L))
   }
 
+  // ---- version GC (VERDICT r13 #3) ---------------------------------------
+
+  test("reap deletes superseded versions, keeps the retained window, " +
+      "and the store keeps serving + publishing") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    (0 to 3).foreach { i =>
+      IndexArtifacts.saveFrames(spark, dir,
+        Seq("edges" -> Seq((i.toLong, i.toLong)).toDF("src", "dst")))
+    }
+    assert(IndexArtifacts.currentVersion(dir) === 3L)
+    val reaped = IndexArtifacts.reap(dir, keep = 2)
+    assert(reaped === Seq(0L, 1L)) // floor = 3 - (2-1) = 2
+    assert(!new java.io.File(s"$dir/v0").exists())
+    assert(!new java.io.File(s"$dir/v1").exists())
+    assert(new java.io.File(s"$dir/v2").isDirectory) // reader grace window
+    // the marker is untouched and the current version still serves
+    assert(IndexArtifacts.currentVersion(dir) === 3L)
+    assert(IndexArtifacts.loadFrame(spark, dir, "edges")
+      .collect().map(_.getLong(0)).toSeq === Seq(3L))
+    // version numbering continues monotonically after a reap
+    val v = IndexArtifacts.saveFrames(spark, dir,
+      Seq("edges" -> Seq((9L, 9L)).toDF("src", "dst")))
+    assert(v === 4L)
+    // idempotent: nothing below the new floor but v2/v3
+    assert(IndexArtifacts.reap(dir, keep = 2) === Seq(2L))
+  }
+
+  test("reap never deletes a torn-but-newer v-dir (the crash window " +
+      "between a save's parquet landing and its marker flip) — that " +
+      "dir belongs to the next save, which supersedes it") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    IndexArtifacts.saveFrames(spark, dir,
+      Seq("edges" -> Seq((1L, 2L)).toDF("src", "dst")))
+    // crash window: v1 parquet landed, marker still points at v0
+    Seq((99L, 99L)).toDF("src", "dst").write.parquet(s"$dir/v1/edges")
+    assert(IndexArtifacts.reap(dir, keep = 1) === Nil) // floor = 0
+    assert(new java.io.File(s"$dir/v1").isDirectory,
+      "torn-but-newer dir must survive reap")
+    assert(IndexArtifacts.currentVersion(dir) === 0L)
+    // the interrupted publish retries: same contract as before reap
+    val v = IndexArtifacts.saveFrames(spark, dir,
+      Seq("edges" -> Seq((5L, 6L)).toDF("src", "dst")))
+    assert(v === 1L)
+    assert(IndexArtifacts.loadFrame(spark, dir, "edges")
+      .collect().map(_.getLong(0)).toSeq === Seq(5L))
+    // torn garbage BELOW the floor is collected with its cohort
+    assert(IndexArtifacts.reap(dir, keep = 1) === Seq(0L))
+    assert(IndexArtifacts.loadFrame(spark, dir, "edges")
+      .collect().map(_.getLong(0)).toSeq === Seq(5L))
+  }
+
+  test("reap on an empty or foreign dir is a no-op and ignores " +
+      "non-version names (including overflow-length digits)") {
+    val dir = tmp()
+    assert(IndexArtifacts.reap(dir) === Nil)
+    new java.io.File(s"$dir/v99999999999999999999").mkdirs() // 20 digits
+    new java.io.File(s"$dir/vnot_a_version").mkdirs()
+    assert(IndexArtifacts.reap(dir) === Nil) // no marker -> nothing known
+    assert(new java.io.File(s"$dir/v99999999999999999999").isDirectory)
+  }
+
   test("loadFrame fails fast on a missing frame name") {
     val s = spark
     import s.implicits._
