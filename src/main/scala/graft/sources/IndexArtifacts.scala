@@ -130,23 +130,20 @@ object IndexArtifacts {
     * left for the next save() to supersede; deleting it could race a
     * concurrent in-flight publish. Torn dirs BELOW the floor are
     * ancient crash garbage and are collected with their cohort. The
-    * version parse is digit-bounded (the ADVICE r13 compact rule) so
-    * a foreign v<20+ digits> name can't overflow Long.
+    * version parse is the shared digit-bounded VersionedRoot.versionOf
+    * (no Long overflow on a foreign v<20+ digits> name).
     * @return the reaped version ids, ascending. */
   def reap(dir: String, keep: Int = 2): Seq[Long] = {
     require(keep >= 1, s"keep must retain at least the current version")
     val cur = currentVersion(dir)
     if (cur < 0) return Nil // nothing published — nothing is garbage yet
     val floor = cur - (keep - 1)
-    Option(new java.io.File(dir).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.matches("v\\d{1,18}"))
-      .map(f => f.getName.stripPrefix("v").toLong -> f)
-      .filter { case (v, _) => v < floor }
-      .sortBy(_._1)
-      .map { case (v, f) =>
-        org.apache.commons.io.FileUtils.deleteQuietly(f); v
-      }.toSeq
+    val reaped = scala.collection.mutable.ArrayBuffer.empty[Long]
+    graft.streaming.VersionedRoot.sweep(new java.io.File(dir)) { n =>
+      graft.streaming.VersionedRoot.versionOf(n, "v")
+        .filter(_ < floor).exists { v => reaped += v; true }
+    }
+    reaped.sorted.toSeq
   }
 
   /** PQ codebook at the current version (None when the version was

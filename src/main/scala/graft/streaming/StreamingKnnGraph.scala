@@ -193,28 +193,18 @@ object StreamingKnnGraph {
       org.apache.commons.io.FileUtils.copyDirectory(
         src, new java.io.File(staged, cellName))
     }
-    val live = Paths.get(s"$dir/graph/gcompacted_v$upTo")
-    // an existing target can only be the unpublished leftover of a
-    // crash between rename and marker flip — safe to replace
-    org.apache.commons.io.FileUtils.deleteQuietly(live.toFile)
-    Files.move(staged.toPath, live)
-    StateMarker.publish(dir, upTo, name = "_compacted")
+    VersionedRoot.goLive(staged, Paths.get(s"$dir/graph/gcompacted_v$upTo"),
+      dir, upTo, markerName = "_compacted")
     // cleanup: unreferenced once the marker flipped. The g-root range
     // covers ALL b <= upTo (not just this fold's prev+1..upTo) so
     // garbage left by a crash between a previous publish and its
-    // cleanup is collected too (the StreamingVectorIndex convention).
-    Option(new java.io.File(s"$dir/graph").listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter { f =>
-        // parse the id out of the name (ADVICE r12: an existence scan
-        // over 0..upTo is O(upTo) string allocations per file; ADVICE
-        // r13: the digit count is bounded so a foreign g<20+ digits>
-        // name can't overflow Long and crash the cleanup — batch ids
-        // fit in 18 digits forever, anything longer is not ours)
-        val n = f.getName
-        (n.startsWith("gcompacted_v") && n != s"gcompacted_v$upTo") ||
-          (n.matches("g\\d{1,18}") && n.stripPrefix("g").toLong <= upTo)
-      }
-      .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+    // cleanup is collected too (the StreamingVectorIndex convention);
+    // id parses are digit-bounded via VersionedRoot.versionOf (ADVICE
+    // r12/r13: no O(upTo) existence scans, no Long overflow on a
+    // foreign 20-digit name).
+    VersionedRoot.sweep(new java.io.File(s"$dir/graph")) { n =>
+      (n.startsWith("gcompacted_v") && n != s"gcompacted_v$upTo") ||
+        VersionedRoot.versionOf(n, "g").exists(_ <= upTo)
+    }
   }
 }

@@ -275,22 +275,14 @@ object StreamingVectorIndex {
           f, new java.io.File(staged, f.getName))
       }
     }
-    val live = Paths.get(s"$dir/compacted_v$upTo")
-    // an existing target can only be the unpublished leftover of a
-    // crash between rename and marker flip — safe to replace
-    org.apache.commons.io.FileUtils.deleteQuietly(live.toFile)
-    Files.move(staged.toPath, live)
-    StateMarker.publish(dir, upTo, name = "_compacted")
+    VersionedRoot.goLive(staged, Paths.get(s"$dir/compacted_v$upTo"),
+      dir, upTo, markerName = "_compacted")
     // cleanup: everything below is unreferenced once the marker flipped
-    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-      .filter { f =>
-        val n = f.getName
-        n.startsWith("compacted_v") && n != s"compacted_v$upTo"
-      }
-      .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
-    (0L to upTo).foreach { b =>
-      org.apache.commons.io.FileUtils.deleteQuietly(
-        new java.io.File(s"$dir/cells/b$b"))
+    VersionedRoot.sweep(new java.io.File(dir)) { n =>
+      n.startsWith("compacted_v") && n != s"compacted_v$upTo"
+    }
+    VersionedRoot.sweep(new java.io.File(s"$dir/cells")) { n =>
+      VersionedRoot.versionOf(n, "b").exists(_ <= upTo)
     }
   }
 }
