@@ -129,6 +129,67 @@ object CarveOutGate {
                  event_id % 40 AS hs, event_id % 37 AS aw
           FROM events"""
 
+  /** The game-team aggregate layer over the chain's `enr` CTE — the
+    * SQL replay of GameTeamStats.build (box aggs, event + formula
+    * possessions, opponent self-join, eFG/TS/ft-rate/tov-ratio/
+    * oreb-pct/pace). Stream-agnostic (reads only enr's columns), and
+    * shared VERBATIM by pbp04 (foul stream) and pbp07 (pbp01's no-foul
+    * stream — VERDICT r13 #6) so a fix to the aggregate layer can
+    * never desynchronize the two "same pipeline" oracles — the
+    * adcAllSql convention applied to the PBP family. */
+  private[queries] val GameTeamAggSql: String = """stats AS (
+          SELECT game_id, team_id,
+                 CAST(sum(CASE WHEN is_fga THEN 1 ELSE 0 END) AS BIGINT) AS fga,
+                 CAST(sum(CASE WHEN is_fga AND scoring THEN 1 ELSE 0 END) AS BIGINT) AS fgm,
+                 CAST(sum(CASE WHEN is_fga AND scoring AND sv = 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS fg3m,
+                 CAST(sum(CASE WHEN is_ft THEN 1 ELSE 0 END) AS BIGINT) AS fta,
+                 CAST(sum(CASE WHEN is_ft AND scoring THEN 1 ELSE 0 END) AS BIGINT) AS ftm,
+                 CAST(sum(CASE WHEN is_to THEN 1 ELSE 0 END) AS BIGINT) AS tov,
+                 CAST(sum(CASE WHEN is_dr THEN 1 ELSE 0 END) AS BIGINT) AS dreb,
+                 CAST(0 AS BIGINT) AS oreb,
+                 CAST(sum(CASE WHEN scoring THEN sv ELSE CAST(0.0 AS DOUBLE) END) AS DOUBLE) AS pts,
+                 CAST(max(coalesce(period, 1)) AS INT) AS max_period
+          FROM enr GROUP BY 1, 2),
+        poss AS (
+          SELECT game_id, offense_team_id AS team_id,
+                 CAST(count(*) AS BIGINT) AS possessions_event
+          FROM enr WHERE possession_end AND offense_team_id IS NOT NULL
+          GROUP BY 1, 2),
+        t AS (
+          SELECT s.*,
+                 CAST(coalesce(p.possessions_event, 0) AS BIGINT) AS possessions_event,
+                 s.fga - s.oreb + s.tov + CAST(0.44 AS DOUBLE) * s.fta AS possessions_formula
+          FROM stats s LEFT JOIN poss p
+            ON s.game_id = p.game_id AND s.team_id = p.team_id),
+        j AS (
+          SELECT t1.*, t2.team_id AS opp_tid, t2.pts AS opp_pts,
+                 t2.possessions_formula AS opp_poss_formula,
+                 t2.dreb AS opp_dreb, t2.fga AS opp_fga
+          FROM t t1 JOIN t t2
+            ON t1.game_id = t2.game_id AND t1.team_id <> t2.team_id)
+        SELECT game_id AS gameId, team_id AS teamId, opp_tid AS opponentId,
+               team_id = 1 AS is_home_team,
+               fga, fgm, fg3m, fta, ftm, tov, dreb, oreb, pts, max_period,
+               possessions_event, possessions_formula,
+               opp_pts, opp_poss_formula, opp_dreb, opp_fga,
+               CAST(40 + 5 * greatest(max_period - 2, 0) AS DOUBLE) AS game_minutes,
+               CASE WHEN fga > 0
+                    THEN (fgm + CAST(0.5 AS DOUBLE) * fg3m) / fga END AS efg_pct,
+               CASE WHEN fga + CAST(0.44 AS DOUBLE) * fta > 0
+                    THEN pts / (CAST(2.0 AS DOUBLE) * (fga + CAST(0.44 AS DOUBLE) * fta))
+               END AS ts_pct,
+               CASE WHEN fga > 0 THEN CAST(fta AS DOUBLE) / fga END AS ft_rate,
+               CASE WHEN possessions_formula > 0
+                    THEN tov / possessions_formula END AS tov_ratio,
+               CASE WHEN oreb + opp_dreb > 0
+                    THEN CAST(oreb AS DOUBLE) / (oreb + opp_dreb) END AS oreb_pct,
+               CASE WHEN CAST(40 + 5 * greatest(max_period - 2, 0) AS DOUBLE) > 0
+                    THEN (possessions_formula + opp_poss_formula) / 2.0
+                         * (CAST(40.0 AS DOUBLE)
+                            / CAST(40 + 5 * greatest(max_period - 2, 0) AS DOUBLE))
+               END AS pace
+        FROM j"""
+
   /** Full SQL replay of the possession state machine over any play
     * stream (pbp03/pbp04 foul-enriched; pbp01 the no-foul stream): the
     * and-1 lookahead as bounded window scans, possession ids as running
@@ -662,58 +723,7 @@ object CarveOutGate {
             col("ft_rate"), col("tov_ratio"), col("oreb_pct"), col("pace"))
       },
       Some(s"""${pbpChainCtes(FoulPlaysSelect)},
-        stats AS (
-          SELECT game_id, team_id,
-                 CAST(sum(CASE WHEN is_fga THEN 1 ELSE 0 END) AS BIGINT) AS fga,
-                 CAST(sum(CASE WHEN is_fga AND scoring THEN 1 ELSE 0 END) AS BIGINT) AS fgm,
-                 CAST(sum(CASE WHEN is_fga AND scoring AND sv = 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS fg3m,
-                 CAST(sum(CASE WHEN is_ft THEN 1 ELSE 0 END) AS BIGINT) AS fta,
-                 CAST(sum(CASE WHEN is_ft AND scoring THEN 1 ELSE 0 END) AS BIGINT) AS ftm,
-                 CAST(sum(CASE WHEN is_to THEN 1 ELSE 0 END) AS BIGINT) AS tov,
-                 CAST(sum(CASE WHEN is_dr THEN 1 ELSE 0 END) AS BIGINT) AS dreb,
-                 CAST(0 AS BIGINT) AS oreb,
-                 CAST(sum(CASE WHEN scoring THEN sv ELSE CAST(0.0 AS DOUBLE) END) AS DOUBLE) AS pts,
-                 CAST(max(coalesce(period, 1)) AS INT) AS max_period
-          FROM enr GROUP BY 1, 2),
-        poss AS (
-          SELECT game_id, offense_team_id AS team_id,
-                 CAST(count(*) AS BIGINT) AS possessions_event
-          FROM enr WHERE possession_end AND offense_team_id IS NOT NULL
-          GROUP BY 1, 2),
-        t AS (
-          SELECT s.*,
-                 CAST(coalesce(p.possessions_event, 0) AS BIGINT) AS possessions_event,
-                 s.fga - s.oreb + s.tov + CAST(0.44 AS DOUBLE) * s.fta AS possessions_formula
-          FROM stats s LEFT JOIN poss p
-            ON s.game_id = p.game_id AND s.team_id = p.team_id),
-        j AS (
-          SELECT t1.*, t2.team_id AS opp_tid, t2.pts AS opp_pts,
-                 t2.possessions_formula AS opp_poss_formula,
-                 t2.dreb AS opp_dreb, t2.fga AS opp_fga
-          FROM t t1 JOIN t t2
-            ON t1.game_id = t2.game_id AND t1.team_id <> t2.team_id)
-        SELECT game_id AS gameId, team_id AS teamId, opp_tid AS opponentId,
-               team_id = 1 AS is_home_team,
-               fga, fgm, fg3m, fta, ftm, tov, dreb, oreb, pts, max_period,
-               possessions_event, possessions_formula,
-               opp_pts, opp_poss_formula, opp_dreb, opp_fga,
-               CAST(40 + 5 * greatest(max_period - 2, 0) AS DOUBLE) AS game_minutes,
-               CASE WHEN fga > 0
-                    THEN (fgm + CAST(0.5 AS DOUBLE) * fg3m) / fga END AS efg_pct,
-               CASE WHEN fga + CAST(0.44 AS DOUBLE) * fta > 0
-                    THEN pts / (CAST(2.0 AS DOUBLE) * (fga + CAST(0.44 AS DOUBLE) * fta))
-               END AS ts_pct,
-               CASE WHEN fga > 0 THEN CAST(fta AS DOUBLE) / fga END AS ft_rate,
-               CASE WHEN possessions_formula > 0
-                    THEN tov / possessions_formula END AS tov_ratio,
-               CASE WHEN oreb + opp_dreb > 0
-                    THEN CAST(oreb AS DOUBLE) / (oreb + opp_dreb) END AS oreb_pct,
-               CASE WHEN CAST(40 + 5 * greatest(max_period - 2, 0) AS DOUBLE) > 0
-                    THEN (possessions_formula + opp_poss_formula) / 2.0
-                         * (CAST(40.0 AS DOUBLE)
-                            / CAST(40 + 5 * greatest(max_period - 2, 0) AS DOUBLE))
-               END AS pace
-        FROM j""")),
+        $GameTeamAggSql""")),
 
     // ----- the garbage-removed variant of the game-team table ---------------------
     Q(
@@ -1177,6 +1187,36 @@ object CarveOutGate {
         SELECT id, game_id, possession_id, offense_team_id,
                possession_end, garbage_time
         FROM enr""")),
+
+    // ----- pbp01's EXACT composition under the hash gate ---------------------------
+    Q(
+      "pbp07_nofoul_game_team_stats",
+      "pbp01's EXACT computation as a hash twin (VERDICT r13 #6 — the " +
+        "dm10d recipe applied to the last rows-only family): the full " +
+        "enrich + GameTeamStats.build composition on pbp01's own play " +
+        "stream (fine 1200-value clock, no foul injection). pbp04 " +
+        "gated the composition on the FOUL stream and pbp05 gated the " +
+        "state machine on THIS stream; this gate closes the remaining " +
+        "cell of the matrix — the aggregate layer over the no-foul " +
+        "chain — so every computation pbp01 performs is now hash-" +
+        "matched cross-engine and the rows-only pbp01 entry is purely " +
+        "the driver-contract smoke query. Oracle: the no-foul chain " +
+        "CTEs + the SAME GameTeamAggSql layer pbp04 replays (shared " +
+        "verbatim, the adcAllSql convention).",
+      (s, d) => {
+        val enriched = graft.pbp.PossessionEngine.enrich(noFoulPlays(s, d))
+        graft.pbp.GameTeamStats.build(enriched.toDF())
+          .select(col("gameId"), col("teamId"), col("opponentId"),
+            col("is_home_team"), col("fga"), col("fgm"), col("fg3m"),
+            col("fta"), col("ftm"), col("tov"), col("dreb"), col("oreb"),
+            col("pts"), col("max_period"), col("possessions_event"),
+            col("possessions_formula"), col("opp_pts"),
+            col("opp_poss_formula"), col("opp_dreb"), col("opp_fga"),
+            col("game_minutes"), col("efg_pct"), col("ts_pct"),
+            col("ft_rate"), col("tov_ratio"), col("oreb_pct"), col("pace"))
+      },
+      Some(s"""${pbpChainCtes(NoFoulPlaysSelect)},
+        $GameTeamAggSql""")),
 
     // ----- PBP classifier + flags stage --------------------------------------------
     Q(
