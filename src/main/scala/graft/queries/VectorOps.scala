@@ -1145,10 +1145,81 @@ object VectorOps {
     exactWalkServe(s, d, edges, f0, beam, hops)
   }
 
+  /** The query's `refine` nearest cells' MEMBERS as (qid, cid)
+    * candidates — the IVF scan set, map-side assignment against
+    * centroid literals on both sides (geoAnn's shape, parameterized
+    * over the centroid artifact so the k~sqrt(n) geometry serves
+    * O(sqrt n) candidates per query instead of O(n/8)). */
+  private[graft] def cellCandidates(s: SparkSession, d: String,
+      cent: Array[Array[Double]], refine: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val asg = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      .withColumn("cell",
+        -element_at(nearestCells(cent, "ce", 1), 1).getField("nc"))
+    val probes = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"),
+        explode(nearestCells(cent, "embedding", refine)).as("pc"))
+      .select(col("qid"), (-col("pc.nc")).as("cell"))
+    asg.join(broadcast(probes), Seq("cell"))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"))
+  }
+
+  /** v17d's REFINED graph serving: the beam walk's final frontier
+    * UNIONED with the query's `refine` nearest cells' members, then
+    * ONE exact re-rank cut. The walk supplies long-range candidates
+    * the cell scan cannot see (hub escapes), the cell scan supplies
+    * the dense local neighborhood greedy descent walks past (the
+    * measured recall-saturation failure: every per-walk axis — beam,
+    * degree, hops, and past ~16 even entry diversity — plateaus at a
+    * local-minimum set). Cost per query is beam + refine x n/kCells
+    * scored rows; at the gated k~sqrt(n) geometry that is O(sqrt n) —
+    * the IVF nprobe economics — vs the walk's O(1), the price of
+    * recall above the walk's plateau. The refinement is one candidate
+    * union + one exact scoring pass: no second walk, no extra hop
+    * over the stored graph. */
+  private[graft] def graphAnnServeRefined(s: SparkSession, d: String,
+      beam: Int, hops: Int, degree: Int = 8, kCells: Int = 8,
+      entries: Int = 2, refine: Int = 2)
+      : org.apache.spark.sql.DataFrame = {
+    val (edges, f0) = hubGraphAndEntry(s, d, degree, kCells, entries)
+    val frontier = exactWalkFrontier(s, d, edges, f0, beam, hops)
+    val cent = TrainedIndex.centroids(s, d, k = kCells)
+    val cands = frontier.select(col("qid"), col("cid"))
+      .union(cellCandidates(s, d, cent, refine))
+      .distinct()
+    val e = Tables.embeddings(s, d)
+    val qn = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        sqrt(dot("embedding", "embedding")).as("nq"))
+    val cn = e.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+      sqrt(dot("embedding", "embedding")).as("nc"))
+    val scored = cn.join(broadcast(cands), Seq("cid"))
+      .join(broadcast(qn), Seq("qid"))
+      .withColumn("cos", dot("qe", "ce") / (col("nq") * col("nc")))
+      .select(col("qid"), col("cid"), col("cos"))
+    graft.plans.TopKPerKey.topK(scored, Seq("qid"),
+      Seq(col("cos").desc, col("cid").asc), 3)
+      .select(col("qid"), col("cid"))
+  }
+
   /** v17's exact-cosine beam walk over an EXPLICIT (edges, f0) pair —
     * the serving kernel, decoupled from where the graph came from
     * (artifact store, st18-maintained roots, or a fresh build). */
   private[graft] def exactWalkServe(s: SparkSession, d: String,
+      edges: org.apache.spark.sql.DataFrame,
+      f0: org.apache.spark.sql.DataFrame,
+      beam: Int, hops: Int): org.apache.spark.sql.DataFrame =
+    graft.plans.TopKPerKey.topK(
+      exactWalkFrontier(s, d, edges, f0, beam, hops), Seq("qid"),
+      Seq(col("cos").desc, col("cid").asc), 3)
+      .select(col("qid"), col("cid"))
+
+  /** The walk's FINAL frontier (qid, cid, cos) — factored out of
+    * exactWalkServe so the refined variant (v17d) can union it with
+    * the entry cells' members before the last exact cut. */
+  private[graft] def exactWalkFrontier(s: SparkSession, d: String,
       edges: org.apache.spark.sql.DataFrame,
       f0: org.apache.spark.sql.DataFrame,
       beam: Int, hops: Int): org.apache.spark.sql.DataFrame = {
@@ -1184,9 +1255,7 @@ object VectorOps {
         .distinct()
       frontier = topB(scoredOf(cands)).localCheckpoint(true)
     }
-    graft.plans.TopKPerKey.topK(frontier, Seq("qid"),
-      Seq(col("cos").desc, col("cid").asc), 3)
-      .select(col("qid"), col("cid"))
+    frontier
   }
 
   /** Frontier-id pushdown cap for [[hopEdges]] (VERDICT r13 #2). Below

@@ -13,13 +13,15 @@ import graft.queries.VectorOps
   *
   * Usage:
   *   graft.tools.GraphAnnAb <sfDir> [beams] [hops] [degrees] [adc|-]
-  *                          [kCells] [entries]
-  *   beams/hops/degrees/entries are comma lists (e.g. 4,8 2,3 8,16
-  *   2,8); a literal 5th arg `adc` switches to v19's PQ-compassed walk
-  *   (`-` keeps the exact walk); the 6th arg sets the graph-build cell
-  *   count (default 8 — pass the sqrt(n)-scaled k to measure the v17b
-  *   geometry); the 7th sweeps the entry-medoid count (default 2 — the
-  *   v17c multi-entry lever).
+  *                          [kCells] [entries] [refine]
+  *   beams/hops/degrees/entries/refine are comma lists (e.g. 4,8 2,3
+  *   8,16 2,8); a literal 5th arg `adc` switches to v19's PQ-compassed
+  *   walk (`-` keeps the exact walk); the 6th arg sets the graph-build
+  *   cell count (default 8 — pass the sqrt(n)-scaled k to measure the
+  *   v17b geometry); the 7th sweeps the entry-medoid count (default 2
+  *   — the v17c multi-entry lever); the 8th sweeps the refinement
+  *   cell-union width (default 0 = walk only; >0 switches to the v17d
+  *   refined kernel, exact walk only).
   */
 object GraphAnnAb {
   def main(args: Array[String]): Unit = {
@@ -34,6 +36,8 @@ object GraphAnnAb {
     val kCells = if (args.length > 5) args(5).toInt else 8
     val entriesList = (if (args.length > 6) args(6) else "2")
       .split(",").map(_.trim.toInt).toSeq
+    val refineList = (if (args.length > 7) args(7) else "0")
+      .split(",").map(_.trim.toInt).toSeq
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -41,9 +45,14 @@ object GraphAnnAb {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val truth = VectorOps.bruteTruth(spark, sfDir).localCheckpoint(true)
-    for (g <- degrees; b <- beams; h <- hopsList; ent <- entriesList) {
+    for (g <- degrees; b <- beams; h <- hopsList; ent <- entriesList;
+         ref <- refineList) {
       val t0 = System.nanoTime()
-      val served = if (adc)
+      val served = if (ref > 0)
+        VectorOps.graphAnnServeRefined(spark, sfDir, beam = b,
+          hops = h, degree = g, kCells = kCells, entries = ent,
+          refine = ref)
+      else if (adc)
         VectorOps.graphAnnServeAdc(spark, sfDir, beam = b,
           hops = h, degree = g, kCells = kCells, entries = ent)
       else VectorOps.graphAnnServe(spark, sfDir, beam = b,
@@ -53,7 +62,7 @@ object GraphAnnAb {
         .collect()(0)
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"graph_ann k=$kCells%-3d degree=$g%-3d beam=$b%-3d hops=$h%-2d " +
-        f"entries=$ent%-2d recall@3=" +
+        f"entries=$ent%-2d refine=$ref%-2d recall@3=" +
         f"${rec.getLong(0)}%3d/${rec.getLong(1)}%d  wall=$secs%7.2f s")
     }
     spark.stop()
