@@ -1320,7 +1320,8 @@ object VectorOps {
       maxPushIds: Int = HopPushdownMaxIds)
       : org.apache.spark.sql.DataFrame = {
     val srcIds = frontier.select(col("cid")).distinct()
-      .limit(maxPushIds + 1)
+      .limit(if (maxPushIds >= Int.MaxValue - 1) Int.MaxValue
+             else maxPushIds + 1) // saturating: cap+1 must not overflow
       .collect().map(_.getLong(0)).toSeq
     val scan =
       if (srcIds.size <= maxPushIds) edges.filter(col("src").isin(srcIds: _*))

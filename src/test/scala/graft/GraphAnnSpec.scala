@@ -127,6 +127,12 @@ class GraphAnnSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val pruned = hop.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pruned == plain && pruned.nonEmpty)
+    // regression: an effectively-unbounded cap must not overflow the
+    // limit(cap+1) bound (Int.MaxValue + 1 was a negative limit)
+    val unbounded = graft.queries.VectorOps
+      .hopEdges(edges, frontier, maxPushIds = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unbounded == plain)
   }
 
   test("above the pushdown cap the hop flips to the plain broadcast " +
