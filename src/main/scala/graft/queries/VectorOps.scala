@@ -578,7 +578,9 @@ object VectorOps {
     * but every beam cut ranks on the INTEGER ADC score from `adcall`,
     * and the final `ann` is the exact-cosine re-rank of the last
     * beam (bf already holds every cosine). */
-  private[queries] def beamHopsAdcSql(beam: Int, hops: Int): String = {
+  /** The ADC walk's CTEs up to the final beam cut b<hops> — shared by
+    * the plain (v19/v20/st19) and refined (v21) oracle tails. */
+  private def beamHopsAdcCtes(beam: Int, hops: Int): String = {
     val sb = new StringBuilder
     sb.append(s"""
         s0 AS (SELECT f.qid, f.cid, a.score
@@ -603,15 +605,47 @@ object VectorOps {
                    ORDER BY score DESC, cid ASC) rn FROM s$h)
                WHERE rn <= $beam)""")
     }
-    sb.append(s""",
+    sb.toString
+  }
+
+  private[queries] def beamHopsAdcSql(beam: Int, hops: Int): String =
+    beamHopsAdcCtes(beam, hops) + s""",
         rr AS (SELECT b.qid, b.cid, bf.cos
                FROM b$hops b JOIN bf ON bf.qid = b.qid AND bf.cid = b.cid),
         ann AS (SELECT qid, cid FROM (
                  SELECT *, row_number() OVER (PARTITION BY qid
                    ORDER BY cos DESC, cid ASC) rn FROM rr)
-               WHERE rn <= 3)""")
-    sb.toString
-  }
+               WHERE rn <= 3)"""
+
+  /** v21's refined ADC tail: the walk's final beam UNIONED with the
+    * query's `refine` nearest cells' members, the union ranked on the
+    * INTEGER ADC scores (adcall — the code compass, no vector reads),
+    * the surviving `beam` shortlist re-ranked exactly, top 3. */
+  private[queries] def beamHopsAdcRefinedSql(beam: Int, hops: Int,
+      refine: Int, shortlist: Int): String =
+    beamHopsAdcCtes(beam, hops) + s""",
+        refpr AS (SELECT vec_id AS qid, cluster AS cell FROM (
+                   SELECT vec_id, cluster,
+                          row_number() OVER (PARTITION BY vec_id
+                            ORDER BY dot DESC, cluster ASC) AS rn
+                   FROM d3g WHERE vec_id < 20) WHERE rn <= $refine),
+        refc AS (SELECT DISTINCT p.qid, g.g_cid AS cid
+                 FROM refpr p JOIN a3 g
+                   ON g.cell = p.cell AND g.g_cid <> p.qid),
+        cu AS (SELECT qid, cid FROM b$hops
+               UNION SELECT qid, cid FROM refc),
+        su AS (SELECT x.qid, x.cid, a.score
+               FROM cu x JOIN adcall a ON a.qid = x.qid AND a.cid = x.cid),
+        sl AS (SELECT qid, cid FROM (
+                 SELECT *, row_number() OVER (PARTITION BY qid
+                   ORDER BY score DESC, cid ASC) rn FROM su)
+               WHERE rn <= $shortlist),
+        rr AS (SELECT b.qid, b.cid, bf.cos
+               FROM sl b JOIN bf ON bf.qid = b.qid AND bf.cid = b.cid),
+        ann AS (SELECT qid, cid FROM (
+                 SELECT *, row_number() OVER (PARTITION BY qid
+                   ORDER BY cos DESC, cid ASC) rn FROM rr)
+               WHERE rn <= 3)"""
 
   /** Oracle CTEs replaying graphAnnServe's beam walk hop by hop:
     * entry scoring (s0/b0 — f0's medoid entries ranked), then per hop
@@ -1361,43 +1395,107 @@ object VectorOps {
       f0: org.apache.spark.sql.DataFrame, beam: Int, hops: Int,
       codesIn: Option[org.apache.spark.sql.DataFrame] = None)
       : org.apache.spark.sql.DataFrame = {
+    val frontier = adcWalkFrontier(s, d, edges, f0, beam, hops, codesIn)
+    // the one full-vector touch: exact re-rank of the final beam
+    exactRerankTop3(s, d, frontier.select(col("qid"), col("cid")))
+  }
+
+  /** The ADC walk's FINAL frontier (qid, cid, score) — factored out of
+    * adcWalkServe so the code-compassed refined variant (v21) can
+    * union it with the entry cells' members before its shortlist cut. */
+  private[graft] def adcWalkFrontier(s: SparkSession, d: String,
+      edges: org.apache.spark.sql.DataFrame,
+      f0: org.apache.spark.sql.DataFrame, beam: Int, hops: Int,
+      codesIn: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
     val e = Tables.embeddings(s, d)
     val cb = TrainedIndex.codebook(s, d)
     val codes = codesIn.getOrElse(pqCorpus(e, cb))
     val qlut = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid") +:
         (0 until PqM).map(i => pqLutCol(cb, i).as(s"l$i")): _*)
-    def scoredAdc(cands: org.apache.spark.sql.DataFrame) =
-      codes.join(broadcast(cands), Seq("cid"))
-        .join(broadcast(qlut), Seq("qid"))
-        .withColumn("score", pqScoreCol)
-        .select(col("qid"), col("cid"), col("score"))
     def topB(sc: org.apache.spark.sql.DataFrame) =
       graft.plans.TopKPerKey.topK(sc, Seq("qid"),
         Seq(col("score").desc, col("cid").asc), beam)
-    var frontier = topB(scoredAdc(f0)).localCheckpoint(true)
+    var frontier = topB(scoredAdcOf(codes, qlut, f0)).localCheckpoint(true)
     for (_ <- 1 to hops) {
       val neigh = hopEdges(edges, frontier)
       val cands = frontier.select(col("qid"), col("cid"))
         .union(neigh)
         .filter(col("cid") =!= col("qid"))
         .distinct()
-      frontier = topB(scoredAdc(cands)).localCheckpoint(true)
+      frontier = topB(scoredAdcOf(codes, qlut, cands)).localCheckpoint(true)
     }
-    // the one full-vector touch: exact re-rank of the final beam
+    frontier
+  }
+
+  /** Integer ADC scoring of a (qid, cid) candidate frame from the
+    * stored codes + query LUTs — the shared compass of the walk and
+    * the v21 refined shortlist (candidates broadcast into the code
+    * scan; no vector byte is read). */
+  private def scoredAdcOf(codes: org.apache.spark.sql.DataFrame,
+      qlut: org.apache.spark.sql.DataFrame,
+      cands: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    codes.join(broadcast(cands), Seq("cid"))
+      .join(broadcast(qlut), Seq("qid"))
+      .withColumn("score", pqScoreCol)
+      .select(col("qid"), col("cid"), col("score"))
+
+  /** Exact-cosine top-3 of a (qid, cid) candidate frame — the final
+    * full-vector touch shared by the ADC serving paths. */
+  private def exactRerankTop3(s: SparkSession, d: String,
+      cands: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val e = Tables.embeddings(s, d)
     val qn = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         sqrt(dot("embedding", "embedding")).as("nq"))
     val cn = e.select(col("vec_id").as("cid"), col("embedding").as("ce"),
       sqrt(dot("embedding", "embedding")).as("nc"))
-    val rr = cn.join(broadcast(frontier.select(col("qid"), col("cid"))),
-        Seq("cid"))
+    val rr = cn.join(broadcast(cands), Seq("cid"))
       .join(broadcast(qn), Seq("qid"))
       .withColumn("cos", dot("qe", "ce") / (col("nq") * col("nc")))
       .select(col("qid"), col("cid"), col("cos"))
     graft.plans.TopKPerKey.topK(rr, Seq("qid"),
       Seq(col("cos").desc, col("cid").asc), 3)
       .select(col("qid"), col("cid"))
+  }
+
+  /** v21's refined serving at DiskANN memory economics: v17d's
+    * candidate-union recall lever (walk final beam ∪ the query's
+    * `refine` nearest cells' members) with the union scored from the
+    * stored 32-bit CODES — integer ADC, no vector byte — and only the
+    * surviving `beam` shortlist re-ranked exactly. Where v17d's
+    * refinement reads refine x n/k VECTORS per query (the exact-tier
+    * price), v21 reads refine x n/k CODES (64x smaller — the RAM
+    * tier) and queries x beam vectors once: the recall-above-plateau
+    * lever at the memory budget that lets a billion-vector corpus
+    * serve from RAM-resident codes. The ADC compass is lossy, so the
+    * shortlist can drop true neighbors the exact tier keeps — the
+    * measured recall gap to v17d is the price of the 64x, the same
+    * tradeoff v19 gates against v17. */
+  private[graft] def graphAnnServeAdcRefined(s: SparkSession, d: String,
+      beam: Int, hops: Int, degree: Int = 8, kCells: Int = 8,
+      entries: Int = 2, refine: Int = 2, shortlist: Int = 0)
+      : org.apache.spark.sql.DataFrame = {
+    val r = if (shortlist > 0) shortlist else beam // IVFADC+R's R knob
+    val (edges, f0) = hubGraphAndEntry(s, d, degree, kCells, entries)
+    val codes = TrainedIndex.codes(s, d)
+    val frontier = adcWalkFrontier(s, d, edges, f0, beam, hops, Some(codes))
+    val cent = TrainedIndex.centroids(s, d, k = kCells)
+    val cands = frontier.select(col("qid"), col("cid"))
+      .union(cellCandidates(s, d, cent, refine))
+      .distinct()
+    val e = Tables.embeddings(s, d)
+    val cb = TrainedIndex.codebook(s, d)
+    val qlut = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid") +:
+        (0 until PqM).map(i => pqLutCol(cb, i).as(s"l$i")): _*)
+    val sl = graft.plans.TopKPerKey.topK(
+      scoredAdcOf(codes, qlut, cands), Seq("qid"),
+      Seq(col("score").desc, col("cid").asc), r)
+    exactRerankTop3(s, d, sl.select(col("qid"), col("cid")))
   }
 
   /** Oracle CTEs for the PQ codebook build + encode (<p>longp …
@@ -2953,6 +3051,45 @@ object VectorOps {
         ${pqChainSql("p")},
         $adcAllSql,
         ${beamHopsAdcSql(beam = 32, hops = 3)},
+        $RecallTailSql""")),
+
+    Q(
+      "v21_refined_adc_serving",
+      "v17d's recall lever at v19's MEMORY ECONOMICS (the refined " +
+        "tier completed across the DiskANN hierarchy): the ADC beam " +
+        "walk's final frontier unions the query's 8 nearest cells' " +
+        "members, the union is ranked on INTEGER ADC scores from the " +
+        "persisted 32-bit codes — refine x n/k CODE reads per query, " +
+        "no vector byte, the RAM tier — and only the surviving " +
+        "shortlist of R=128 is re-ranked exactly (the one vector " +
+        "touch, IVFADC+R's R knob applied to the graph tier). " +
+        "Measured at the gate geometry (GraphAnnAb adc+refine, " +
+        "kCells=25, degree=16, beam=16, hops=3, entries=16, " +
+        "refine=8): R = 16/32/64/128/192/256 -> 16/30/36/42/43/44 of " +
+        "60 — the knee is R=128 at 42/60, 84% of v17d's exact-" +
+        "refined 50/60 for 128 vector reads per query vs its ~640 " +
+        "(5x less vector traffic, 64x less than reading the union " +
+        "as floats), and the saturating tail past R=128 is the " +
+        "codes' intrinsic loss, the same 32-bit price v19 measures " +
+        "against v17. Every cut ranks on exact integers (micro-unit " +
+        "LUTs), so the walk, the shortlist, and the final exact " +
+        "re-rank are all bit-deterministic cross-engine. Oracle: " +
+        "the k=25 chain, probes at 16, hub graph, PQ chain, the ADC " +
+        "walk CTEs, then refpr/refc at width 8 unioned with the " +
+        "final beam, ranked by adcall, cut at 128, re-ranked " +
+        "exactly.",
+      (s, d) => recallOf(bruteTruth(s, d),
+        graphAnnServeAdcRefined(s, d, beam = 16, hops = 3, degree = 16,
+          kCells = 25, entries = 16, refine = 8, shortlist = 128)),
+      Some(s"""
+        WITH ${KmeansSql.upToCent2(25)},
+        $TruthSql,
+        ${geoCellsSql(nprobe = 16)},
+        ${hubGraphSql(degree = 16)},
+        ${pqChainSql("p")},
+        $adcAllSql,
+        ${beamHopsAdcRefinedSql(beam = 16, hops = 3, refine = 8,
+          shortlist = 128)},
         $RecallTailSql""")),
 
     Q(

@@ -21,7 +21,7 @@ import graft.queries.VectorOps
   *   v17b geometry); the 7th sweeps the entry-medoid count (default 2
   *   — the v17c multi-entry lever); the 8th sweeps the refinement
   *   cell-union width (default 0 = walk only; >0 switches to the v17d
-  *   refined kernel, exact walk only).
+  *   refined kernel; with `adc` it is the code-compassed v21 form).
   */
 object GraphAnnAb {
   def main(args: Array[String]): Unit = {
@@ -38,6 +38,8 @@ object GraphAnnAb {
       .split(",").map(_.trim.toInt).toSeq
     val refineList = (if (args.length > 7) args(7) else "0")
       .split(",").map(_.trim.toInt).toSeq
+    val shortlistList = (if (args.length > 8) args(8) else "0")
+      .split(",").map(_.trim.toInt).toSeq // 0 = beam; adc+refine only
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -46,9 +48,13 @@ object GraphAnnAb {
     spark.sparkContext.setLogLevel("ERROR")
     val truth = VectorOps.bruteTruth(spark, sfDir).localCheckpoint(true)
     for (g <- degrees; b <- beams; h <- hopsList; ent <- entriesList;
-         ref <- refineList) {
+         ref <- refineList; sl <- shortlistList) {
       val t0 = System.nanoTime()
-      val served = if (ref > 0)
+      val served = if (ref > 0 && adc)
+        VectorOps.graphAnnServeAdcRefined(spark, sfDir, beam = b,
+          hops = h, degree = g, kCells = kCells, entries = ent,
+          refine = ref, shortlist = sl)
+      else if (ref > 0)
         VectorOps.graphAnnServeRefined(spark, sfDir, beam = b,
           hops = h, degree = g, kCells = kCells, entries = ent,
           refine = ref)
@@ -62,7 +68,7 @@ object GraphAnnAb {
         .collect()(0)
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"graph_ann k=$kCells%-3d degree=$g%-3d beam=$b%-3d hops=$h%-2d " +
-        f"entries=$ent%-2d refine=$ref%-2d recall@3=" +
+        f"entries=$ent%-2d refine=$ref%-2d shortlist=$sl%-3d recall@3=" +
         f"${rec.getLong(0)}%3d/${rec.getLong(1)}%d  wall=$secs%7.2f s")
     }
     spark.stop()
