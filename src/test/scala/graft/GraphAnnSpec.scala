@@ -157,6 +157,60 @@ class GraphAnnSpec extends SparkSpec {
     assert(flipped == plain && flipped.nonEmpty)
   }
 
+  test("refined kernels (v17d exact / v21 ADC): deterministic, " +
+      "contract-clean, and the final cut is the TopKPerKey heap") {
+    def check(df: => org.apache.spark.sql.DataFrame): Unit = {
+      val a = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val b = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(a == b && a.nonEmpty)
+      assert(a.forall { case (q, c) => q != c })
+      assert(a.groupBy(_._1).forall { case (_, v) => v.size <= 3 })
+      assert(a.map(_._1) == (0L until 20L).toSet,
+        "every query in vec_id < 20 must be served")
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(p.contains("TopKPerKey"), p.take(2000))
+      assert(!p.contains("Window"), p.take(2000))
+    }
+    check(graft.queries.VectorOps.graphAnnServeRefined(spark, sf,
+      beam = 8, hops = 2, degree = 8, kCells = 8, entries = 4,
+      refine = 2))
+    check(graft.queries.VectorOps.graphAnnServeAdcRefined(spark, sf,
+      beam = 8, hops = 2, degree = 8, kCells = 8, entries = 4,
+      refine = 2, shortlist = 16))
+  }
+
+  test("the refined union can only help: v17d's served set per query " +
+      "scores >= the walk-only set under the exact cosine (the union " +
+      "is a superset of the walk's final beam)") {
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    val vecs = e.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    def scoreOf(rows: Array[(Long, Long)]): Map[Long, Double] =
+      rows.groupBy(_._1).map { case (q, v) =>
+        q -> v.map { case (_, c) => cos(vecs(q), vecs(c)) }.sum
+      }
+    val walk = scoreOf(graft.queries.VectorOps
+      .graphAnnServe(spark, sf, beam = 8, hops = 2, degree = 8,
+        kCells = 8, entries = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))))
+    val refined = scoreOf(graft.queries.VectorOps
+      .graphAnnServeRefined(spark, sf, beam = 8, hops = 2, degree = 8,
+        kCells = 8, entries = 4, refine = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))))
+    walk.keys.foreach { q =>
+      assert(refined(q) >= walk(q) - 1e-12,
+        s"query $q: refined top-3 cosine sum ${refined(q)} < walk's " +
+          s"${walk(q)} — the union dropped a walk candidate")
+    }
+  }
+
   test("hub edges escape the entry cells: served neighbors include " +
       "nodes outside the query's 2 probed cells") {
     val e = graft.sources.Tables.embeddings(spark, sf)
