@@ -617,23 +617,12 @@ object VectorOps {
                    ORDER BY cos DESC, cid ASC) rn FROM rr)
                WHERE rn <= 3)"""
 
-  /** v21's refined ADC tail: the walk's final beam UNIONED with the
-    * query's `refine` nearest cells' members, the union ranked on the
-    * INTEGER ADC scores (adcall — the code compass, no vector reads),
-    * the surviving `beam` shortlist re-ranked exactly, top 3. */
+  /** v21's refined ADC tail: the refine union ranked on the INTEGER
+    * ADC scores (adcall — the code compass, no vector reads), the
+    * surviving `shortlist` re-ranked exactly, top 3. */
   private[queries] def beamHopsAdcRefinedSql(beam: Int, hops: Int,
       refine: Int, shortlist: Int): String =
-    beamHopsAdcCtes(beam, hops) + s""",
-        refpr AS (SELECT vec_id AS qid, cluster AS cell FROM (
-                   SELECT vec_id, cluster,
-                          row_number() OVER (PARTITION BY vec_id
-                            ORDER BY dot DESC, cluster ASC) AS rn
-                   FROM d3g WHERE vec_id < 20) WHERE rn <= $refine),
-        refc AS (SELECT DISTINCT p.qid, g.g_cid AS cid
-                 FROM refpr p JOIN a3 g
-                   ON g.cell = p.cell AND g.g_cid <> p.qid),
-        cu AS (SELECT qid, cid FROM b$hops
-               UNION SELECT qid, cid FROM refc),
+    beamHopsAdcCtes(beam, hops) + "," + refineUnionCtes(refine, hops) + s""",
         su AS (SELECT x.qid, x.cid, a.score
                FROM cu x JOIN adcall a ON a.qid = x.qid AND a.cid = x.cid),
         sl AS (SELECT qid, cid FROM (
@@ -690,14 +679,15 @@ object VectorOps {
                    ORDER BY cos DESC, cid ASC) rn FROM s$hops)
                WHERE rn <= 3)"""
 
-  /** v17d's refined tail: the walk's final beam UNIONED with the
-    * query's `refine` nearest cells' members (the d3g dot frame
-    * re-ranked at width `refine` — the same deterministic (dot DESC,
-    * cluster ASC) probe order as geoCellsSql, self excluded), one
-    * exact re-rank, top 3. */
-  private[queries] def beamHopsRefinedSql(beam: Int, hops: Int,
-      refine: Int): String =
-    beamHopsCtes(beam, hops) + s""",
+  /** The refine-union CTEs (refpr/refc/cu): the query's `refine`
+    * nearest cells' members (the d3g dot frame re-ranked at width
+    * `refine` — the same deterministic (dot DESC, cluster ASC) probe
+    * order as geoCellsSql, self excluded) UNIONED with the walk's
+    * final beam b<hops>. ONE copy shared by the v17d (exact) and v21
+    * (ADC) tails — the GameTeamAggSql convention: an edit to the
+    * probe predicate or tie-break cannot desynchronize the two
+    * refined oracles. */
+  private def refineUnionCtes(refine: Int, hops: Int): String = s"""
         refpr AS (SELECT vec_id AS qid, cluster AS cell FROM (
                    SELECT vec_id, cluster,
                           row_number() OVER (PARTITION BY vec_id
@@ -707,7 +697,12 @@ object VectorOps {
                  FROM refpr p JOIN a3 g
                    ON g.cell = p.cell AND g.g_cid <> p.qid),
         cu AS (SELECT qid, cid FROM b$hops
-               UNION SELECT qid, cid FROM refc),
+               UNION SELECT qid, cid FROM refc)"""
+
+  /** v17d's refined tail: the refine union, one exact re-rank, top 3. */
+  private[queries] def beamHopsRefinedSql(beam: Int, hops: Int,
+      refine: Int): String =
+    beamHopsCtes(beam, hops) + "," + refineUnionCtes(refine, hops) + s""",
         su AS (SELECT x.qid, x.cid, bf.cos
                FROM cu x JOIN bf ON bf.qid = x.qid AND bf.cid = x.cid),
         ann AS (SELECT qid, cid FROM (
@@ -1252,19 +1247,7 @@ object VectorOps {
     val cands = frontier.select(col("qid"), col("cid"))
       .union(cellCandidates(s, d, cent, refine))
       .distinct()
-    val e = Tables.embeddings(s, d)
-    val qn = e.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        sqrt(dot("embedding", "embedding")).as("nq"))
-    val cn = e.select(col("vec_id").as("cid"), col("embedding").as("ce"),
-      sqrt(dot("embedding", "embedding")).as("nc"))
-    val scored = cn.join(broadcast(cands), Seq("cid"))
-      .join(broadcast(qn), Seq("qid"))
-      .withColumn("cos", dot("qe", "ce") / (col("nq") * col("nc")))
-      .select(col("qid"), col("cid"), col("cos"))
-    graft.plans.TopKPerKey.topK(scored, Seq("qid"),
-      Seq(col("cos").desc, col("cid").asc), 3)
-      .select(col("qid"), col("cid"))
+    exactRerankTop3(s, d, cands)
   }
 
   /** v17's exact-cosine beam walk over an EXPLICIT (edges, f0) pair —

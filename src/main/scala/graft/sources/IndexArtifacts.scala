@@ -138,12 +138,12 @@ object IndexArtifacts {
     val cur = currentVersion(dir)
     if (cur < 0) return Nil // nothing published — nothing is garbage yet
     val floor = cur - (keep - 1)
-    val reaped = scala.collection.mutable.ArrayBuffer.empty[Long]
     graft.streaming.VersionedRoot.sweep(new java.io.File(dir)) { n =>
-      graft.streaming.VersionedRoot.versionOf(n, "v")
-        .filter(_ < floor).exists { v => reaped += v; true }
-    }
-    reaped.sorted.toSeq
+      graft.streaming.VersionedRoot.versionOf(n, "v").exists(_ < floor)
+    } // sweep returns only what was ACTUALLY deleted — a v-dir a held
+      // handle kept alive is not reported as collected
+      .flatMap(graft.streaming.VersionedRoot.versionOf(_, "v"))
+      .sorted
   }
 
   /** PQ codebook at the current version (None when the version was

@@ -3,12 +3,12 @@ package graft.streaming
 import java.nio.file.{Files, Path}
 
 /** The versioned-ROOT half of the persistence convention whose marker
-  * half is [[StateMarker]] (VERDICT r13 #4: StreamingKnnGraph's
-  * per-cell compaction roots, StreamingVectorIndex's compacted lake
-  * roots, and IndexArtifacts' versioned frame dirs each hand-rolled
-  * the same go-live dance and the same unreferenced-sibling sweep —
-  * three copies of crash-window reasoning that must stay identical to
-  * stay correct). ONE implementation of each:
+  * half is [[StateMarker]] (VERDICT r13 #4: StreamingKnnGraph.compact
+  * and StreamingVectorIndex.compact each hand-rolled the same go-live
+  * dance and the same unreferenced-sibling sweep — two copies of
+  * crash-window reasoning that must stay identical to stay correct —
+  * and IndexArtifacts' new version GC needed the same sweep + parse a
+  * third time). ONE implementation of each:
   *
   *  - [[goLive]]: a fully-staged directory becomes the live
   *    `<prefix><version>` root and the marker flips AFTER the rename,
@@ -39,11 +39,16 @@ private[graft] object VersionedRoot {
 
   /** Delete every child of `parent` whose name the predicate marks
     * unreferenced (quiet per child — a vanished or locked entry never
-    * fails the publish that already went live). */
-  def sweep(parent: java.io.File)(unreferenced: String => Boolean): Unit =
+    * fails the publish that already went live).
+    * @return the names actually deleted, so a caller that REPORTS its
+    *         collection (IndexArtifacts.reap) never claims a child a
+    *         held handle or permission error left on disk. */
+  def sweep(parent: java.io.File)(unreferenced: String => Boolean)
+      : Seq[String] =
     Option(parent.listFiles()).getOrElse(Array.empty[java.io.File])
       .filter(f => unreferenced(f.getName))
-      .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+      .filter(org.apache.commons.io.FileUtils.deleteQuietly)
+      .map(_.getName).toSeq
 
   /** Parse `name` as `<prefix><version>` with a digit-bounded version
     * field (18 digits — ids fit forever, and a foreign 20-digit name

@@ -13,15 +13,18 @@ import graft.queries.VectorOps
   *
   * Usage:
   *   graft.tools.GraphAnnAb <sfDir> [beams] [hops] [degrees] [adc|-]
-  *                          [kCells] [entries] [refine]
-  *   beams/hops/degrees/entries/refine are comma lists (e.g. 4,8 2,3
-  *   8,16 2,8); a literal 5th arg `adc` switches to v19's PQ-compassed
-  *   walk (`-` keeps the exact walk); the 6th arg sets the graph-build
-  *   cell count (default 8 — pass the sqrt(n)-scaled k to measure the
-  *   v17b geometry); the 7th sweeps the entry-medoid count (default 2
-  *   — the v17c multi-entry lever); the 8th sweeps the refinement
-  *   cell-union width (default 0 = walk only; >0 switches to the v17d
-  *   refined kernel; with `adc` it is the code-compassed v21 form).
+  *                          [kCells] [entries] [refine] [shortlist]
+  *   beams/hops/degrees/entries/refine/shortlist are comma lists
+  *   (e.g. 4,8 2,3 8,16 2,8); a literal 5th arg `adc` switches to
+  *   v19's PQ-compassed walk (`-` keeps the exact walk); the 6th arg
+  *   sets the graph-build cell count (default 8 — pass the
+  *   sqrt(n)-scaled k to measure the v17b geometry); the 7th sweeps
+  *   the entry-medoid count (default 2 — the v17c multi-entry lever);
+  *   the 8th sweeps the refinement cell-union width (default 0 = walk
+  *   only; >0 switches to the v17d refined kernel; with `adc` it is
+  *   the code-compassed v21 form); the 9th sweeps v21's exact-rerank
+  *   shortlist R (default 0 = beam; adc+refine only — it is what
+  *   produced the gated R curve).
   */
 object GraphAnnAb {
   def main(args: Array[String]): Unit = {

@@ -40,7 +40,8 @@ object HopPushAb {
     def frontierOf(n: Int) = {
       val step = math.max(1, srcAll.length / n)
       val ids = srcAll.indices.by(step).take(n).map(srcAll(_))
-      ids.map(id => (id % 20, id)).toDF("qid", "cid").localCheckpoint(true)
+      (ids.size,
+        ids.map(id => (id % 20, id)).toDF("qid", "cid").localCheckpoint(true))
     }
 
     def once(frontier: org.apache.spark.sql.DataFrame, cap: Int): Double = {
@@ -56,8 +57,11 @@ object HopPushAb {
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
 
-    for (n <- sizes) {
-      val f = frontierOf(n)
+    for (nReq <- sizes) {
+      // label rows with the ACTUAL frontier size — a requested n above
+      // the src universe would otherwise record a small-frontier timing
+      // under a large-regime label
+      val (n, f) = frontierOf(nReq)
       once(f, Int.MaxValue); once(f, 0) // warm both plans
       var isin = Vector.empty[Double]; var join = Vector.empty[Double]
       for (_ <- 1 to passes) {
