@@ -622,13 +622,20 @@ object VectorOps {
     * surviving `shortlist` re-ranked exactly, top 3. */
   private[queries] def beamHopsAdcRefinedSql(beam: Int, hops: Int,
       refine: Int, shortlist: Int): String =
+    beamHopsAdcRefinedSql(beam, hops, refine, shortlist.toString)
+
+  /** Same tail with the shortlist cut as a SQL expression — v21b/st19c
+    * pass the corpus-coupled `scaledShortlistSql` scalar subquery here
+    * so the oracle derives R from the data exactly like the engine. */
+  private[queries] def beamHopsAdcRefinedSql(beam: Int, hops: Int,
+      refine: Int, shortlistSql: String): String =
     beamHopsAdcCtes(beam, hops) + "," + refineUnionCtes(refine, hops) + s""",
         su AS (SELECT x.qid, x.cid, a.score
                FROM cu x JOIN adcall a ON a.qid = x.qid AND a.cid = x.cid),
         sl AS (SELECT qid, cid FROM (
                  SELECT *, row_number() OVER (PARTITION BY qid
                    ORDER BY score DESC, cid ASC) rn FROM su)
-               WHERE rn <= $shortlist),
+               WHERE rn <= ($shortlistSql)),
         rr AS (SELECT b.qid, b.cid, bf.cos
                FROM sl b JOIN bf ON bf.qid = b.qid AND bf.cid = b.cid),
         ann AS (SELECT qid, cid FROM (
@@ -1467,6 +1474,21 @@ object VectorOps {
     val codes = TrainedIndex.codes(s, d)
     val frontier = adcWalkFrontier(s, d, edges, f0, beam, hops, Some(codes))
     val cent = TrainedIndex.centroids(s, d, k = kCells)
+    refinedAdcTail(s, d, frontier, cent, refine, r, codes)
+  }
+
+  /** The refined-ADC serving tail — walk frontier ∪ the query's
+    * `refine` nearest cells' members, the union ranked on INTEGER ADC
+    * scores from the stored codes, the surviving `shortlist` re-ranked
+    * exactly. ONE copy shared by v21/v21b (artifact-built graph) and
+    * st19c (maintained graph) — the GameTeamAggSql convention: an edit
+    * to the union, the integer compass, or the cut cannot
+    * desynchronize the refined serving gates. */
+  private[graft] def refinedAdcTail(s: SparkSession, d: String,
+      frontier: org.apache.spark.sql.DataFrame,
+      cent: Array[Array[Double]], refine: Int, shortlist: Int,
+      codes: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val cands = frontier.select(col("qid"), col("cid"))
       .union(cellCandidates(s, d, cent, refine))
       .distinct()
@@ -1477,8 +1499,32 @@ object VectorOps {
         (0 until PqM).map(i => pqLutCol(cb, i).as(s"l$i")): _*)
     val sl = graft.plans.TopKPerKey.topK(
       scoredAdcOf(codes, qlut, cands), Seq("qid"),
-      Seq(col("score").desc, col("cid").asc), r)
+      Seq(col("score").desc, col("cid").asc), shortlist)
     exactRerankTop3(s, d, sl.select(col("qid"), col("cid")))
+  }
+
+  /** The corpus-coupled shortlist rule (BENCH_SCALE r14: a FIXED R
+    * keeps a shrinking fraction of a union that grows as
+    * refine x n/kCells, so recall decays with corpus growth — at 10x,
+    * R=128 reads 29/60 where R~union reads 42/60). This pins R at the
+    * measured 20%-of-union knee (R=128 at the sf0.1 gate geometry,
+    * refine=8, kCells=25, n=2000): R = ceil(refine*n / (5*kCells)),
+    * exact integer ceil-division so the engine and the oracle cannot
+    * round apart. Under the gated k~sqrt(n) rule the union is
+    * O(sqrt n), so R — and the per-query vector reads it bounds — stays
+    * O(sqrt n) too: the kept fraction, not the absolute count, is the
+    * scale-invariant knob. */
+  private[graft] def scaledShortlist(n: Long, refine: Int,
+      kCells: Int): Int = {
+    val den = 5L * kCells
+    (((refine.toLong * n) + den - 1) / den).toInt
+  }
+
+  /** The same rule as a DuckDB scalar subquery (n = corpus rows). */
+  private[graft] def scaledShortlistSql(refine: Int, kCells: Int)
+      : String = {
+    val den = 5L * kCells
+    s"SELECT ($refine*count(*) + ${den - 1}) // $den FROM embeddings"
   }
 
   /** Oracle CTEs for the PQ codebook build + encode (<p>longp …
@@ -3073,6 +3119,47 @@ object VectorOps {
         $adcAllSql,
         ${beamHopsAdcRefinedSql(beam = 16, hops = 3, refine = 8,
           shortlist = 128)},
+        $RecallTailSql""")),
+
+    Q(
+      "v21b_refined_adc_scaled",
+      "v21's shortlist knob COUPLED TO THE CORPUS (the scaled twin " +
+        "of the fixed-R gate, the v14/v14b convention applied to " +
+        "IVFADC+R's R): BENCH_SCALE r14 measured that a fixed R=128 " +
+        "keeps a shrinking FRACTION of a candidate union that grows " +
+        "as refine x n/kCells — at 10x the refined-ADC recall decays " +
+        "to 29/60 while widening R with the union recovers 42/60 " +
+        "(R = 128/256/512/1024 -> 29/33/35/42). This gate hashes the " +
+        "RULE, not a constant: R = ceil(refine*n/(5*kCells)) — the " +
+        "measured 20%-of-union knee, which reproduces exactly R=128 " +
+        "at the sf0.1 gate geometry — computed FROM THE DATA on both " +
+        "sides (one bounded count() in the engine; the identical " +
+        "integer ceil-division as a scalar subquery in the oracle), " +
+        "so the same gate text serves the correct shortlist at every " +
+        "SF instead of freezing one fixture's knee. Under the gated " +
+        "k~sqrt(n) rule the union is O(sqrt n), so R — and the exact " +
+        "vector reads it bounds — grows O(sqrt n) with the corpus: " +
+        "the kept fraction is the scale-invariant knob, vector " +
+        "traffic stays 5x below the exact-refined tier at every " +
+        "scale. Same chain as v21 otherwise (k=25 cells, degree=16 " +
+        "hub graph, entries=16, refine=8, integer ADC compass, one " +
+        "exact re-rank of the shortlist).",
+      (s, d) => {
+        val n = Tables.embeddings(s, d).count()
+        recallOf(bruteTruth(s, d),
+          graphAnnServeAdcRefined(s, d, beam = 16, hops = 3,
+            degree = 16, kCells = 25, entries = 16, refine = 8,
+            shortlist = scaledShortlist(n, refine = 8, kCells = 25)))
+      },
+      Some(s"""
+        WITH ${KmeansSql.upToCent2(25)},
+        $TruthSql,
+        ${geoCellsSql(nprobe = 16)},
+        ${hubGraphSql(degree = 16)},
+        ${pqChainSql("p")},
+        $adcAllSql,
+        ${beamHopsAdcRefinedSql(beam = 16, hops = 3, refine = 8,
+          shortlistSql = scaledShortlistSql(refine = 8, kCells = 25))},
         $RecallTailSql""")),
 
     Q(

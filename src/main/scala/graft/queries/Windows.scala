@@ -1305,26 +1305,7 @@ object Windows {
         "and therefore per-vector maintenance cost - flat while " +
         "the walk stays corpus-size-independent.",
       (s, d) => {
-        val dir = java.nio.file.Files.createTempDirectory("graft_st19b_")
-        org.apache.commons.io.FileUtils.forceDeleteOnExit(dir.toFile)
-        val e = Tables.embeddings(s, d)
-        val cent = TrainedIndex.centroids(s, d, k = 25)
-        (0 until 3).foreach { b =>
-          graft.streaming.StreamingKnnGraph.applyBatch(
-            e.filter(pmod(col("vec_id"), lit(3)) === b)
-              .select(col("vec_id"), col("embedding")),
-            cent, "vec_id", "embedding", k = 16, b.toLong, dir.toString)
-        }
-        graft.streaming.StreamingKnnGraph.compact(dir.toString)
-        val maintained = graft.streaming.StreamingKnnGraph
-          .readGraph(s, dir.toString).get
-          .select(col("a_id").as("src"), col("b_id").as("dst"))
-        val lake = graft.streaming.StreamingVectorIndex
-          .readIndex(s, s"$dir/index")
-          .select(col("vec_id"), col("embedding"))
-        val (hub, medoids) = VectorOps.hubAndMedoidsFrom(lake, cent)
-        val edges = maintained.union(hub).distinct().localCheckpoint(true)
-        val f0 = VectorOps.graphEntries(s, d, cent, medoids)
+        val (edges, f0) = buildMaintainedState(s, d, kCells = 25)
         VectorOps.recallOf(VectorOps.bruteTruth(s, d),
           VectorOps.adcWalkServe(s, d, edges, f0, beam = 16, hops = 3,
             Some(TrainedIndex.codes(s, d))))
@@ -1337,6 +1318,118 @@ object Windows {
         ${VectorOps.pqChainSql("p")},
         ${VectorOps.adcAllSql},
         ${VectorOps.beamHopsAdcSql(beam = 16, hops = 3)},
+        ${VectorOps.RecallTailSql}""")),
+
+    Q(
+      "st19c_maintained_refined_serving",
+      "The refined tier ON THE MAINTAINED LAKE (the last serving " +
+        "configuration whose pieces were gated separately but whose " +
+        "composition was not): st19b hashes maintain->serve for the " +
+        "plain ADC walk at the production geometry, v21/v21b hash " +
+        "the refined union + code-ranked shortlist off the BATCH-" +
+        "built artifact graph — this gate serves the refined tier " +
+        "off the STREAM-maintained graph: the walk's final frontier " +
+        "over the maintained edges unions the query's 8 nearest " +
+        "cells' members, the union ranks on INTEGER ADC scores from " +
+        "the persisted codes, and the corpus-coupled shortlist " +
+        "(v21b's 20%-of-union rule, computed from the data on both " +
+        "sides) is re-ranked exactly — via the SAME refinedAdcTail " +
+        "kernel as v21/v21b, so the three refined gates cannot " +
+        "desynchronize. The maintenance stream itself is st19b's " +
+        "hashed subject, so this gate reads the maintained state " +
+        "from a per-JVM memo (first demand streams the 3 batches " +
+        "and compacts; every later pass is the serve alone — the " +
+        "production read pattern, where a serving query never " +
+        "re-runs maintenance). Hash-matching the from-scratch " +
+        "oracle replay proves the composition end to end: streamed " +
+        "lists = batch lists edge for edge AND the refined walk " +
+        "over them is bit-deterministic. At 100 TB this is the " +
+        "full operating loop in one contract: sqrt(n)-scaled cells " +
+        "keep maintenance flat, the walk stays O(1) per query, and " +
+        "the refined union buys recall above the walk plateau at " +
+        "O(sqrt n) code reads + O(sqrt n) vector reads per query.",
+      (s, d) => {
+        val (edges, f0) = maintainedState(s, d, kCells = 25)
+        val codes = TrainedIndex.codes(s, d)
+        val frontier = VectorOps.adcWalkFrontier(s, d, edges, f0,
+          beam = 16, hops = 3, Some(codes))
+        val cent = TrainedIndex.centroids(s, d, k = 25)
+        val n = Tables.embeddings(s, d).count()
+        VectorOps.recallOf(VectorOps.bruteTruth(s, d),
+          VectorOps.refinedAdcTail(s, d, frontier, cent, refine = 8,
+            shortlist = VectorOps.scaledShortlist(n, refine = 8,
+              kCells = 25), codes))
+      },
+      Some(s"""
+        WITH ${KmeansSql.upToCent2(25)},
+        ${VectorOps.TruthSql},
+        ${VectorOps.geoCellsSql(nprobe = 2)},
+        ${VectorOps.hubGraphSql(degree = 16)},
+        ${VectorOps.pqChainSql("p")},
+        ${VectorOps.adcAllSql},
+        ${VectorOps.beamHopsAdcRefinedSql(beam = 16, hops = 3,
+          refine = 8,
+          shortlistSql = VectorOps.scaledShortlistSql(refine = 8,
+            kCells = 25))},
         ${VectorOps.RecallTailSql}"""))
   )
+
+  /** st19b/st19c's maintained graph state: the corpus streamed
+    * through StreamingKnnGraph in 3 deterministic micro-batches at
+    * (kCells, degree k=16), compacted via the pure-file OPTIMIZE
+    * pass, hub escapes + entry medoids derived from the maintained
+    * LAKE through the shared hubAndMedoidsFrom kernel. Returns the
+    * serving (edges, f0) pair, edges eagerly checkpointed (the
+    * stored-edge-table invariant for hop joins). */
+  private def buildMaintainedState(s: org.apache.spark.sql.SparkSession,
+      d: String, kCells: Int): (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_st19m_")
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(dir.toFile)
+    val e = Tables.embeddings(s, d)
+    val cent = TrainedIndex.centroids(s, d, k = kCells)
+    (0 until 3).foreach { b =>
+      graft.streaming.StreamingKnnGraph.applyBatch(
+        e.filter(pmod(col("vec_id"), lit(3)) === b)
+          .select(col("vec_id"), col("embedding")),
+        cent, "vec_id", "embedding", k = 16, b.toLong, dir.toString)
+    }
+    graft.streaming.StreamingKnnGraph.compact(dir.toString)
+    // cell-local lists: the maintained stream state, read whole
+    val maintained = graft.streaming.StreamingKnnGraph
+      .readGraph(s, dir.toString).get
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    // hub edges + entry medoids derive from the maintained LAKE
+    // through the ONE shared kernel (VectorOps.hubAndMedoidsFrom —
+    // sourced from stream state instead of the raw table, so the
+    // medoid tie-break can never diverge from the batch build's).
+    // The eager checkpoint re-establishes the stored-edge-table
+    // invariant for this computed frame: hop joins read materialized
+    // blocks instead of replaying the lake scan + union-distinct per
+    // hop (v17/v19 get this for free from their parquet artifacts).
+    val lake = graft.streaming.StreamingVectorIndex
+      .readIndex(s, s"$dir/index")
+      .select(col("vec_id"), col("embedding"))
+    val (hub, medoids) = VectorOps.hubAndMedoidsFrom(lake, cent)
+    val edges = maintained.union(hub).distinct().localCheckpoint(true)
+    (edges, VectorOps.graphEntries(s, d, cent, medoids))
+  }
+
+  /** The per-JVM memo of the maintained state, keyed by (sf dir,
+    * kCells). st19b deliberately re-streams per pass (the maintenance
+    * replay IS its hashed subject and the bench's measured term);
+    * st19c's subject is the refined serve off maintained state, so it
+    * reads the memo — the production read pattern. f0 is checkpointed
+    * on first demand so reuse never replays the medoid derivation. */
+  private val maintainedMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, Int), (org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame)]
+  private def maintainedState(s: org.apache.spark.sql.SparkSession,
+      d: String, kCells: Int)
+      : (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) =
+    maintainedMemo.getOrElseUpdate((d, kCells), {
+      val (edges, f0) = buildMaintainedState(s, d, kCells)
+      (edges, f0.localCheckpoint(true))
+    })
 }

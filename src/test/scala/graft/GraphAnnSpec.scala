@@ -237,4 +237,46 @@ class GraphAnnSpec extends SparkSpec {
     assert(escapes > 0,
       "no served neighbor outside the entry cells — hub edges dead")
   }
+
+  test("the scaled shortlist rule (v21b/st19c): exact integer ceil of " +
+      "the 20%-of-union knee, reproducing R=128 at the sf0.1 gate " +
+      "geometry, and the SQL twin embeds the identical constants") {
+    import graft.queries.VectorOps.{scaledShortlist, scaledShortlistSql}
+    // the three fixture sizes: verify SF, bench SF, the 10x fixture
+    assert(scaledShortlist(500L, refine = 8, kCells = 25) == 32)
+    assert(scaledShortlist(2000L, refine = 8, kCells = 25) == 128)
+    assert(scaledShortlist(20000L, refine = 8, kCells = 25) == 1280)
+    // ceil, not floor: one extra row must round the cut UP
+    assert(scaledShortlist(501L, refine = 8, kCells = 25) == 33)
+    // monotone in n — a growing corpus can never shrink the shortlist
+    val rs = (1L to 4000L by 7).map(scaledShortlist(_, 8, 25))
+    assert(rs.zip(rs.tail).forall { case (a, b) => a <= b })
+    // the oracle's scalar subquery is the SAME integer ceil-division
+    // (numerator bump = den - 1, integer // by den) over the SAME
+    // table the engine counts
+    val sql = scaledShortlistSql(refine = 8, kCells = 25)
+    assert(sql.contains("8*count(*) + 124") && sql.contains("// 125") &&
+      sql.contains("FROM embeddings"), sql)
+  }
+
+  test("st19c serves from the per-JVM maintained-state memo: the " +
+      "second invocation streams nothing (no new maintenance dir) " +
+      "and serves the identical rows") {
+    val q = graft.queries.Q.all
+      .find(_.name == "st19c_maintained_refined_serving").get
+    def dirs(): Set[String] = {
+      val t = new java.io.File(System.getProperty("java.io.tmpdir"))
+      Option(t.listFiles()).getOrElse(Array.empty)
+        .map(_.getName).filter(_.startsWith("graft_st19m_")).toSet
+    }
+    val first = q.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val after1 = dirs()
+    val second = q.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(dirs() == after1,
+      "second st19c invocation created a maintenance dir — the memo " +
+        "is dead and every serve re-pays the stream")
+    assert(first == second && first.nonEmpty)
+  }
 }
