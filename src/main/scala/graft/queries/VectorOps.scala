@@ -1471,10 +1471,25 @@ object VectorOps {
       : org.apache.spark.sql.DataFrame = {
     val r = if (shortlist > 0) shortlist else beam // IVFADC+R's R knob
     val (edges, f0) = hubGraphAndEntry(s, d, degree, kCells, entries)
+    refinedAdcServe(s, d, edges, f0, beam, hops, kCells, refine, r)
+  }
+
+  /** The refined-ADC SERVE over an explicit (edges, f0) pair: ADC
+    * walk to the final frontier, then the refined tail. ONE copy of
+    * the wiring ABOVE refinedAdcTail (codes source, walk params,
+    * centroid artifact) shared by v21/v21b (artifact-built graph via
+    * graphAnnServeAdcRefined) and st19c (maintained graph) — an edit
+    * to the frontier construction can no longer desynchronize the
+    * refined gates while their shared tail stays green. */
+  private[graft] def refinedAdcServe(s: SparkSession, d: String,
+      edges: org.apache.spark.sql.DataFrame,
+      f0: org.apache.spark.sql.DataFrame, beam: Int, hops: Int,
+      kCells: Int, refine: Int, shortlist: Int)
+      : org.apache.spark.sql.DataFrame = {
     val codes = TrainedIndex.codes(s, d)
     val frontier = adcWalkFrontier(s, d, edges, f0, beam, hops, Some(codes))
-    val cent = TrainedIndex.centroids(s, d, k = kCells)
-    refinedAdcTail(s, d, frontier, cent, refine, r, codes)
+    refinedAdcTail(s, d, frontier,
+      TrainedIndex.centroids(s, d, k = kCells), refine, shortlist, codes)
   }
 
   /** The refined-ADC serving tail — walk frontier ∪ the query's
@@ -1517,7 +1532,11 @@ object VectorOps {
   private[graft] def scaledShortlist(n: Long, refine: Int,
       kCells: Int): Int = {
     val den = 5L * kCells
-    (((refine.toLong * n) + den - 1) / den).toInt
+    // toIntExact: a shortlist past Int.MaxValue (n ~ 3e10 at the gate
+    // constants) means the serving tier is misconfigured — fail loudly
+    // instead of wrapping negative and silently serving R=beam while
+    // the oracle's BIGINT computes the true cut
+    Math.toIntExact(((refine.toLong * n) + den - 1) / den)
   }
 
   /** The same rule as a DuckDB scalar subquery (n = corpus rows). */

@@ -1230,36 +1230,8 @@ object Windows {
         "vectors themselves (StreamingKnnGraphSpec pins that " +
         "stability property).",
       (s, d) => {
-        val dir = java.nio.file.Files.createTempDirectory("graft_st19_")
-        org.apache.commons.io.FileUtils.forceDeleteOnExit(dir.toFile)
-        val e = Tables.embeddings(s, d)
-        val cent = TrainedIndex.centroids(s, d, k = 8)
-        (0 until 3).foreach { b =>
-          graft.streaming.StreamingKnnGraph.applyBatch(
-            e.filter(pmod(col("vec_id"), lit(3)) === b)
-              .select(col("vec_id"), col("embedding")),
-            cent, "vec_id", "embedding", k = 16, b.toLong, dir.toString)
-        }
-        graft.streaming.StreamingKnnGraph.compact(dir.toString)
-        // cell-local lists: the maintained stream state, read whole
-        val maintained = graft.streaming.StreamingKnnGraph
-          .readGraph(s, dir.toString).get
-          .select(col("a_id").as("src"), col("b_id").as("dst"))
-        // hub edges + entry medoids derive from the maintained LAKE
-        // through the ONE shared kernel (VectorOps.hubAndMedoidsFrom
-        // - sourced from stream state instead of the raw table, so
-        // the medoid tie-break can never diverge from the batch
-        // build's). The eager checkpoint re-establishes the stored-
-        // edge-table invariant for this computed frame: hop joins
-        // read materialized blocks instead of replaying the lake
-        // scan + union-distinct per hop (v17/v19 get this for free
-        // from their parquet artifacts).
-        val lake = graft.streaming.StreamingVectorIndex
-          .readIndex(s, s"$dir/index")
-          .select(col("vec_id"), col("embedding"))
-        val (hub, medoids) = VectorOps.hubAndMedoidsFrom(lake, cent)
-        val edges = maintained.union(hub).distinct().localCheckpoint(true)
-        val f0 = VectorOps.graphEntries(s, d, cent, medoids)
+        val (edges, f0) = maintainedServe(s,
+          buildMaintainedStore(s, d, kCells = 8, "graft_st19_"))
         VectorOps.recallOf(VectorOps.bruteTruth(s, d),
           VectorOps.adcWalkServe(s, d, edges, f0, beam = 16, hops = 3,
             Some(TrainedIndex.codes(s, d))))
@@ -1305,7 +1277,8 @@ object Windows {
         "and therefore per-vector maintenance cost - flat while " +
         "the walk stays corpus-size-independent.",
       (s, d) => {
-        val (edges, f0) = buildMaintainedState(s, d, kCells = 25)
+        val (edges, f0) = maintainedServe(s,
+          buildMaintainedStore(s, d, kCells = 25, "graft_st19b_"))
         VectorOps.recallOf(VectorOps.bruteTruth(s, d),
           VectorOps.adcWalkServe(s, d, edges, f0, beam = 16, hops = 3,
             Some(TrainedIndex.codes(s, d))))
@@ -1333,7 +1306,7 @@ object Windows {
         "cells' members, the union ranks on INTEGER ADC scores from " +
         "the persisted codes, and the corpus-coupled shortlist " +
         "(v21b's 20%-of-union rule, computed from the data on both " +
-        "sides) is re-ranked exactly — via the SAME refinedAdcTail " +
+        "sides) is re-ranked exactly — via the SAME refinedAdcServe " +
         "kernel as v21/v21b, so the three refined gates cannot " +
         "desynchronize. The maintenance stream itself is st19b's " +
         "hashed subject, so this gate reads the maintained state " +
@@ -1349,16 +1322,14 @@ object Windows {
         "the refined union buys recall above the walk plateau at " +
         "O(sqrt n) code reads + O(sqrt n) vector reads per query.",
       (s, d) => {
-        val (edges, f0) = maintainedState(s, d, kCells = 25)
-        val codes = TrainedIndex.codes(s, d)
-        val frontier = VectorOps.adcWalkFrontier(s, d, edges, f0,
-          beam = 16, hops = 3, Some(codes))
-        val cent = TrainedIndex.centroids(s, d, k = 25)
+        val (edges, f0) = maintainedServe(s,
+          maintainedStore(s, d, kCells = 25))
         val n = Tables.embeddings(s, d).count()
         VectorOps.recallOf(VectorOps.bruteTruth(s, d),
-          VectorOps.refinedAdcTail(s, d, frontier, cent, refine = 8,
+          VectorOps.refinedAdcServe(s, d, edges, f0, beam = 16,
+            hops = 3, kCells = 25, refine = 8,
             shortlist = VectorOps.scaledShortlist(n, refine = 8,
-              kCells = 25), codes))
+              kCells = 25)))
       },
       Some(s"""
         WITH ${KmeansSql.upToCent2(25)},
@@ -1374,17 +1345,29 @@ object Windows {
         ${VectorOps.RecallTailSql}"""))
   )
 
-  /** st19b/st19c's maintained graph state: the corpus streamed
+  /** st19/st19b/st19c's maintained graph build: the corpus streamed
     * through StreamingKnnGraph in 3 deterministic micro-batches at
     * (kCells, degree k=16), compacted via the pure-file OPTIMIZE
     * pass, hub escapes + entry medoids derived from the maintained
-    * LAKE through the shared hubAndMedoidsFrom kernel. Returns the
-    * serving (edges, f0) pair, edges eagerly checkpointed (the
-    * stored-edge-table invariant for hop joins). */
-  private def buildMaintainedState(s: org.apache.spark.sql.SparkSession,
-      d: String, kCells: Int): (org.apache.spark.sql.DataFrame,
-        org.apache.spark.sql.DataFrame) = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_st19m_")
+    * LAKE through the ONE shared kernel (VectorOps.hubAndMedoidsFrom
+    * — sourced from stream state instead of the raw table, so the
+    * medoid tie-break can never diverge from the batch build's). The
+    * derived serving frames (maintained ∪ hub edges, entry f0) are
+    * then PERSISTED through the versioned IndexArtifacts store next
+    * to the lake — the TrainedIndex convention: frame-valued state
+    * memoizes its STORE DIR, not a session-bound DataFrame, so hop
+    * joins read real parquet blocks (the stored-edge-table invariant
+    * v17/v19 get from their artifacts) and a serve never depends on
+    * checkpoint blocks that die with the session. Edges are
+    * src-sorted at write so the hop walks' pushed id predicates
+    * prune row groups. `prefix` names the temp root per call site —
+    * st19/st19b build per pass (the maintenance replay is their
+    * hashed subject), the memo builds once; the GraphAnnSpec memo
+    * probe keys on the memo's prefix staying distinct.
+    * @return the serve-frame store dir. */
+  private def buildMaintainedStore(s: org.apache.spark.sql.SparkSession,
+      d: String, kCells: Int, prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
     org.apache.commons.io.FileUtils.forceDeleteOnExit(dir.toFile)
     val e = Tables.embeddings(s, d)
     val cent = TrainedIndex.centroids(s, d, k = kCells)
@@ -1399,37 +1382,42 @@ object Windows {
     val maintained = graft.streaming.StreamingKnnGraph
       .readGraph(s, dir.toString).get
       .select(col("a_id").as("src"), col("b_id").as("dst"))
-    // hub edges + entry medoids derive from the maintained LAKE
-    // through the ONE shared kernel (VectorOps.hubAndMedoidsFrom —
-    // sourced from stream state instead of the raw table, so the
-    // medoid tie-break can never diverge from the batch build's).
-    // The eager checkpoint re-establishes the stored-edge-table
-    // invariant for this computed frame: hop joins read materialized
-    // blocks instead of replaying the lake scan + union-distinct per
-    // hop (v17/v19 get this for free from their parquet artifacts).
     val lake = graft.streaming.StreamingVectorIndex
       .readIndex(s, s"$dir/index")
       .select(col("vec_id"), col("embedding"))
     val (hub, medoids) = VectorOps.hubAndMedoidsFrom(lake, cent)
-    val edges = maintained.union(hub).distinct().localCheckpoint(true)
-    (edges, VectorOps.graphEntries(s, d, cent, medoids))
+    val edges = maintained.union(hub).distinct()
+    val store = s"$dir/serve"
+    graft.sources.IndexArtifacts.saveFrames(s, store, Seq(
+      "edges" -> edges.sort(col("src")),
+      "f0" -> VectorOps.graphEntries(s, d, cent, medoids)))
+    store
   }
 
-  /** The per-JVM memo of the maintained state, keyed by (sf dir,
-    * kCells). st19b deliberately re-streams per pass (the maintenance
-    * replay IS its hashed subject and the bench's measured term);
-    * st19c's subject is the refined serve off maintained state, so it
-    * reads the memo — the production read pattern. f0 is checkpointed
-    * on first demand so reuse never replays the medoid derivation. */
-  private val maintainedMemo = scala.collection.concurrent.TrieMap
-    .empty[(String, Int), (org.apache.spark.sql.DataFrame,
-      org.apache.spark.sql.DataFrame)]
-  private def maintainedState(s: org.apache.spark.sql.SparkSession,
-      d: String, kCells: Int)
-      : (org.apache.spark.sql.DataFrame,
+  /** The serving (edges, f0) pair read back from a maintained store —
+    * every call is a parquet scan of the persisted frames. */
+  private def maintainedServe(s: org.apache.spark.sql.SparkSession,
+      store: String): (org.apache.spark.sql.DataFrame,
         org.apache.spark.sql.DataFrame) =
-    maintainedMemo.getOrElseUpdate((d, kCells), {
-      val (edges, f0) = buildMaintainedState(s, d, kCells)
-      (edges, f0.localCheckpoint(true))
+    (graft.sources.IndexArtifacts.loadFrame(s, store, "edges"),
+      graft.sources.IndexArtifacts.loadFrame(s, store, "f0"))
+
+  /** The per-JVM memo of the maintained store DIR, keyed by (sf dir,
+    * kCells). st19/st19b deliberately re-stream per pass (the
+    * maintenance replay IS their hashed subject and the bench's
+    * measured term); st19c's subject is the refined serve off
+    * maintained state, so it reads the memo — the production read
+    * pattern. Filled under a lock (the TrainedIndex discipline):
+    * TrieMap.getOrElseUpdate may evaluate the thunk more than once
+    * under a concurrent miss, and two maintenance streams racing on
+    * the build would pay the cost twice. */
+  private val maintainedCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Int), String]
+  private val maintainedFill = new Object
+  private def maintainedStore(s: org.apache.spark.sql.SparkSession,
+      d: String, kCells: Int): String =
+    maintainedCache.getOrElse((d, kCells), maintainedFill.synchronized {
+      maintainedCache.getOrElseUpdate((d, kCells),
+        buildMaintainedStore(s, d, kCells, "graft_st19m_"))
     })
 }
