@@ -129,15 +129,14 @@ object CarveOutGate {
                  event_id % 40 AS hs, event_id % 37 AS aw
           FROM events"""
 
-  /** The game-team aggregate layer over the chain's `enr` CTE — the
-    * SQL replay of GameTeamStats.build (box aggs, event + formula
-    * possessions, opponent self-join, eFG/TS/ft-rate/tov-ratio/
-    * oreb-pct/pace). Stream-agnostic (reads only enr's columns), and
-    * shared VERBATIM by pbp04 (foul stream) and pbp07 (pbp01's no-foul
-    * stream — VERDICT r13 #6) so a fix to the aggregate layer can
-    * never desynchronize the two "same pipeline" oracles — the
-    * adcAllSql convention applied to the PBP family. */
-  private[queries] val GameTeamAggSql: String = """stats AS (
+  /** The game-team aggregate CTEs (stats/poss/t/j) over a play-stream
+    * CTE `src` — the SQL replay of GameTeamStats.build's aggregate
+    * layer (box aggs, event + formula possessions, opponent
+    * self-join). Parameterized on the source so ONE copy serves the
+    * full stream (pbp04/pbp07: enr) AND the garbage-filtered stream
+    * (pbp06: enrx) — a fix to a coefficient or a possession rule in
+    * this layer reaches every PBP oracle or none. */
+  private[queries] def gameTeamAggCtes(src: String): String = s"""stats AS (
           SELECT game_id, team_id,
                  CAST(sum(CASE WHEN is_fga THEN 1 ELSE 0 END) AS BIGINT) AS fga,
                  CAST(sum(CASE WHEN is_fga AND scoring THEN 1 ELSE 0 END) AS BIGINT) AS fgm,
@@ -149,11 +148,11 @@ object CarveOutGate {
                  CAST(0 AS BIGINT) AS oreb,
                  CAST(sum(CASE WHEN scoring THEN sv ELSE CAST(0.0 AS DOUBLE) END) AS DOUBLE) AS pts,
                  CAST(max(coalesce(period, 1)) AS INT) AS max_period
-          FROM enr GROUP BY 1, 2),
+          FROM $src GROUP BY 1, 2),
         poss AS (
           SELECT game_id, offense_team_id AS team_id,
                  CAST(count(*) AS BIGINT) AS possessions_event
-          FROM enr WHERE possession_end AND offense_team_id IS NOT NULL
+          FROM $src WHERE possession_end AND offense_team_id IS NOT NULL
           GROUP BY 1, 2),
         t AS (
           SELECT s.*,
@@ -166,9 +165,14 @@ object CarveOutGate {
                  t2.possessions_formula AS opp_poss_formula,
                  t2.dreb AS opp_dreb, t2.fga AS opp_fga
           FROM t t1 JOIN t t2
-            ON t1.game_id = t2.game_id AND t1.team_id <> t2.team_id)
-        SELECT game_id AS gameId, team_id AS teamId, opp_tid AS opponentId,
-               team_id = 1 AS is_home_team,
+            ON t1.game_id = t2.game_id AND t1.team_id <> t2.team_id)"""
+
+  /** The per-team derivation column list (raw box columns +
+    * game_minutes/eFG/TS/ft-rate/tov-ratio/oreb-pct/pace) — shared
+    * verbatim by the standalone tail below and pbp06's
+    * garbage-extended tail, so the formula constants (0.44 FTA
+    * weight, 0.5 three bonus, 40+5*OT minutes) exist in ONE copy. */
+  private[queries] val GameTeamDeriveCols: String = """
                fga, fgm, fg3m, fta, ftm, tov, dreb, oreb, pts, max_period,
                possessions_event, possessions_formula,
                opp_pts, opp_poss_formula, opp_dreb, opp_fga,
@@ -187,7 +191,17 @@ object CarveOutGate {
                     THEN (possessions_formula + opp_poss_formula) / 2.0
                          * (CAST(40.0 AS DOUBLE)
                             / CAST(40 + 5 * greatest(max_period - 2, 0) AS DOUBLE))
-               END AS pace
+               END AS pace"""
+
+  /** The full standalone game-team aggregate layer over `enr` — the
+    * tail shared VERBATIM by pbp04 (foul stream) and pbp07 (pbp01's
+    * no-foul stream — VERDICT r13 #6) so a fix to the aggregate layer
+    * can never desynchronize the two "same pipeline" oracles — the
+    * adcAllSql convention applied to the PBP family. */
+  private[queries] val GameTeamAggSql: String = s"""${gameTeamAggCtes("enr")}
+        SELECT game_id AS gameId, team_id AS teamId, opp_tid AS opponentId,
+               team_id = 1 AS is_home_team,
+               $GameTeamDeriveCols
         FROM j"""
 
   /** Full SQL replay of the possession state machine over any play
@@ -758,36 +772,7 @@ object CarveOutGate {
       },
       Some(s"""${pbpChainCtes(FoulPlaysSelect)},
         enrx AS (SELECT * FROM enr WHERE NOT garbage_time),
-        stats AS (
-          SELECT game_id, team_id,
-                 CAST(sum(CASE WHEN is_fga THEN 1 ELSE 0 END) AS BIGINT) AS fga,
-                 CAST(sum(CASE WHEN is_fga AND scoring THEN 1 ELSE 0 END) AS BIGINT) AS fgm,
-                 CAST(sum(CASE WHEN is_fga AND scoring AND sv = 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS fg3m,
-                 CAST(sum(CASE WHEN is_ft THEN 1 ELSE 0 END) AS BIGINT) AS fta,
-                 CAST(sum(CASE WHEN is_ft AND scoring THEN 1 ELSE 0 END) AS BIGINT) AS ftm,
-                 CAST(sum(CASE WHEN is_to THEN 1 ELSE 0 END) AS BIGINT) AS tov,
-                 CAST(sum(CASE WHEN is_dr THEN 1 ELSE 0 END) AS BIGINT) AS dreb,
-                 CAST(0 AS BIGINT) AS oreb,
-                 CAST(sum(CASE WHEN scoring THEN sv ELSE CAST(0.0 AS DOUBLE) END) AS DOUBLE) AS pts,
-                 CAST(max(coalesce(period, 1)) AS INT) AS max_period
-          FROM enrx GROUP BY 1, 2),
-        poss AS (
-          SELECT game_id, offense_team_id AS team_id,
-                 CAST(count(*) AS BIGINT) AS possessions_event
-          FROM enrx WHERE possession_end AND offense_team_id IS NOT NULL
-          GROUP BY 1, 2),
-        t AS (
-          SELECT s.*,
-                 CAST(coalesce(p.possessions_event, 0) AS BIGINT) AS possessions_event,
-                 s.fga - s.oreb + s.tov + CAST(0.44 AS DOUBLE) * s.fta AS possessions_formula
-          FROM stats s LEFT JOIN poss p
-            ON s.game_id = p.game_id AND s.team_id = p.team_id),
-        j AS (
-          SELECT t1.*, t2.team_id AS opp_tid, t2.pts AS opp_pts,
-                 t2.possessions_formula AS opp_poss_formula,
-                 t2.dreb AS opp_dreb, t2.fga AS opp_fga
-          FROM t t1 JOIN t t2
-            ON t1.game_id = t2.game_id AND t1.team_id <> t2.team_id),
+        ${gameTeamAggCtes("enrx")},
         clock AS (
           SELECT game_id, period, sec,
                  max(CASE WHEN garbage_time THEN 1 ELSE 0 END) AS g
@@ -804,25 +789,7 @@ object CarveOutGate {
           FROM seg GROUP BY 1)
         SELECT j.game_id AS gameId, team_id AS teamId, opp_tid AS opponentId,
                team_id = 1 AS is_home_team,
-               fga, fgm, fg3m, fta, ftm, tov, dreb, oreb, pts, max_period,
-               possessions_event, possessions_formula,
-               opp_pts, opp_poss_formula, opp_dreb, opp_fga,
-               CAST(40 + 5 * greatest(max_period - 2, 0) AS DOUBLE) AS game_minutes,
-               CASE WHEN fga > 0
-                    THEN (fgm + CAST(0.5 AS DOUBLE) * fg3m) / fga END AS efg_pct,
-               CASE WHEN fga + CAST(0.44 AS DOUBLE) * fta > 0
-                    THEN pts / (CAST(2.0 AS DOUBLE) * (fga + CAST(0.44 AS DOUBLE) * fta))
-               END AS ts_pct,
-               CASE WHEN fga > 0 THEN CAST(fta AS DOUBLE) / fga END AS ft_rate,
-               CASE WHEN possessions_formula > 0
-                    THEN tov / possessions_formula END AS tov_ratio,
-               CASE WHEN oreb + opp_dreb > 0
-                    THEN CAST(oreb AS DOUBLE) / (oreb + opp_dreb) END AS oreb_pct,
-               CASE WHEN CAST(40 + 5 * greatest(max_period - 2, 0) AS DOUBLE) > 0
-                    THEN (possessions_formula + opp_poss_formula) / 2.0
-                         * (CAST(40.0 AS DOUBLE)
-                            / CAST(40 + 5 * greatest(max_period - 2, 0) AS DOUBLE))
-               END AS pace,
+               $GameTeamDeriveCols,
                coalesce(gm.garbage_time_minutes, 0.0) AS garbage_time_minutes
         FROM j LEFT JOIN gm ON j.game_id = gm.game_id""")),
 

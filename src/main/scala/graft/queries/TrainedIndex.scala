@@ -60,7 +60,7 @@ object TrainedIndex {
         val (_, cent, _) = graft.operators.KMeans.fitConverged(
           s, Tables.embeddings(s, d), k = k, maxIter = 25, tol = 0.12)
         val dir = store(d, s"cent_k$k")
-        graft.sources.IndexArtifacts.save(s, dir, Some(cent))
+        graft.sources.IndexArtifacts.save(s, dir, Some(cent), keep = 2)
         graft.sources.IndexArtifacts.loadCentroids(s, dir)
       })
     })
@@ -73,7 +73,7 @@ object TrainedIndex {
         val cb = VectorOps.pqCodebook(s, d)
         val dir = store(d, "pq")
         graft.sources.IndexArtifacts.save(s, dir,
-          centroids = None, codebook = Some(cb))
+          centroids = None, codebook = Some(cb), keep = 2)
         graft.sources.IndexArtifacts.loadCodebook(s, dir).get
       })
     })
@@ -103,7 +103,7 @@ object TrainedIndex {
         // hash gates (edge SETS) and to the walk
         graft.sources.IndexArtifacts.saveFrames(s, dir0,
           Seq("edges" -> edges.sort(org.apache.spark.sql.functions.col("src")),
-            "medoids" -> medoids))
+            "medoids" -> medoids), keep = 2)
         dir0
       })
     })
@@ -122,7 +122,8 @@ object TrainedIndex {
       codesCache.getOrElseUpdate(d, {
         val frame = VectorOps.pqCorpus(Tables.embeddings(s, d), codebook(s, d))
         val dir0 = store(d, "codes")
-        graft.sources.IndexArtifacts.saveFrames(s, dir0, Seq("codes" -> frame))
+        graft.sources.IndexArtifacts.saveFrames(s, dir0,
+          Seq("codes" -> frame), keep = 2)
         dir0
       })
     })

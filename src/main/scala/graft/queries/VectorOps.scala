@@ -1396,14 +1396,13 @@ object VectorOps {
   private[graft] def adcWalkFrontier(s: SparkSession, d: String,
       edges: org.apache.spark.sql.DataFrame,
       f0: org.apache.spark.sql.DataFrame, beam: Int, hops: Int,
-      codesIn: Option[org.apache.spark.sql.DataFrame] = None)
+      codesIn: Option[org.apache.spark.sql.DataFrame] = None,
+      qlutIn: Option[org.apache.spark.sql.DataFrame] = None)
       : org.apache.spark.sql.DataFrame = {
     val e = Tables.embeddings(s, d)
     val cb = TrainedIndex.codebook(s, d)
     val codes = codesIn.getOrElse(pqCorpus(e, cb))
-    val qlut = e.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("qid") +:
-        (0 until PqM).map(i => pqLutCol(cb, i).as(s"l$i")): _*)
+    val qlut = qlutIn.getOrElse(queryLuts(s, d))
     def topB(sc: org.apache.spark.sql.DataFrame) =
       graft.plans.TopKPerKey.topK(sc, Seq("qid"),
         Seq(col("score").desc, col("cid").asc), beam)
@@ -1417,6 +1416,19 @@ object VectorOps {
       frontier = topB(scoredAdcOf(codes, qlut, cands)).localCheckpoint(true)
     }
     frontier
+  }
+
+  /** The broadcast query set's integer ADC lookup tables (qid,
+    * l0..l<m-1>) over the stored codebook — ONE construction shared
+    * by the walk and the refined tail (the codebook rides the
+    * expressions as literals, so duplicating the build used to pay
+    * the analysis/codegen for the LUT columns twice per serve). */
+  private def queryLuts(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val cb = TrainedIndex.codebook(s, d)
+    Tables.embeddings(s, d).filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid") +:
+        (0 until PqM).map(i => pqLutCol(cb, i).as(s"l$i")): _*)
   }
 
   /** Integer ADC scoring of a (qid, cid) candidate frame from the
@@ -1487,9 +1499,15 @@ object VectorOps {
       kCells: Int, refine: Int, shortlist: Int)
       : org.apache.spark.sql.DataFrame = {
     val codes = TrainedIndex.codes(s, d)
-    val frontier = adcWalkFrontier(s, d, edges, f0, beam, hops, Some(codes))
+    // one LUT build serves both the walk and the tail; the 20-row
+    // frame is checkpointed so neither replays the codebook-literal
+    // projection over the corpus scan
+    val qlut = queryLuts(s, d).localCheckpoint(true)
+    val frontier = adcWalkFrontier(s, d, edges, f0, beam, hops,
+      Some(codes), Some(qlut))
     refinedAdcTail(s, d, frontier,
-      TrainedIndex.centroids(s, d, k = kCells), refine, shortlist, codes)
+      TrainedIndex.centroids(s, d, k = kCells), refine, shortlist,
+      codes, Some(qlut))
   }
 
   /** The refined-ADC serving tail — walk frontier ∪ the query's
@@ -1502,16 +1520,13 @@ object VectorOps {
   private[graft] def refinedAdcTail(s: SparkSession, d: String,
       frontier: org.apache.spark.sql.DataFrame,
       cent: Array[Array[Double]], refine: Int, shortlist: Int,
-      codes: org.apache.spark.sql.DataFrame)
+      codes: org.apache.spark.sql.DataFrame,
+      qlutIn: Option[org.apache.spark.sql.DataFrame] = None)
       : org.apache.spark.sql.DataFrame = {
     val cands = frontier.select(col("qid"), col("cid"))
       .union(cellCandidates(s, d, cent, refine))
       .distinct()
-    val e = Tables.embeddings(s, d)
-    val cb = TrainedIndex.codebook(s, d)
-    val qlut = e.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("qid") +:
-        (0 until PqM).map(i => pqLutCol(cb, i).as(s"l$i")): _*)
+    val qlut = qlutIn.getOrElse(queryLuts(s, d))
     val sl = graft.plans.TopKPerKey.topK(
       scoredAdcOf(codes, qlut, cands), Seq("qid"),
       Seq(col("score").desc, col("cid").asc), shortlist)
@@ -3083,7 +3098,7 @@ object VectorOps {
           kCells = 8)
         graft.sources.IndexArtifacts.saveFrames(s, dir.toString, Seq(
           "edges" -> edges, "medoids" -> medoids,
-          "codes" -> TrainedIndex.codes(s, d)))
+          "codes" -> TrainedIndex.codes(s, d)), keep = 2)
         val le = graft.sources.IndexArtifacts.loadFrame(s, dir.toString, "edges")
         val lm = graft.sources.IndexArtifacts.loadFrame(s, dir.toString, "medoids")
         val lc = graft.sources.IndexArtifacts.loadFrame(s, dir.toString, "codes")

@@ -1390,7 +1390,7 @@ object Windows {
     val store = s"$dir/serve"
     graft.sources.IndexArtifacts.saveFrames(s, store, Seq(
       "edges" -> edges.sort(col("src")),
-      "f0" -> VectorOps.graphEntries(s, d, cent, medoids)))
+      "f0" -> VectorOps.graphEntries(s, d, cent, medoids)), keep = 2)
     store
   }
 

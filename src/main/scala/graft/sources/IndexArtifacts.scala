@@ -36,11 +36,15 @@ object IndexArtifacts {
     graft.streaming.StateMarker.lastApplied(dir)
 
   /** Persist one trained artifact set (either part may be absent) as
-    * the next version and flip the marker. @return the published
-    * version id. */
+    * the next version and flip the marker. `keep > 0` runs the reap
+    * GC after the flip (retaining `keep` versions) so a publish path
+    * cannot forget the maintenance pass — the StreamingVectorIndex
+    * convention, where compact() carries its own cleanup; 0 leaves GC
+    * to an explicit reap() call. @return the published version id. */
   def save(spark: SparkSession, dir: String,
       centroids: Option[Array[Array[Double]]],
-      codebook: Option[Array[Array[Array[Double]]]] = None): Long = {
+      codebook: Option[Array[Array[Array[Double]]]] = None,
+      keep: Int = 0): Long = {
     import spark.implicits._
     Files.createDirectories(Paths.get(dir))
     val v = currentVersion(dir) + 1
@@ -61,6 +65,7 @@ object IndexArtifacts {
         .parquet(s"$dir/v$v/codebook")
     }
     graft.streaming.StateMarker.publish(dir, v)
+    if (keep > 0) reap(dir, keep)
     v
   }
 
@@ -95,13 +100,17 @@ object IndexArtifacts {
     * from loaded frames hash-matches one served from the in-memory
     * build (the v20 gate). */
   def saveFrames(spark: SparkSession, dir: String,
-      frames: Seq[(String, DataFrame)]): Long = {
+      frames: Seq[(String, DataFrame)], keep: Int = 0): Long = {
     Files.createDirectories(Paths.get(dir))
     val v = currentVersion(dir) + 1
     frames.foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$dir/v$v/$name")
     }
     graft.streaming.StateMarker.publish(dir, v)
+    // corpus-sized frames are exactly where dead versions cost a full
+    // corpus copy each — publish paths opt into the GC here (keep > 0)
+    // so the training-cadence republish carries its own cleanup
+    if (keep > 0) reap(dir, keep)
     v
   }
 

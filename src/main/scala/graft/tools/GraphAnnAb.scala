@@ -51,7 +51,12 @@ object GraphAnnAb {
     spark.sparkContext.setLogLevel("ERROR")
     val truth = VectorOps.bruteTruth(spark, sfDir).localCheckpoint(true)
     for (g <- degrees; b <- beams; h <- hopsList; ent <- entriesList;
-         ref <- refineList; sl <- shortlistList) {
+         ref <- refineList;
+         // the shortlist knob only exists on the adc+refine kernel —
+         // sweeping it in the other modes would re-run one identical
+         // config per value and print rows that LOOK like a measured
+         // R curve; collapse the dead axis to a single labeled-0 row
+         sl <- (if (adc && ref > 0) shortlistList else Seq(0))) {
       val t0 = System.nanoTime()
       val served = if (ref > 0 && adc)
         VectorOps.graphAnnServeAdcRefined(spark, sfDir, beam = b,

@@ -198,4 +198,34 @@ class IndexArtifactsSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       IndexArtifacts.loadFrame(spark, dir, "medoids"))
   }
+
+  test("a publish with keep carries its own GC: the training-cadence " +
+      "republish leaves exactly the retained window on disk") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp()
+    // three training cadences at keep=2: after the third publish only
+    // v1/v2 remain — the save itself reaped v0, no explicit reap call
+    (1L to 3L).foreach { i =>
+      IndexArtifacts.saveFrames(spark, dir,
+        Seq("edges" -> Seq((i, i + 1)).toDF("src", "dst")), keep = 2)
+    }
+    assert(IndexArtifacts.currentVersion(dir) === 2L)
+    assert(!new java.io.File(s"$dir/v0").exists(),
+      "keep=2 republish must have reaped v0")
+    assert(new java.io.File(s"$dir/v1").isDirectory)
+    assert(IndexArtifacts.loadFrame(spark, dir, "edges")
+      .collect().map(_.getLong(0)).toSeq === Seq(3L))
+    // the scalar-artifact path carries the same discipline
+    val dir2 = tmp()
+    (0 until 3).foreach { _ =>
+      IndexArtifacts.save(spark, dir2,
+        Some(Array(Array(1.0, 2.0))), keep = 1)
+    }
+    assert(IndexArtifacts.currentVersion(dir2) === 2L)
+    assert(!new java.io.File(s"$dir2/v0").exists())
+    assert(!new java.io.File(s"$dir2/v1").exists())
+    assert(IndexArtifacts.loadCentroids(spark, dir2).head.toSeq
+      === Seq(1.0, 2.0))
+  }
 }
