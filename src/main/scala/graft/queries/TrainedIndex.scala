@@ -51,12 +51,28 @@ object TrainedIndex {
   private def store(d: String, kind: String): String =
     s"$root/${java.util.UUID.nameUUIDFromBytes(d.getBytes("UTF-8"))}/$kind"
 
+  /** Cache key: the sf dir plus its embeddings content stamp, so an
+    * in-place fixture regeneration within one JVM misses every cache
+    * and retrains instead of serving stale artifacts (a re-save lands
+    * as the next version in the same store; keep=2 reaps the old one).
+    * Cross-process regen was already safe via the per-JVM temp root. */
+  private def keyOf(d: String): String =
+    s"$d@${graft.sources.Tables.lakeStamp(d)}"
+
   /** IVF coarse centroids for `d`'s embeddings at the standard recipe
     * (maxIter=25, tol=0.12 — the recipe every geometric-cell gate and
-    * its KmeansSql oracle pin). */
+    * its KmeansSql oracle pin). The oracles replay exactly two Lloyd
+    * updates (upToCent2) while this trains TO CONVERGENCE — the
+    * equality is not luck, it is the v05d gate's subject: the
+    * convergence test fires at exactly 2 iterations because the
+    * per-iteration deltas bracket the tolerance with >0.08 margin on
+    * both sides at every test SF (tools.KmProbe measures the
+    * bracket). If a fixture regeneration ever moved the stop, v05d is
+    * the canary that goes red WITH the serving family, pointing at
+    * the bracket rather than at any serving kernel. */
   def centroids(s: SparkSession, d: String, k: Int): Array[Array[Double]] =
-    centCache.getOrElse((d, k), fillLock.synchronized {
-      centCache.getOrElseUpdate((d, k), {
+    centCache.getOrElse((keyOf(d), k), fillLock.synchronized {
+      centCache.getOrElseUpdate((keyOf(d), k), {
         val (_, cent, _) = graft.operators.KMeans.fitConverged(
           s, Tables.embeddings(s, d), k = k, maxIter = 25, tol = 0.12)
         val dir = store(d, s"cent_k$k")
@@ -68,8 +84,8 @@ object TrainedIndex {
   /** PQ codebook for `d`'s embeddings (the VectorOps.pqCodebook
     * recipe — m/k/subDim are module constants). */
   def codebook(s: SparkSession, d: String): Array[Array[Array[Double]]] =
-    cbCache.getOrElse(d, fillLock.synchronized {
-      cbCache.getOrElseUpdate(d, {
+    cbCache.getOrElse(keyOf(d), fillLock.synchronized {
+      cbCache.getOrElseUpdate(keyOf(d), {
         val cb = VectorOps.pqCodebook(s, d)
         val dir = store(d, "pq")
         graft.sources.IndexArtifacts.save(s, dir,
@@ -91,8 +107,8 @@ object TrainedIndex {
     * the round-trip the way v15 did for centroids+codebook. */
   def graph(s: SparkSession, d: String, degree: Int, kCells: Int)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    val dir = graphCache.getOrElse((d, degree, kCells), fillLock.synchronized {
-      graphCache.getOrElseUpdate((d, degree, kCells), {
+    val dir = graphCache.getOrElse((keyOf(d), degree, kCells), fillLock.synchronized {
+      graphCache.getOrElseUpdate((keyOf(d), degree, kCells), {
         val (edges, medoids) = VectorOps.buildHubGraph(s, d, degree, kCells)
         val dir0 = store(d, s"graph_d${degree}_k$kCells")
         // the artifact is ID-SORTED at write time (one build-side
@@ -118,8 +134,8 @@ object TrainedIndex {
     * deterministic ints, so the loaded frame is bit-identical to the
     * in-gate encode it replaces. */
   def codes(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
-    val dir = codesCache.getOrElse(d, fillLock.synchronized {
-      codesCache.getOrElseUpdate(d, {
+    val dir = codesCache.getOrElse(keyOf(d), fillLock.synchronized {
+      codesCache.getOrElseUpdate(keyOf(d), {
         val frame = VectorOps.pqCorpus(Tables.embeddings(s, d), codebook(s, d))
         val dir0 = store(d, "codes")
         graft.sources.IndexArtifacts.saveFrames(s, dir0,

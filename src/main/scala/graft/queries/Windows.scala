@@ -1416,8 +1416,14 @@ object Windows {
   private val maintainedFill = new Object
   private def maintainedStore(s: org.apache.spark.sql.SparkSession,
       d: String, kCells: Int): String =
-    maintainedCache.getOrElse((d, kCells), maintainedFill.synchronized {
-      maintainedCache.getOrElseUpdate((d, kCells),
+    maintainedCache.getOrElse(memoKey(d, kCells), maintainedFill.synchronized {
+      maintainedCache.getOrElseUpdate(memoKey(d, kCells),
         buildMaintainedStore(s, d, kCells, "graft_st19m_"))
     })
+
+  /** Memo key carries the embeddings content stamp (the TrainedIndex
+    * keyOf discipline) so an in-place fixture regen within one JVM
+    * re-streams instead of serving a stale maintained graph. */
+  private def memoKey(d: String, kCells: Int): (String, Int) =
+    (s"$d@${graft.sources.Tables.lakeStamp(d)}", kCells)
 }

@@ -16,6 +16,25 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Content stamp of `dir`'s embeddings parquet (recursive size +
+    * newest mtime): folded into every per-JVM derived-state cache key
+    * (TrainedIndex artifacts, the st19c maintained store) so an
+    * IN-PLACE fixture regeneration inside one JVM lifetime misses the
+    * cache and rebuilds instead of serving stale state. Cross-process
+    * regen was already safe (per-JVM temp roots); this closes the
+    * in-process window without any content hashing — a regenerated
+    * parquet always moves mtime, and size catches a same-mtime swap. */
+  def lakeStamp(dir: String): String = {
+    def walk(f: java.io.File): (Long, Long) =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty)
+          .map(walk).foldLeft((0L, 0L)) { case ((s1, m1), (s2, m2)) =>
+            (s1 + s2, math.max(m1, m2)) }
+      else (f.length(), f.lastModified())
+    val (sz, mt) = walk(new java.io.File(s"$dir/embeddings.parquet"))
+    s"$sz:$mt"
+  }
+
   /** events.parquet stores ts as INT64 TIMESTAMP(NANOS) which Spark 4
     * refuses to read as a timestamp (PARQUET_TYPE_ILLEGAL). Read it as a
     * raw long (legacy.parquet.nanosAsLong) and truncate ns → µs, which is
