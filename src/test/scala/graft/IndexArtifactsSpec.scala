@@ -199,6 +199,34 @@ class IndexArtifactsSpec extends SparkSpec {
       IndexArtifacts.loadFrame(spark, dir, "medoids"))
   }
 
+  test("lakeStamp moves with the embeddings content (the stamped " +
+      "cache-key discipline: an in-place fixture regen must miss " +
+      "every per-JVM derived-state cache)") {
+    val dir = tmp()
+    val f = new java.io.File(s"$dir/embeddings.parquet")
+    java.nio.file.Files.write(f.toPath, Array[Byte](1, 2, 3))
+    f.setLastModified(1000000L)
+    val s1 = graft.sources.Tables.lakeStamp(dir)
+    assert(s1 === graft.sources.Tables.lakeStamp(dir),
+      "stamp must be stable while content is unchanged")
+    // same size, newer mtime (a regenerated file always moves mtime)
+    f.setLastModified(2000000L)
+    val s2 = graft.sources.Tables.lakeStamp(dir)
+    assert(s2 !== s1)
+    // same mtime, different size (the same-mtime swap case)
+    java.nio.file.Files.write(f.toPath, Array[Byte](1, 2, 3, 4))
+    f.setLastModified(2000000L)
+    assert(graft.sources.Tables.lakeStamp(dir) !== s2)
+    // directory-shaped parquet (multi-part) stamps recursively
+    val d2 = tmp()
+    val part = new java.io.File(s"$d2/embeddings.parquet/part-0")
+    part.getParentFile.mkdirs()
+    java.nio.file.Files.write(part.toPath, Array[Byte](9))
+    val s3 = graft.sources.Tables.lakeStamp(d2)
+    java.nio.file.Files.write(part.toPath, Array[Byte](9, 9))
+    assert(graft.sources.Tables.lakeStamp(d2) !== s3)
+  }
+
   test("a publish with keep carries its own GC: the training-cadence " +
       "republish leaves exactly the retained window on disk") {
     val s = spark
