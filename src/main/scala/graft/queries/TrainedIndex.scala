@@ -55,7 +55,12 @@ object TrainedIndex {
     * in-place fixture regeneration within one JVM misses every cache
     * and retrains instead of serving stale artifacts (a re-save lands
     * as the next version in the same store; keep=2 reaps the old one).
-    * Cross-process regen was already safe via the per-JVM temp root. */
+    * Cross-process regen was already safe via the per-JVM temp root.
+    * ADVICE r14: call sites evaluate this ONCE into a local val per
+    * lookup — the stamp walks the fixture directory, and a check/
+    * insert pair computed from two separate evaluations could insert
+    * under a different key than was checked if a regen lands between
+    * them. */
   private def keyOf(d: String): String =
     s"$d@${graft.sources.Tables.lakeStamp(d)}"
 
@@ -70,9 +75,10 @@ object TrainedIndex {
     * bracket). If a fixture regeneration ever moved the stop, v05d is
     * the canary that goes red WITH the serving family, pointing at
     * the bracket rather than at any serving kernel. */
-  def centroids(s: SparkSession, d: String, k: Int): Array[Array[Double]] =
-    centCache.getOrElse((keyOf(d), k), fillLock.synchronized {
-      centCache.getOrElseUpdate((keyOf(d), k), {
+  def centroids(s: SparkSession, d: String, k: Int): Array[Array[Double]] = {
+    val key = (keyOf(d), k)
+    centCache.getOrElse(key, fillLock.synchronized {
+      centCache.getOrElseUpdate(key, {
         val (_, cent, _) = graft.operators.KMeans.fitConverged(
           s, Tables.embeddings(s, d), k = k, maxIter = 25, tol = 0.12)
         val dir = store(d, s"cent_k$k")
@@ -80,12 +86,14 @@ object TrainedIndex {
         graft.sources.IndexArtifacts.loadCentroids(s, dir)
       })
     })
+  }
 
   /** PQ codebook for `d`'s embeddings (the VectorOps.pqCodebook
     * recipe — m/k/subDim are module constants). */
-  def codebook(s: SparkSession, d: String): Array[Array[Array[Double]]] =
-    cbCache.getOrElse(keyOf(d), fillLock.synchronized {
-      cbCache.getOrElseUpdate(keyOf(d), {
+  def codebook(s: SparkSession, d: String): Array[Array[Array[Double]]] = {
+    val key = keyOf(d)
+    cbCache.getOrElse(key, fillLock.synchronized {
+      cbCache.getOrElseUpdate(key, {
         val cb = VectorOps.pqCodebook(s, d)
         val dir = store(d, "pq")
         graft.sources.IndexArtifacts.save(s, dir,
@@ -93,6 +101,7 @@ object TrainedIndex {
         graft.sources.IndexArtifacts.loadCodebook(s, dir).get
       })
     })
+  }
 
   /** The stored hub kNN graph + entry medoids for `d`'s embeddings at
     * (degree, kCells) — VERDICT r12 #1: the graph tier the v17/v19
@@ -107,8 +116,9 @@ object TrainedIndex {
     * the round-trip the way v15 did for centroids+codebook. */
   def graph(s: SparkSession, d: String, degree: Int, kCells: Int)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    val dir = graphCache.getOrElse((keyOf(d), degree, kCells), fillLock.synchronized {
-      graphCache.getOrElseUpdate((keyOf(d), degree, kCells), {
+    val key = (keyOf(d), degree, kCells)
+    val dir = graphCache.getOrElse(key, fillLock.synchronized {
+      graphCache.getOrElseUpdate(key, {
         val (edges, medoids) = VectorOps.buildHubGraph(s, d, degree, kCells)
         val dir0 = store(d, s"graph_d${degree}_k$kCells")
         // the artifact is ID-SORTED at write time (one build-side
@@ -134,8 +144,9 @@ object TrainedIndex {
     * deterministic ints, so the loaded frame is bit-identical to the
     * in-gate encode it replaces. */
   def codes(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
-    val dir = codesCache.getOrElse(keyOf(d), fillLock.synchronized {
-      codesCache.getOrElseUpdate(keyOf(d), {
+    val key = keyOf(d)
+    val dir = codesCache.getOrElse(key, fillLock.synchronized {
+      codesCache.getOrElseUpdate(key, {
         val frame = VectorOps.pqCorpus(Tables.embeddings(s, d), codebook(s, d))
         val dir0 = store(d, "codes")
         graft.sources.IndexArtifacts.saveFrames(s, dir0,

@@ -1414,12 +1414,29 @@ object Windows {
   private val maintainedCache = scala.collection.concurrent.TrieMap
     .empty[(String, Int), String]
   private val maintainedFill = new Object
+
+  /** Count of memo-path maintenance builds in this JVM — the probe
+    * GraphAnnSpec's memo test watches (ADVICE r14: the test used to
+    * snapshot the process-SHARED java.io.tmpdir by prefix, which a
+    * concurrent test JVM could race; the counter is private to this
+    * JVM by construction). Incremented only inside the memo's fill
+    * thunk, so "a second serve does not increment it" is exactly
+    * "the memo held". */
+  private[graft] val maintainedBuilds =
+    new java.util.concurrent.atomic.AtomicLong(0L)
   private def maintainedStore(s: org.apache.spark.sql.SparkSession,
-      d: String, kCells: Int): String =
-    maintainedCache.getOrElse(memoKey(d, kCells), maintainedFill.synchronized {
-      maintainedCache.getOrElseUpdate(memoKey(d, kCells),
-        buildMaintainedStore(s, d, kCells, "graft_st19m_"))
+      d: String, kCells: Int): String = {
+    // key computed ONCE per lookup (the TrainedIndex keyOf discipline,
+    // ADVICE r14): a regen landing between two evaluations could
+    // insert under a different key than was checked
+    val key = memoKey(d, kCells)
+    maintainedCache.getOrElse(key, maintainedFill.synchronized {
+      maintainedCache.getOrElseUpdate(key, {
+        maintainedBuilds.incrementAndGet()
+        buildMaintainedStore(s, d, kCells, "graft_st19m_")
+      })
     })
+  }
 
   /** Memo key carries the embeddings content stamp (the TrainedIndex
     * keyOf discipline) so an in-place fixture regen within one JVM

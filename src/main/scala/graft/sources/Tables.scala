@@ -16,23 +16,28 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Content stamp of `dir`'s embeddings parquet (recursive size +
-    * newest mtime): folded into every per-JVM derived-state cache key
-    * (TrainedIndex artifacts, the st19c maintained store) so an
-    * IN-PLACE fixture regeneration inside one JVM lifetime misses the
-    * cache and rebuilds instead of serving stale state. Cross-process
-    * regen was already safe (per-JVM temp roots); this closes the
-    * in-process window without any content hashing — a regenerated
-    * parquet always moves mtime, and size catches a same-mtime swap. */
+  /** Content stamp of `dir`'s embeddings parquet: folded into every
+    * per-JVM derived-state cache key (TrainedIndex artifacts, the
+    * st19c maintained store) so an IN-PLACE fixture regeneration
+    * inside one JVM lifetime misses the cache and rebuilds instead of
+    * serving stale state. Cross-process regen was already safe
+    * (per-JVM temp roots); this closes the in-process window without
+    * any content hashing. ADVICE r14: the stamp is an MD5 over the
+    * SORTED per-file (path, size, mtime) tuples — summing sizes and
+    * maxing mtimes could collide on coarse-mtime filesystems when a
+    * regen lands in the same timestamp unit at the same total bytes,
+    * and a missing path must FAIL (a silent '0:0' stamp would key a
+    * cache entry to a fixture that does not exist). */
   def lakeStamp(dir: String): String = {
-    def walk(f: java.io.File): (Long, Long) =
+    val root = new java.io.File(s"$dir/embeddings.parquet")
+    require(root.exists(), s"lakeStamp: missing $root")
+    def walk(f: java.io.File): Seq[String] =
       if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty)
-          .map(walk).foldLeft((0L, 0L)) { case ((s1, m1), (s2, m2)) =>
-            (s1 + s2, math.max(m1, m2)) }
-      else (f.length(), f.lastModified())
-    val (sz, mt) = walk(new java.io.File(s"$dir/embeddings.parquet"))
-    s"$sz:$mt"
+        Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      else Seq(s"${f.getPath}:${f.length()}:${f.lastModified()}")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    walk(root).sorted.foreach(t => md.update(t.getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString
   }
 
   /** events.parquet stores ts as INT64 TIMESTAMP(NANOS) which Spark 4

@@ -72,8 +72,9 @@ object MarginProbe {
           dot(v, cent(cent.indices.maxBy(i => (dot(v, cent(i)), -i))))
         }.toSeq.sorted(Ordering[Double].reverse)
         if (d.size >= 2) Some(d(0) - d(1)) else None
-      }.min
-      println(f"medoid$k%-3d min_gap=$mm%.3e")
+      }.minOption // ADVICE r14: every cell may have <2 members
+      println(f"medoid$k%-3d min_gap=" +
+        mm.fold("n/a (no cell has 2 members)")(m => f"$m%.3e"))
 
       // hub degree cut: per src, in-cell cosine gap at rank degree
       val degree = 16
@@ -92,12 +93,13 @@ object MarginProbe {
 
     // truth rank-3/4 boundary per query
     val qids = vecs.keys.filter(_ < 20).toSeq.sorted
-    val tm = qids.map { q =>
+    val tm = qids.flatMap { q =>
       val cs = vecs.collect { case (c, v) if c != q => cos(vecs(q), v) }
         .toSeq.sorted(Ordering[Double].reverse)
-      cs(2) - cs(3)
-    }.min
-    println(f"truth    min_rank3_gap=$tm%.3e")
+      if (cs.size >= 4) Some(cs(2) - cs(3)) else None
+    }.minOption // ADVICE r14: corpus may hold <4 non-query vectors
+    println("truth    min_rank3_gap=" +
+      tm.fold("n/a (<4 non-query vectors)")(m => f"$m%.3e"))
 
     // LUT micro-unit rounding distance over (query, sub, code)
     val cb = TrainedIndex.codebook(spark, sfDir)

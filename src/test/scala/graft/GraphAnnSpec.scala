@@ -260,23 +260,21 @@ class GraphAnnSpec extends SparkSpec {
   }
 
   test("st19c serves from the per-JVM maintained-state memo: the " +
-      "second invocation streams nothing (no new maintenance dir) " +
-      "and serves the identical rows") {
+      "second invocation streams nothing (the memo build counter " +
+      "does not move) and serves the identical rows") {
     val q = graft.queries.Q.all
       .find(_.name == "st19c_maintained_refined_serving").get
-    def dirs(): Set[String] = {
-      val t = new java.io.File(System.getProperty("java.io.tmpdir"))
-      Option(t.listFiles()).getOrElse(Array.empty)
-        .map(_.getName).filter(_.startsWith("graft_st19m_")).toSet
-    }
+    // ADVICE r14: probe the memo's OWN build counter, not a snapshot
+    // of the process-shared java.io.tmpdir a concurrent test JVM
+    // could race by creating graft_st19m_* dirs between snapshots
     val first = q.fn(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    val after1 = dirs()
+    val after1 = graft.queries.Windows.maintainedBuilds.get()
     val second = q.fn(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    assert(dirs() == after1,
-      "second st19c invocation created a maintenance dir — the memo " +
-        "is dead and every serve re-pays the stream")
+    assert(graft.queries.Windows.maintainedBuilds.get() == after1,
+      "second st19c invocation re-ran the maintenance stream — the " +
+        "memo is dead and every serve re-pays the stream")
     assert(first == second && first.nonEmpty)
   }
 }

@@ -225,6 +225,24 @@ class IndexArtifactsSpec extends SparkSpec {
     val s3 = graft.sources.Tables.lakeStamp(d2)
     java.nio.file.Files.write(part.toPath, Array[Byte](9, 9))
     assert(graft.sources.Tables.lakeStamp(d2) !== s3)
+    // ADVICE r14: a regen that preserves TOTAL size and NEWEST mtime
+    // (sizes swapped between parts, mtimes unchanged — the coarse-
+    // mtime filesystem case) must still move the stamp, because the
+    // stamp hashes per-file (path, size, mtime) tuples
+    val p0 = new java.io.File(s"$d2/embeddings.parquet/part-0")
+    val p1 = new java.io.File(s"$d2/embeddings.parquet/part-1")
+    java.nio.file.Files.write(p0.toPath, Array[Byte](1))
+    java.nio.file.Files.write(p1.toPath, Array[Byte](2, 2))
+    p0.setLastModified(5000000L); p1.setLastModified(5000000L)
+    val s4 = graft.sources.Tables.lakeStamp(d2)
+    java.nio.file.Files.write(p0.toPath, Array[Byte](1, 1))
+    java.nio.file.Files.write(p1.toPath, Array[Byte](2))
+    p0.setLastModified(5000000L); p1.setLastModified(5000000L)
+    assert(graft.sources.Tables.lakeStamp(d2) !== s4,
+      "size-swap at identical (total, max-mtime) must move the stamp")
+    // a missing fixture must FAIL, never stamp to a constant
+    assertThrows[IllegalArgumentException](
+      graft.sources.Tables.lakeStamp(tmp()))
   }
 
   test("a publish with keep carries its own GC: the training-cadence " +
