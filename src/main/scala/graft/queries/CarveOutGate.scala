@@ -318,6 +318,145 @@ object CarveOutGate {
           WINDOW w AS (PARTITION BY game_id ORDER BY rn
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))"""
 
+  /** The dm10 observation fixture as driver GameObs: orders → the
+    * bounded 40-team (home, away) pair grid → two observations per
+    * cell (the dm10c/dm10d input pipeline, one copy — an edit to the
+    * grid cannot desynchronize the converged-solve gates from each
+    * other or from tools.RatingsConvergenceProbe). */
+  private[graft] def dm10Games(s: org.apache.spark.sql.SparkSession,
+      d: String): Seq[graft.ratings.IterativeRatings.GameObs] = {
+    val rows = Tables.orders(s, d).select(
+        (col("o_orderkey") % 40).as("home"),
+        ((col("o_orderkey") % 40) + 1 + (col("o_custkey") % 39)).mod(40).as("away"),
+        (lit(60) + col("o_orderkey") % 40).cast("double").as("home_pts"),
+        (lit(60) + col("o_custkey") % 40).cast("double").as("away_pts"),
+        (lit(65) + col("o_orderkey") % 10).cast("double").as("poss"))
+      .filter(col("home") =!= col("away"))
+      .groupBy(col("home"), col("away"))
+      .agg(count(lit(1)).as("n"), sum(col("home_pts")).as("shp"),
+        sum(col("away_pts")).as("sap"), sum(col("poss")).as("sps"))
+      .collect()
+    rows.iterator.flatMap { r =>
+      val (h, a) = (r.getLong(0), r.getLong(1))
+      val n = r.getLong(2).toDouble
+      val (hp, ap, ps) =
+        (r.getDouble(3) / n, r.getDouble(4) / n, r.getDouble(5) / n)
+      Iterator(
+        graft.ratings.IterativeRatings.GameObs(h, a, hp, ps, ap, ps, n,
+          isHome = true, neutral = false),
+        graft.ratings.IterativeRatings.GameObs(a, h, ap, ps, hp, ps, n,
+          isHome = false, neutral = false))
+    }.toSeq
+  }
+
+  /** The dm10 fixture + solver-init CTEs (base → grid → obs → eff →
+    * lg → init), one copy shared by the dm10d and dm10e oracles (the
+    * GameTeamAggSql convention — an edit to the grid or the clamp
+    * cannot desynchronize the converged-solve gates). dm10c keeps its
+    * own copy: its init carries the extra raw/tempo columns. */
+  private val Dm10FixtureSql: String = """base AS (
+          SELECT o_orderkey % 40 AS home,
+                 ((o_orderkey % 40) + 1 + (o_custkey % 39)) % 40 AS away,
+                 CAST(60 + o_orderkey % 40 AS DOUBLE) AS home_pts,
+                 CAST(60 + o_custkey % 40 AS DOUBLE) AS away_pts,
+                 CAST(65 + o_orderkey % 10 AS DOUBLE) AS poss
+          FROM orders
+          WHERE (o_orderkey % 40) <> ((o_orderkey % 40) + 1 + (o_custkey % 39)) % 40),
+        grid AS (
+          SELECT home, away, CAST(count(*) AS DOUBLE) AS w,
+                 sum(home_pts) / count(*) AS hp,
+                 sum(away_pts) / count(*) AS ap,
+                 sum(poss) / count(*) AS ps
+          FROM base GROUP BY 1, 2),
+        obs AS (
+          SELECT home AS team, away AS opp, hp AS pts, ap AS opp_pts,
+                 ps AS poss, w, true AS is_home FROM grid
+          UNION ALL
+          SELECT away, home, ap, hp, ps, w, false FROM grid),
+        eff AS (
+          SELECT *,
+                 pts / poss * 100.0 + CASE WHEN is_home THEN -4.0266 ELSE 4.0266 END AS go,
+                 opp_pts / poss * 100.0 + CASE WHEN is_home THEN 4.0266 ELSE -4.0266 END AS gd
+          FROM obs),
+        lg AS (SELECT sum(w * pts) / sum(w * poss) * 100.0 AS league FROM eff),
+        init AS (
+          SELECT team,
+                 least(greatest(sum(w * go) / sum(w), 40.0), 200.0) AS oe0,
+                 least(greatest(sum(w * gd) / sum(w), 40.0), 200.0) AS de0
+          FROM eff GROUP BY 1)"""
+
+  /** One solver sweep as a CTE: s<i> re-estimates every team's
+    * clamped (oe, de) against sweep i-1's opponent ratings (init for
+    * i=1) — the dm10b/dm10d sweep SQL, parameterized over the sweep
+    * index so dm10e can unroll an arbitrary chain. */
+  private def dm10SweepSql(i: Int, materialized: Boolean = false): String = {
+    val (pt, po, pd) =
+      if (i == 1) ("init", "oe0", "de0")
+      else (s"s${i - 1}", s"oe${i - 1}", s"de${i - 1}")
+    // MATERIALIZED: each sweep is referenced three times (next sweep,
+    // its delta, the stop dispatch); DuckDB inlines plain CTEs per
+    // reference, which goes exponential down a 24-sweep chain ("too
+    // many open files" on the fixture parquet before it even plans)
+    val kw = if (materialized) "MATERIALIZED " else ""
+    s"""s$i AS $kw(
+          SELECT e.team,
+                 least(greatest(sum(e.w * e.go * pow(league / p.$pd, 0.85)) / sum(e.w),
+                                40.0), 200.0) AS oe$i,
+                 least(greatest(sum(e.w * e.gd * pow(league / p.$po, 0.85)) / sum(e.w),
+                                40.0), 200.0) AS de$i
+          FROM eff e JOIN $pt p ON e.opp = p.team, lg
+          GROUP BY e.team)"""
+  }
+
+  /** Oracle sweep-unroll depth for dm10e. Measured
+    * (tools.RatingsConvergenceProbe): the solver stops at 17/18/18
+    * sweeps at sf0.001/0.01/0.1 — deltas decay ~0.85x per sweep in an
+    * oscillating pair pattern, so tol=0.01 sits deep in the tail. 24
+    * leaves 6+ sweeps of headroom for a fixture regeneration to move
+    * the stop without emptying the oracle's dispatch. Boundary
+    * margins at the stop (gate SF 0.01): delta_17 is 1.5e-4 ABOVE tol,
+    * delta_18 is 8.0e-4 below — and the measured cross-engine delta
+    * disagreement (engine fixed-fold vs DuckDB sum order, diffed at
+    * full precision per sweep) is <= 4.3e-14 absolute, ~9 orders under
+    * the thinner margin (scripts/dm10e_margin.md). */
+  private val Dm10OracleSweeps = 24
+
+  /** dm10e's oracle: `n` unrolled sweeps, the per-sweep max-|delta|
+    * sequence AS DATA (d<i> compares sweep i to sweep i-1 over both
+    * rating columns — the solver's maxDelta), the stop k = min{i :
+    * delta_i <= tol}, and a dispatch that emits exactly sweep k's
+    * ratings with iterations=k. Replaying the convergence TEST (not a
+    * pinned count) is what makes the gate regen-proof: both engines
+    * derive the stop from the same data. */
+  private def dm10ConvergedSql(tol: Double, n: Int): String = {
+    val sweeps = (1 to n).map { i =>
+      val (pt, po, pd) =
+        if (i == 1) ("init", "oe0", "de0")
+        else (s"s${i - 1}", s"oe${i - 1}", s"de${i - 1}")
+      s"""${dm10SweepSql(i, materialized = true)},
+        d$i AS (SELECT max(greatest(abs(c.oe$i - p.$po), abs(c.de$i - p.$pd))) AS md
+               FROM s$i c JOIN $pt p ON c.team = p.team)"""
+    }.mkString(",\n        ")
+    val deltas = (1 to n)
+      .map(i => s"SELECT $i AS i, (SELECT md FROM d$i) AS md")
+      .mkString("\n          UNION ALL ")
+    val dispatch = (1 to n).map { i =>
+      s"""SELECT s.team, round(s.oe$i, 3) AS adj_oe, round(s.de$i, 3) AS adj_de,
+               g.games, CAST($i AS INT) AS iterations
+        FROM s$i s JOIN gcnt g ON s.team = g.team
+        WHERE (SELECT k FROM stop) = $i"""
+    }.mkString("\n        UNION ALL\n        ")
+    s"""
+        WITH $Dm10FixtureSql,
+        $sweeps,
+        deltas AS (
+          $deltas),
+        stop AS (SELECT min(i) AS k FROM deltas WHERE md <= $tol),
+        gcnt AS (SELECT team, CAST(count(*) AS INT) AS games
+                 FROM eff GROUP BY 1)
+        $dispatch"""
+  }
+
   def defs: Seq[Q] = Seq(
 
     // ----- I1 single sweep ------------------------------------------------------
@@ -398,28 +537,7 @@ object CarveOutGate {
         // dm10's exact input pipeline: pre-aggregate to the bounded
         // (home, away) pair grid BEFORE .collect() — driver memory
         // independent of fact cardinality
-        val rows = Tables.orders(s, d).select(
-            (col("o_orderkey") % 40).as("home"),
-            ((col("o_orderkey") % 40) + 1 + (col("o_custkey") % 39)).mod(40).as("away"),
-            (lit(60) + col("o_orderkey") % 40).cast("double").as("home_pts"),
-            (lit(60) + col("o_custkey") % 40).cast("double").as("away_pts"),
-            (lit(65) + col("o_orderkey") % 10).cast("double").as("poss"))
-          .filter(col("home") =!= col("away"))
-          .groupBy(col("home"), col("away"))
-          .agg(count(lit(1)).as("n"), sum(col("home_pts")).as("shp"),
-            sum(col("away_pts")).as("sap"), sum(col("poss")).as("sps"))
-          .collect()
-        val games = rows.iterator.flatMap { r =>
-          val (h, a) = (r.getLong(0), r.getLong(1))
-          val n = r.getLong(2).toDouble
-          val (hp, ap, ps) =
-            (r.getDouble(3) / n, r.getDouble(4) / n, r.getDouble(5) / n)
-          Iterator(
-            graft.ratings.IterativeRatings.GameObs(h, a, hp, ps, ap, ps, n,
-              isHome = true, neutral = false),
-            graft.ratings.IterativeRatings.GameObs(a, h, ap, ps, hp, ps, n,
-              isHome = false, neutral = false))
-        }.toSeq
+        val games = dm10Games(s, d)
         val ratings = graft.ratings.IterativeRatings.solve(games,
           graft.ratings.IterativeRatings.Config(maxIter = 1, tol = -1.0))
         ratings.map(r => (r.team, r.adjOe, r.adjDe, r.rawOe, r.rawDe,
@@ -512,28 +630,7 @@ object CarveOutGate {
         "the hash-matched result.",
       (s, d) => {
         import s.implicits._
-        val rows = Tables.orders(s, d).select(
-            (col("o_orderkey") % 40).as("home"),
-            ((col("o_orderkey") % 40) + 1 + (col("o_custkey") % 39)).mod(40).as("away"),
-            (lit(60) + col("o_orderkey") % 40).cast("double").as("home_pts"),
-            (lit(60) + col("o_custkey") % 40).cast("double").as("away_pts"),
-            (lit(65) + col("o_orderkey") % 10).cast("double").as("poss"))
-          .filter(col("home") =!= col("away"))
-          .groupBy(col("home"), col("away"))
-          .agg(count(lit(1)).as("n"), sum(col("home_pts")).as("shp"),
-            sum(col("away_pts")).as("sap"), sum(col("poss")).as("sps"))
-          .collect()
-        val games = rows.iterator.flatMap { r =>
-          val (h, a) = (r.getLong(0), r.getLong(1))
-          val n = r.getLong(2).toDouble
-          val (hp, ap, ps) =
-            (r.getDouble(3) / n, r.getDouble(4) / n, r.getDouble(5) / n)
-          Iterator(
-            graft.ratings.IterativeRatings.GameObs(h, a, hp, ps, ap, ps, n,
-              isHome = true, neutral = false),
-            graft.ratings.IterativeRatings.GameObs(a, h, ap, ps, hp, ps, n,
-              isHome = false, neutral = false))
-        }.toSeq
+        val games = dm10Games(s, d)
         val ratings = graft.ratings.IterativeRatings.solve(games,
           graft.ratings.IterativeRatings.Config(maxIter = 50, tol = 0.45))
         ratings.map(r => (r.team, r.adjOe, r.adjDe, r.games, r.iterations))
@@ -543,45 +640,9 @@ object CarveOutGate {
             round(col("adj_de"), 3).as("adj_de"),
             col("games"), col("iterations"))
       },
-      Some("""
-        WITH base AS (
-          SELECT o_orderkey % 40 AS home,
-                 ((o_orderkey % 40) + 1 + (o_custkey % 39)) % 40 AS away,
-                 CAST(60 + o_orderkey % 40 AS DOUBLE) AS home_pts,
-                 CAST(60 + o_custkey % 40 AS DOUBLE) AS away_pts,
-                 CAST(65 + o_orderkey % 10 AS DOUBLE) AS poss
-          FROM orders
-          WHERE (o_orderkey % 40) <> ((o_orderkey % 40) + 1 + (o_custkey % 39)) % 40),
-        grid AS (
-          SELECT home, away, CAST(count(*) AS DOUBLE) AS w,
-                 sum(home_pts) / count(*) AS hp,
-                 sum(away_pts) / count(*) AS ap,
-                 sum(poss) / count(*) AS ps
-          FROM base GROUP BY 1, 2),
-        obs AS (
-          SELECT home AS team, away AS opp, hp AS pts, ap AS opp_pts,
-                 ps AS poss, w, true AS is_home FROM grid
-          UNION ALL
-          SELECT away, home, ap, hp, ps, w, false FROM grid),
-        eff AS (
-          SELECT *,
-                 pts / poss * 100.0 + CASE WHEN is_home THEN -4.0266 ELSE 4.0266 END AS go,
-                 opp_pts / poss * 100.0 + CASE WHEN is_home THEN 4.0266 ELSE -4.0266 END AS gd
-          FROM obs),
-        lg AS (SELECT sum(w * pts) / sum(w * poss) * 100.0 AS league FROM eff),
-        init AS (
-          SELECT team,
-                 least(greatest(sum(w * go) / sum(w), 40.0), 200.0) AS oe0,
-                 least(greatest(sum(w * gd) / sum(w), 40.0), 200.0) AS de0
-          FROM eff GROUP BY 1),
-        s1 AS (
-          SELECT e.team,
-                 least(greatest(sum(e.w * e.go * pow(league / i.de0, 0.85)) / sum(e.w),
-                                40.0), 200.0) AS oe1,
-                 least(greatest(sum(e.w * e.gd * pow(league / i.oe0, 0.85)) / sum(e.w),
-                                40.0), 200.0) AS de1
-          FROM eff e JOIN init i ON e.opp = i.team, lg
-          GROUP BY e.team),
+      Some(s"""
+        WITH $Dm10FixtureSql,
+        ${dm10SweepSql(1)},
         s2 AS (
           SELECT e.team, CAST(count(*) AS INT) AS games,
                  least(greatest(sum(e.w * e.go * pow(league / s.de1, 0.85)) / sum(e.w),
@@ -593,6 +654,37 @@ object CarveOutGate {
         SELECT team, round(oe2, 3) AS adj_oe, round(de2, 3) AS adj_de,
                games, CAST(2 AS INT) AS iterations
         FROM s2""")),
+
+    // ----- the PRODUCTION operating point under the hash gate ---------------------
+    Q(
+      "dm10e_production_converged_solve",
+      "dm10's PRODUCTION configuration hash-gated (VERDICT r14 #4 — " +
+        "the one operating point the dm10 family never replayed): " +
+        "IterativeRatings.solve at the reference defaults maxIter=200, " +
+        "tol=0.01 (iterative_ratings.py:85-89) on the dm10 fixture. " +
+        "Unlike dm10d, the oracle does NOT pin the stop round: it " +
+        "unrolls the sweep chain, computes every per-sweep max-|delta| " +
+        "as data, derives the stop k = min{i : delta_i <= tol} exactly " +
+        "like the solver's while-loop, and emits sweep k's ratings " +
+        "with iterations=k — the convergence TEST itself is replayed " +
+        "on both engines, so a fixture regeneration that moves the " +
+        "stop round moves both sides together (the v21b data-computed-" +
+        "rule discipline applied to dm10d's recipe). " +
+        "tools.RatingsConvergenceProbe measures the delta sequence " +
+        "and the |delta_k - tol| margins per SF.",
+      (s, d) => {
+        import s.implicits._
+        val games = dm10Games(s, d)
+        val ratings = graft.ratings.IterativeRatings.solve(games,
+          graft.ratings.IterativeRatings.Config(maxIter = 200, tol = 0.01))
+        ratings.map(r => (r.team, r.adjOe, r.adjDe, r.games, r.iterations))
+          .toDF("team", "adj_oe", "adj_de", "games", "iterations")
+          .select(col("team"),
+            round(col("adj_oe"), 3).as("adj_oe"),
+            round(col("adj_de"), 3).as("adj_de"),
+            col("games"), col("iterations"))
+      },
+      Some(dm10ConvergedSql(tol = 0.01, n = Dm10OracleSweeps))),
 
     // ----- one Lloyd assignment step ---------------------------------------------
     Q(
