@@ -137,6 +137,33 @@ object TrainedIndex {
       graft.sources.IndexArtifacts.loadFrame(s, dir, "medoids"))
   }
 
+  /** The stored Vamana-style alpha-pruned graph + entry medoids
+    * (VectorOps.buildVamanaGraph — VERDICT r14 #3) at (degree,
+    * kCells): same artifact discipline as [[graph]] (build once per
+    * JVM, persist src-sorted edges + medoids through the versioned
+    * store, serve every walk from the parquet scan). Kept in its own
+    * cache — a (d, degree, kCells) key must never collide with the
+    * hub graph's. */
+  private val vamanaCache = TrieMap.empty[(String, Int, Int), String]
+
+  def vamanaGraph(s: SparkSession, d: String, degree: Int, kCells: Int)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val key = (keyOf(d), degree, kCells)
+    val dir = vamanaCache.getOrElse(key, fillLock.synchronized {
+      vamanaCache.getOrElseUpdate(key, {
+        val (edges, medoids) =
+          VectorOps.buildVamanaGraph(s, d, degree, kCells)
+        val dir0 = store(d, s"vamana_d${degree}_k$kCells")
+        graft.sources.IndexArtifacts.saveFrames(s, dir0,
+          Seq("edges" -> edges.sort(org.apache.spark.sql.functions.col("src")),
+            "medoids" -> medoids), keep = 2)
+        dir0
+      })
+    })
+    (graft.sources.IndexArtifacts.loadFrame(s, dir, "edges"),
+      graft.sources.IndexArtifacts.loadFrame(s, dir, "medoids"))
+  }
+
   /** The stored PQ code columns (cid, c0..c<m-1>) — the 32-bit
     * serving representation v19's walk reads. Encoded map-side once
     * per JVM (pqCorpus over the cached codebook), persisted as a

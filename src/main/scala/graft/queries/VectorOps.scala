@@ -574,6 +574,67 @@ object VectorOps {
                FROM probes p JOIN md m USING (cell)
                WHERE m.mid <> p.qid)"""
 
+  /** Oracle CTEs replaying buildVamanaGraph (v22): the 2-nearest-cell
+    * candidate pool ranked on squared Euclidean distance (d2 = n2a +
+    * n2b - 2*dot, same op order as the engine's column expression),
+    * capped at `poolCap`, the one-shot alpha-occlusion test as an
+    * EXISTS over closer pool rows, and the (occluded ASC, dsq ASC,
+    * cand ASC) fill to `degree`. Emits `edges` + `f0` with the same
+    * shape as hubGraphSql so the beamHops CTE chains compose
+    * unchanged. Expects a3 / d3g / probes in scope (KmeansSql chain +
+    * geoCellsSql). */
+  private[queries] def vamanaGraphSql(degree: Int,
+      poolCap: Int = VamanaPoolCap): String = s"""
+        cn AS MATERIALIZED (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce,
+                      list_dot_product(embedding::DOUBLE[],
+                                       embedding::DOUBLE[]) AS n2
+               FROM embeddings),
+        md AS (SELECT cell, g_cid AS mid FROM (
+                 SELECT a.cell, a.g_cid,
+                        row_number() OVER (PARTITION BY a.cell
+                          ORDER BY d.dot DESC, a.g_cid ASC) AS rn
+                 FROM a3 a JOIN d3g d
+                   ON d.vec_id = a.g_cid AND d.cluster = a.cell)
+               WHERE rn = 1),
+        va2 AS (SELECT vec_id AS src, cluster AS cell FROM (
+                 SELECT vec_id, cluster,
+                        row_number() OVER (PARTITION BY vec_id
+                          ORDER BY dot DESC, cluster ASC) AS rn
+                 FROM d3g) WHERE rn <= 2),
+        vpool AS (SELECT p.src, m.g_cid AS cand,
+                         cs.n2 + cc.n2
+                           - 2.0 * list_dot_product(cs.ce, cc.ce) AS dsq
+                  FROM va2 p JOIN a3 m
+                    ON m.cell = p.cell AND m.g_cid <> p.src
+                  JOIN cn cs ON cs.cid = p.src
+                  JOIN cn cc ON cc.cid = m.g_cid),
+        vcap AS MATERIALIZED (SELECT src, cand, dsq, rk FROM (
+                   SELECT *, row_number() OVER (PARTITION BY src
+                     ORDER BY dsq ASC, cand ASC) AS rk FROM vpool)
+                  WHERE rk <= $poolCap),
+        voccj AS (SELECT c.src, c.cand,
+                         max(CASE WHEN $VamanaAlphaSq * (cp.n2 + cc2.n2
+                               - 2.0 * list_dot_product(cp.ce, cc2.ce))
+                               <= c.dsq THEN 1 ELSE 0 END) AS occ1
+                  FROM vcap c
+                  JOIN vcap p ON p.src = c.src AND p.rk < c.rk
+                  JOIN cn cp ON cp.cid = p.cand
+                  JOIN cn cc2 ON cc2.cid = c.cand
+                  GROUP BY c.src, c.cand),
+        vocc AS MATERIALIZED (
+                 SELECT v.src, v.cand, v.dsq,
+                        coalesce(j.occ1, 0) = 1 AS occluded
+                 FROM vcap v LEFT JOIN voccj j
+                   ON j.src = v.src AND j.cand = v.cand),
+        edges AS MATERIALIZED (SELECT src, dst FROM (
+                   SELECT src, cand AS dst,
+                          row_number() OVER (PARTITION BY src
+                            ORDER BY occluded ASC, dsq ASC, cand ASC) AS rn
+                   FROM vocc) WHERE rn <= $degree),
+        f0 AS (SELECT DISTINCT p.qid, m.mid AS cid
+               FROM probes p JOIN md m USING (cell)
+               WHERE m.mid <> p.qid)"""
+
   /** Oracle CTEs replaying graphAnnServeAdc's walk: like beamHopsSql
     * but every beam cut ranks on the INTEGER ADC score from `adcall`,
     * and the final `ann` is the exact-cosine re-rank of the last
@@ -1142,6 +1203,100 @@ object VectorOps {
     (edges, medoids)
   }
 
+  /** Vamana-style alpha-pruned graph build (VERDICT r14 #3; DiskANN /
+    * RobustPrune, Subramanya et al. NeurIPS'19 §2 — public paper,
+    * clean-room declarative form). A pure-kNN edge list spends the
+    * whole degree budget on one direction (the nearest cluster);
+    * RobustPrune keeps a neighbor only if no closer pool candidate
+    * already "covers" it (alpha * d(p, c) <= d(src, c) prunes c), so
+    * the budget buys DIVERSE directions — short edges plus the
+    * escapes greedy search needs. Measured effect (BENCH_SCALE r15):
+    * +4 recall@3 over the hub-kNN graph at 10x (40 vs 36/60) with
+    * -13 vs -18 decay under 10x corpus growth, equal at sf0.1 —
+    * PROVIDED the walk's search budget is adequate (beam 64, hops to
+    * convergence); at a starved budget every graph collapses the
+    * same and the comparison inverts.
+    *
+    * The paper's prune is a sequential sieve per node (kept neighbors
+    * prune later candidates). The declarative form used here is the
+    * ONE-SHOT occlusion test (the HNSW "select neighbors" heuristic
+    * family, Malkov & Yashunin TPAMI'20 — any CLOSER pool candidate
+    * may occlude, kept or not): strictly more aggressive than the
+    * sieve, and one join instead of degree dependent rounds. Occluded
+    * candidates are not discarded — the final cut ranks (occluded ASC,
+    * dsq ASC) and fills to `degree`, the keepPrunedConnections shape,
+    * so no node loses connectivity to the prune. Two enrichments were
+    * built and ABLATED AWAY as measurement-neutral at every measured
+    * point (r15): an all-cell-medoid global candidate arm and a
+    * hybrid nearest-mesh fill — the shipped form is the simple one,
+    * and its out-degree is exactly `degree`, not degree + mesh.
+    *
+    * Scale shape: the candidate pool is the node's 2 nearest cells'
+    * members (the same n^1.5-class cell join every v14 build pays at
+    * k~sqrt(n)) CAPPED at `poolCap` nearest through the TopKPerKey
+    * partial heaps, so the occlusion self-join is n * poolCap^2 rows —
+    * linear in n at fixed cap, no all-pairs anywhere. Distances are
+    * squared Euclidean assembled from row-riding squared norms and one
+    * dot product per pair (d2 = n2a + n2b - 2*dot), identical op
+    * order on both engines so the occlusion boolean is bit-exact. */
+  private[graft] val VamanaAlphaSq = 1.44 // alpha = 1.2, compared on d^2
+  private[graft] val VamanaPoolCap = 64
+
+  private[graft] def buildVamanaGraph(s: SparkSession, d: String,
+      degree: Int, kCells: Int, poolCap: Int = VamanaPoolCap)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val cent = TrainedIndex.centroids(s, d, k = kCells)
+    val e = Tables.embeddings(s, d)
+    val (_, medoids) = hubAndMedoidsFrom(e, cent) // hub frame unused (lazy)
+    // members by primary cell, squared norm riding the row
+    val m = e.select(col("vec_id").as("cand"), col("embedding").as("ce"),
+      dot("embedding", "embedding").as("n2c"),
+      (-element_at(nearestCells(cent, "embedding", 1), 1)
+        .getField("nc")).as("cell"))
+    // each source probes its 2 nearest cells map-side (the hub build's
+    // second-cell reach, now feeding candidates through the prune
+    // instead of a single medoid edge)
+    val srcs = e.select(col("vec_id").as("src"), col("embedding").as("se"),
+        dot("embedding", "embedding").as("n2s"),
+        explode(nearestCells(cent, "embedding", 2)).as("pc"))
+      .select(col("src"), col("se"), col("n2s"), (-col("pc.nc")).as("cell"))
+    val pool = m.join(srcs, Seq("cell"))
+      .filter(col("cand") =!= col("src"))
+      .withColumn("dsq",
+        col("n2s") + col("n2c") - lit(2.0) * dot("se", "ce"))
+      .select(col("src"), col("cand"), col("ce"), col("n2c"), col("dsq"))
+    val capped = graft.plans.TopKPerKey.topK(pool, Seq("src"),
+      Seq(col("dsq").asc, col("cand").asc), poolCap)
+    // rank within the capped pool once; checkpoint so the occlusion
+    // self-join reads the ~n*poolCap frame twice instead of re-running
+    // the cell join twice
+    val ranked = capped.withColumn("rk", row_number().over(
+        Window.partitionBy(col("src"))
+          .orderBy(col("dsq").asc, col("cand").asc)))
+      .localCheckpoint(true)
+    val cRows = ranked
+    val pRows = ranked.select(col("src"), col("ce").as("pe"),
+      col("n2c").as("n2p"), col("rk").as("p_rk"))
+    val occSet = cRows.join(pRows, Seq("src"))
+      .filter(col("p_rk") < col("rk"))
+      .filter(lit(VamanaAlphaSq) *
+        (col("n2p") + col("n2c") - lit(2.0) * dot("pe", "ce"))
+        <= col("dsq"))
+      .select(col("src"), col("cand")).distinct()
+    val flagged = cRows.select(col("src"), col("cand"), col("dsq"))
+      .join(occSet.withColumn("occluded", lit(true)),
+        Seq("src", "cand"), "left")
+      .withColumn("occluded", coalesce(col("occluded"), lit(false)))
+    // fill to `degree` ordered (occluded ASC, dsq ASC): survivors of
+    // the prune first — the diverse directions — then the nearest
+    // pruned rows (the keepPrunedConnections shape), so no node loses
+    // connectivity to the prune
+    val edges = graft.plans.TopKPerKey.topK(flagged, Seq("src"),
+        Seq(col("occluded").asc, col("dsq").asc, col("cand").asc), degree)
+      .select(col("src"), col("cand").as("dst"))
+    (edges, medoids)
+  }
+
   /** The hub-edge + entry-medoid kernel over an ARBITRARY (vec_id,
     * embedding) frame — one copy shared by the batch build (raw
     * table) and the maintained-lake serving path (st19), so the
@@ -1208,6 +1363,35 @@ object VectorOps {
       entries: Int = 2): org.apache.spark.sql.DataFrame = {
     val (edges, f0) = hubGraphAndEntry(s, d, degree, kCells, entries)
     exactWalkServe(s, d, edges, f0, beam, hops)
+  }
+
+  /** Stored Vamana graph + entry frontier (the hubGraphAndEntry shape
+    * over the alpha-pruned artifact). */
+  private def vamanaGraphAndEntry(s: SparkSession, d: String,
+      degree: Int, kCells: Int, entries: Int)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val (edges, medoids) = TrainedIndex.vamanaGraph(s, d, degree, kCells)
+    val cent = TrainedIndex.centroids(s, d, k = kCells)
+    (edges, graphEntries(s, d, cent, medoids, entries))
+  }
+
+  /** v22: the exact-cosine beam walk over the alpha-pruned graph —
+    * same serving kernel as v17, only the edge artifact differs. */
+  private[graft] def vamanaAnnServe(s: SparkSession, d: String,
+      beam: Int, hops: Int, degree: Int = 8, kCells: Int = 8,
+      entries: Int = 2): org.apache.spark.sql.DataFrame = {
+    val (edges, f0) = vamanaGraphAndEntry(s, d, degree, kCells, entries)
+    exactWalkServe(s, d, edges, f0, beam, hops)
+  }
+
+  /** The ADC-compassed walk (v19's memory economics) over the
+    * alpha-pruned graph. */
+  private[graft] def vamanaAnnServeAdc(s: SparkSession, d: String,
+      beam: Int, hops: Int, degree: Int = 8, kCells: Int = 8,
+      entries: Int = 2): org.apache.spark.sql.DataFrame = {
+    val (edges, f0) = vamanaGraphAndEntry(s, d, degree, kCells, entries)
+    adcWalkServe(s, d, edges, f0, beam, hops,
+      Some(TrainedIndex.codes(s, d)))
   }
 
   /** The query's `refine` nearest cells' MEMBERS as (qid, cid)
@@ -3194,6 +3378,45 @@ object VectorOps {
         $adcAllSql,
         ${beamHopsAdcRefinedSql(beam = 16, hops = 3, refine = 8,
           shortlistSql = scaledShortlistSql(refine = 8, kCells = 25))},
+        $RecallTailSql""")),
+
+    Q(
+      "v22_vamana_walk_serving",
+      "Alpha-pruned (Vamana RobustPrune) graph + a convergence-budget " +
+        "walk — VERDICT r14 #3, the walk-only tier made recall-robust " +
+        "at corpus scale WITHOUT the refined tier's O(sqrt n) union. " +
+        "Two findings compose (GraphAnnAb r15 grids). (1) The r14 " +
+        "'collapse' (35->18/60 at 10x) was mostly SEARCH-BUDGET " +
+        "starvation, not only a graph defect: at (beam=16, hops=3) " +
+        "every graph reads 12-20/60 at 10x; hops converge by 5, and " +
+        "beam=64 — still corpus-INDEPENDENT work per query — lifts " +
+        "the walk to 36-40/60 at 10x and 53-54/60 at sf0.1, ABOVE " +
+        "the refined tier's gated 50/60. (2) At that budget the " +
+        "alpha-pruned graph beats the hub-kNN graph where it " +
+        "matters: 40 vs 36/60 at 10x (54 vs 54 at sf0.1) — decay " +
+        "-14 vs -18 under 10x growth. Build: each node's candidate " +
+        "pool is its 2 nearest cells' members (TopKPerKey-capped at " +
+        "64); the one-shot occlusion test alpha^2*d2(p,c) <= " +
+        "d2(src,c) marks candidates covered by a closer pool row " +
+        "(the declarative form of RobustPrune's sieve — Subramanya " +
+        "et al. NeurIPS'19 §2); edges = the degree-wide (occluded " +
+        "ASC, dsq ASC) cut — survivors first, nearest pruned rows " +
+        "fill (keepPrunedConnections). A medoid global-candidate " +
+        "arm and a hybrid nearest-mesh fill were built and ablated " +
+        "away as measurement-neutral (BENCH_SCALE r15). " +
+        "Everything is squared-Euclidean assembled as n2a + n2b - " +
+        "2*dot in identical op order on both engines, so the " +
+        "occlusion booleans are bit-exact; the oracle replays pool -> " +
+        "occlusion -> fill -> the 5-hop beam-64 walk verbatim.",
+      (s, d) => recallOf(bruteTruth(s, d),
+        vamanaAnnServe(s, d, beam = 64, hops = 5, degree = 16,
+          kCells = 25, entries = 16)),
+      Some(s"""
+        WITH ${KmeansSql.upToCent2(25)},
+        $TruthSql,
+        ${geoCellsSql(nprobe = 16)},
+        ${vamanaGraphSql(degree = 16)},
+        ${beamHopsSql(beam = 64, hops = 5)},
         $RecallTailSql""")),
 
     Q(

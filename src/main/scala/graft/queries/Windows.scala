@@ -1204,47 +1204,15 @@ object Windows {
                 ORDER BY cos DESC, b_id ASC) rn FROM sc)
         WHERE rn <= 3""")),
 
-    Q(
-      "st19_maintained_ann_serving",
-      "The maintain->serve contract END TO END (VERDICT r12 #3 - " +
-        "st18 and v19 were two disjoint gates; the production story " +
-        "'st18 maintains the graph, v19 serves from it' is now ONE " +
-        "hash gate): the corpus streams through StreamingKnnGraph " +
-        "in 3 deterministic micro-batches at the serving degree " +
-        "(k=16), the per-batch roots fold through the pure-file " +
-        "OPTIMIZE pass, and the DiskANN-style ADC walk then serves " +
-        "directly off the MAINTAINED edge roots - cell-local lists " +
-        "from the stream state, hub escapes + entry medoids derived " +
-        "map-side from the maintained vector LAKE (not the raw " +
-        "table), codes from the persisted artifact store. The " +
-        "oracle is v19's from-scratch replay VERBATIM (batch KMeans " +
-        "+ hub graph + PQ chain + integer beam walk + exact " +
-        "re-rank), so the hash matches only if the streamed lists " +
-        "equal the batch build edge for edge (the top-k merge-" +
-        "monoid property st18 gates at k=3, here load-bearing at " +
-        "the serving degree) AND the walk over them is bit-" +
-        "deterministic. At 100 TB this is the operating loop: " +
-        "batches touch only their affected cells, compaction is " +
-        "file moves, and a serving query never observes a rebuild - " +
-        "a batch append changes served results only via the new " +
-        "vectors themselves (StreamingKnnGraphSpec pins that " +
-        "stability property).",
-      (s, d) => {
-        val (edges, f0) = maintainedServe(s,
-          buildMaintainedStore(s, d, kCells = 8, "graft_st19_"))
-        VectorOps.recallOf(VectorOps.bruteTruth(s, d),
-          VectorOps.adcWalkServe(s, d, edges, f0, beam = 16, hops = 3,
-            Some(TrainedIndex.codes(s, d))))
-      },
-      Some(s"""
-        WITH ${KmeansSql.UpToCent2},
-        ${VectorOps.TruthSql},
-        ${VectorOps.geoCellsSql(nprobe = 2)},
-        ${VectorOps.hubGraphSql(degree = 16)},
-        ${VectorOps.pqChainSql("p")},
-        ${VectorOps.adcAllSql},
-        ${VectorOps.beamHopsAdcSql(beam = 16, hops = 3)},
-        ${VectorOps.RecallTailSql}""")),
+    // st19_maintained_ann_serving (the kCells=8 maintain->serve gate,
+    // VERDICT r12 #3) was DEMOTED to spec-level parity in r15 per
+    // VERDICT r14 #2 (the t04/t04b precedent): st18/st18b gate the
+    // fixed-vs-sqrt(n) maintenance contrast, st19b gates the full
+    // composition at the production geometry, st19c the production
+    // serve pattern — a second full maintenance replay per bench pass
+    // (~14 s, ~12% of the suite) gated nothing those three don't.
+    // GraphAnnSpec's "maintained serve equals the batch build" test
+    // keeps the kCells=8 composition pinned engine-vs-engine.
 
     Q(
       "st19b_maintained_ann_serving_scaled",
@@ -1345,7 +1313,9 @@ object Windows {
         ${VectorOps.RecallTailSql}"""))
   )
 
-  /** st19/st19b/st19c's maintained graph build: the corpus streamed
+  /** st19b/st19c's maintained graph build (st19 itself was demoted
+    * to GraphAnnSpec parity in r15 — the spec calls this builder
+    * directly at kCells=8): the corpus streamed
     * through StreamingKnnGraph in 3 deterministic micro-batches at
     * (kCells, degree k=16), compacted via the pure-file OPTIMIZE
     * pass, hub escapes + entry medoids derived from the maintained
@@ -1361,11 +1331,12 @@ object Windows {
     * checkpoint blocks that die with the session. Edges are
     * src-sorted at write so the hop walks' pushed id predicates
     * prune row groups. `prefix` names the temp root per call site —
-    * st19/st19b build per pass (the maintenance replay is their
-    * hashed subject), the memo builds once; the GraphAnnSpec memo
-    * probe keys on the memo's prefix staying distinct.
+    * st19b builds per pass (the maintenance replay is its hashed
+    * subject), the memo builds once; the GraphAnnSpec memo probe
+    * watches the memo's build counter.
     * @return the serve-frame store dir. */
-  private def buildMaintainedStore(s: org.apache.spark.sql.SparkSession,
+  private[graft] def buildMaintainedStore(
+      s: org.apache.spark.sql.SparkSession,
       d: String, kCells: Int, prefix: String): String = {
     val dir = java.nio.file.Files.createTempDirectory(prefix)
     org.apache.commons.io.FileUtils.forceDeleteOnExit(dir.toFile)
@@ -1396,14 +1367,14 @@ object Windows {
 
   /** The serving (edges, f0) pair read back from a maintained store —
     * every call is a parquet scan of the persisted frames. */
-  private def maintainedServe(s: org.apache.spark.sql.SparkSession,
+  private[graft] def maintainedServe(s: org.apache.spark.sql.SparkSession,
       store: String): (org.apache.spark.sql.DataFrame,
         org.apache.spark.sql.DataFrame) =
     (graft.sources.IndexArtifacts.loadFrame(s, store, "edges"),
       graft.sources.IndexArtifacts.loadFrame(s, store, "f0"))
 
   /** The per-JVM memo of the maintained store DIR, keyed by (sf dir,
-    * kCells). st19/st19b deliberately re-stream per pass (the
+    * kCells). st19b deliberately re-streams per pass (the
     * maintenance replay IS their hashed subject and the bench's
     * measured term); st19c's subject is the refined serve off
     * maintained state, so it reads the memo — the production read

@@ -35,7 +35,12 @@ object GraphAnnAb {
       .split(",").map(_.trim.toInt).toSeq
     val degrees = (if (args.length > 3) args(3) else "8")
       .split(",").map(_.trim.toInt).toSeq
-    val adc = args.length > 4 && args(4) == "adc" // v19's compass
+    // 5th arg: `-` = v17 exact walk; `adc` = v19's PQ compass;
+    // `vam` / `vamadc` = the same two walks over the alpha-pruned
+    // Vamana graph (VERDICT r14 #3's A/B axis)
+    val mode = if (args.length > 4) args(4) else "-"
+    val adc = mode == "adc" || mode == "vamadc"
+    val vamana = mode == "vam" || mode == "vamadc"
     val kCells = if (args.length > 5) args(5).toInt else 8
     val entriesList = (if (args.length > 6) args(6) else "2")
       .split(",").map(_.trim.toInt).toSeq
@@ -51,14 +56,22 @@ object GraphAnnAb {
     spark.sparkContext.setLogLevel("ERROR")
     val truth = VectorOps.bruteTruth(spark, sfDir).localCheckpoint(true)
     for (g <- degrees; b <- beams; h <- hopsList; ent <- entriesList;
-         ref <- refineList;
+         // the vamana kernels are walk-only — collapse the dead
+         // refine axis the same way shortlist collapses below
+         ref <- (if (vamana) Seq(0) else refineList);
          // the shortlist knob only exists on the adc+refine kernel —
          // sweeping it in the other modes would re-run one identical
          // config per value and print rows that LOOK like a measured
          // R curve; collapse the dead axis to a single labeled-0 row
          sl <- (if (adc && ref > 0) shortlistList else Seq(0))) {
       val t0 = System.nanoTime()
-      val served = if (ref > 0 && adc)
+      val served = if (vamana && adc)
+        VectorOps.vamanaAnnServeAdc(spark, sfDir, beam = b,
+          hops = h, degree = g, kCells = kCells, entries = ent)
+      else if (vamana)
+        VectorOps.vamanaAnnServe(spark, sfDir, beam = b,
+          hops = h, degree = g, kCells = kCells, entries = ent)
+      else if (ref > 0 && adc)
         VectorOps.graphAnnServeAdcRefined(spark, sfDir, beam = b,
           hops = h, degree = g, kCells = kCells, entries = ent,
           refine = ref, shortlist = sl)
@@ -75,7 +88,8 @@ object GraphAnnAb {
         .agg(sum(col("n_hit")).as("hit"), sum(col("n_truth")).as("tot"))
         .collect()(0)
       val secs = (System.nanoTime() - t0) / 1e9
-      println(f"graph_ann k=$kCells%-3d degree=$g%-3d beam=$b%-3d hops=$h%-2d " +
+      println(f"graph_ann mode=$mode%-6s k=$kCells%-3d degree=$g%-3d " +
+        f"beam=$b%-3d hops=$h%-2d " +
         f"entries=$ent%-2d refine=$ref%-2d shortlist=$sl%-3d recall@3=" +
         f"${rec.getLong(0)}%3d/${rec.getLong(1)}%d  wall=$secs%7.2f s")
     }

@@ -1,0 +1,69 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Generated per-round recall artifact (VERDICT r14 #6): the serving
+  * tiers' recall@3 numbers used to live scattered through BENCH_SCALE
+  * prose, hand-typed from ad-hoc tool runs — a recall regression was
+  * invisible next to the wall-time JSON. This runs the REGISTRY's own
+  * recall-emitting gates (every listed query returns recallOf rows:
+  * query_id, n_truth, n_hit — the same code path Verify hashes, zero
+  * config duplication) over one or more fixture dirs and writes ONE
+  * machine-readable JSON file.
+  *
+  * Usage: graft.tools.RecallReport <outFile> <dir1> [dir2 ...]
+  *        [--only name1,name2,...]
+  * Default query set: the graph/IVF/refined/maintained serving tiers.
+  */
+object RecallReport {
+
+  /** The sqrt(n)-scaled / production serving tiers. v17/v19 (the
+    * fixed-kCells=8 forms) are deliberately absent: their 10x graph
+    * build is the documented quadratic anti-pattern (BENCH_SCALE r12)
+    * and costs ~20 min per row — pass them via --only when the
+    * fixed-k decay itself is the question. */
+  private val DefaultQueries = Seq(
+    "v09b_ivf_geo_recall_multiprobe",
+    "v17b_graph_ann_scaled",
+    "v17c_graph_ann_multientry",
+    "v17d_graph_ann_refined",
+    "v21_refined_adc_serving",
+    "v21b_refined_adc_scaled",
+    "v22_vamana_walk_serving",
+    "st19b_maintained_ann_serving_scaled",
+    "st19c_maintained_refined_serving")
+
+  def main(args: Array[String]): Unit = {
+    val outFile = args(0)
+    val onlyIx = args.indexOf("--only")
+    val dirs = (if (onlyIx >= 0) args.slice(1, onlyIx) else args.drop(1)).toSeq
+    val names =
+      if (onlyIx >= 0) args(onlyIx + 1).split(",").toSeq
+      else DefaultQueries
+    require(dirs.nonEmpty, "need at least one fixture dir")
+
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val registry = graft.SparkEntry.queries
+    val rows = for (n <- names; d <- dirs) yield {
+      val t0 = System.nanoTime()
+      val agg = registry(n)(spark, d)
+        .selectExpr("sum(n_hit) AS h", "sum(n_truth) AS t")
+        .collect()(0)
+      val secs = (System.nanoTime() - t0) / 1e9
+      val (h, t) = (agg.getLong(0), agg.getLong(1))
+      println(f"$n%-38s $d%-24s recall@3=$h%3d/$t%d  wall=$secs%7.2f s")
+      s"""{"query":"$n","dir":"$d","hit":$h,"truth":$t,"secs":${f"$secs%.2f"}}"""
+    }
+    val json = "[\n  " + rows.mkString(",\n  ") + "\n]\n"
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      json.getBytes("UTF-8"))
+    println(s"wrote $outFile")
+    spark.stop()
+  }
+}

@@ -259,6 +259,68 @@ class GraphAnnSpec extends SparkSpec {
       sql.contains("FROM embeddings"), sql)
   }
 
+  test("v22 vamana build contract: deterministic edge set, out-degree " +
+      "exactly the degree budget (keepPruned fill), no self-loops") {
+    val (e1, _) = graft.queries.VectorOps
+      .buildVamanaGraph(spark, sf, degree = 16, kCells = 8)
+    val edges1 = e1.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (e2, _) = graft.queries.VectorOps
+      .buildVamanaGraph(spark, sf, degree = 16, kCells = 8)
+    val edges2 = e2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges1 == edges2 && edges1.nonEmpty)
+    val perSrc = edges1.groupBy(_._1).map { case (_, v) => v.size }
+    assert(perSrc.forall(_ <= 16),
+      s"out-degree exceeded the budget: max=${perSrc.max}")
+    assert(perSrc.forall(_ == 16),
+      "the keepPruned fill must reach the full budget on this " +
+        "fixture (every pool has >degree members)")
+    assert(edges1.forall { case (s0, d0) => s0 != d0 })
+  }
+
+  test("v22 serve is deterministic and meets the output contract") {
+    val a = graft.queries.VectorOps
+      .vamanaAnnServe(spark, sf, beam = 16, hops = 2, degree = 16,
+        kCells = 8, entries = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = graft.queries.VectorOps
+      .vamanaAnnServe(spark, sf, beam = 16, hops = 2, degree = 16,
+        kCells = 8, entries = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b && a.nonEmpty)
+    assert(a.forall { case (q, c) => q != c })
+    assert(a.groupBy(_._1).forall { case (_, v) => v.size <= 3 })
+    assert(a.map(_._1) == (0L until 20L).toSet,
+      "every query in vec_id < 20 must be served")
+  }
+
+  test("st19 parity (gate demoted per VERDICT r14 #2): the stream-" +
+      "maintained kCells=8 store serves the SAME rows as the batch-" +
+      "built artifact graph at the serving degree, and its edge set " +
+      "equals the batch build edge for edge") {
+    val store = graft.queries.Windows.buildMaintainedStore(
+      spark, sf, kCells = 8, "graft_st19p_")
+    val (edges, f0) = graft.queries.Windows.maintainedServe(spark, store)
+    // edge-set equality: the top-k merge monoid at the serving degree
+    val maintainedEdges = edges.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (batchEdges, _) = graft.queries.TrainedIndex
+      .graph(spark, sf, degree = 16, kCells = 8)
+    val batchSet = batchEdges.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(maintainedEdges == batchSet,
+      "streamed lists + hub must equal the batch build edge for edge")
+    // serve parity: the ADC walk off the maintained store equals the
+    // walk off the batch artifacts (the demoted gate's hashed subject)
+    val maintained = graft.queries.VectorOps.adcWalkServe(
+        spark, sf, edges, f0, beam = 16, hops = 3,
+        Some(graft.queries.TrainedIndex.codes(spark, sf)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.queries.VectorOps.graphAnnServeAdc(
+        spark, sf, beam = 16, hops = 3, degree = 16, kCells = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(maintained == batch && maintained.nonEmpty)
+  }
+
   test("st19c serves from the per-JVM maintained-state memo: the " +
       "second invocation streams nothing (the memo build counter " +
       "does not move) and serves the identical rows") {
