@@ -3420,6 +3420,42 @@ object VectorOps {
         $RecallTailSql""")),
 
     Q(
+      "v22b_vamana_adc_serving",
+      "v22's graph at v19's MEMORY ECONOMICS — the configuration the " +
+        "DiskANN paper actually ships (alpha-pruned Vamana graph + " +
+        "PQ/ADC compass): the beam-64/hops-5 convergence-budget walk " +
+        "over the v22 artifact ranks every cut on INTEGER ADC scores " +
+        "from the persisted 32-bit codes, and full vectors are " +
+        "touched only for the final beam's exact re-rank. Measured " +
+        "tradeoff at the budget (GraphAnnAb r15): the code compass " +
+        "costs recall vs the exact-cosine walk — 36 vs 54/60 at " +
+        "sf0.1 — the same intrinsic 32-bit loss v19 measures against " +
+        "v17. The graph comparison under the compass is MIXED and " +
+        "recorded honestly: vamana beats hub at sf0.1 (36 vs 34) but " +
+        "INVERTS at 10x (18 vs 21) — integer codes misrank the " +
+        "diverse edges' direction decisions exactly where diversity " +
+        "was the win, so at corpus scale the ADC tier's recall rests " +
+        "on the refined union rule (v21b holds 42/60 flat), not on " +
+        "the graph. At 100 TB this is the tier that " +
+        "stays RAM-resident: the walk reads codes (64x smaller than " +
+        "vectors), and exact reads are bounded at queries x beam. " +
+        "Oracle: the vamana build CTEs composed with the ADC walk " +
+        "CTEs verbatim — both already gated separately (v22, v19), " +
+        "here hashed as one composition.",
+      (s, d) => recallOf(bruteTruth(s, d),
+        vamanaAnnServeAdc(s, d, beam = 64, hops = 5, degree = 16,
+          kCells = 25, entries = 16)),
+      Some(s"""
+        WITH ${KmeansSql.upToCent2(25)},
+        $TruthSql,
+        ${geoCellsSql(nprobe = 16)},
+        ${vamanaGraphSql(degree = 16)},
+        ${pqChainSql("p")},
+        $adcAllSql,
+        ${beamHopsAdcSql(beam = 64, hops = 5)},
+        $RecallTailSql""")),
+
+    Q(
       "v18_filtered_ann",
       "Metadata-FILTERED ANN serving, pre-filter form (the hard " +
         "production case every vector store special-cases: the query " +
