@@ -1433,12 +1433,33 @@ object VectorOps {
       entries: Int = 2, refine: Int = 2)
       : org.apache.spark.sql.DataFrame = {
     val (edges, f0) = hubGraphAndEntry(s, d, degree, kCells, entries)
+    refinedExactServeFrom(s, d, edges, f0, beam, hops, kCells, refine)
+  }
+
+  /** The exact-refined tail over an EXPLICIT (edges, f0) pair — one
+    * copy shared by the hub (v17d) and vamana (v22c) refined serves,
+    * the refinedAdcServe convention applied to the exact tier. */
+  private def refinedExactServeFrom(s: SparkSession, d: String,
+      edges: org.apache.spark.sql.DataFrame,
+      f0: org.apache.spark.sql.DataFrame,
+      beam: Int, hops: Int, kCells: Int, refine: Int)
+      : org.apache.spark.sql.DataFrame = {
     val frontier = exactWalkFrontier(s, d, edges, f0, beam, hops)
     val cent = TrainedIndex.centroids(s, d, k = kCells)
     val cands = frontier.select(col("qid"), col("cid"))
       .union(cellCandidates(s, d, cent, refine))
       .distinct()
     exactRerankTop3(s, d, cands)
+  }
+
+  /** v22c: the refined union over the alpha-pruned walk — the
+    * max-recall composition (v17d's union lever on v22's graph). */
+  private[graft] def vamanaAnnServeRefined(s: SparkSession, d: String,
+      beam: Int, hops: Int, degree: Int = 8, kCells: Int = 8,
+      entries: Int = 2, refine: Int = 2)
+      : org.apache.spark.sql.DataFrame = {
+    val (edges, f0) = vamanaGraphAndEntry(s, d, degree, kCells, entries)
+    refinedExactServeFrom(s, d, edges, f0, beam, hops, kCells, refine)
   }
 
   /** v17's exact-cosine beam walk over an EXPLICIT (edges, f0) pair —
@@ -3453,6 +3474,34 @@ object VectorOps {
         ${pqChainSql("p")},
         $adcAllSql,
         ${beamHopsAdcSql(beam = 64, hops = 5)},
+        $RecallTailSql""")),
+
+    Q(
+      "v22c_vamana_refined_serving",
+      "The repo's MAX-RECALL serving point: v17d's refined-union " +
+        "lever composed on v22's alpha-pruned graph at the " +
+        "convergence budget — walk frontier (beam=64, hops=5, " +
+        "entries=16 over the vamana artifact) UNION the query's 8 " +
+        "nearest cells' members, one exact re-rank. Measured " +
+        "(GraphAnnAb r15): 56/60 at sf0.1 and 51/60 at 10x — above " +
+        "v17d (50/47) at both scales, because the alpha-pruned " +
+        "frontier contributes long-range candidates the hub walk's " +
+        "local-minimum basin never reaches. Cost: the walk's O(1) " +
+        "term plus the refine x n/kCells union — O(sqrt n) per query " +
+        "under the gated k~sqrt(n) rule, identical to v17d's " +
+        "economics. One kernel (refinedExactServeFrom) is shared " +
+        "with v17d so the two refined tails cannot desynchronize; " +
+        "the oracle composes the vamana build CTEs with the SAME " +
+        "refined-walk tail SQL v17d gates (beamHopsRefinedSql).",
+      (s, d) => recallOf(bruteTruth(s, d),
+        vamanaAnnServeRefined(s, d, beam = 64, hops = 5, degree = 16,
+          kCells = 25, entries = 16, refine = 8)),
+      Some(s"""
+        WITH ${KmeansSql.upToCent2(25)},
+        $TruthSql,
+        ${geoCellsSql(nprobe = 16)},
+        ${vamanaGraphSql(degree = 16)},
+        ${beamHopsRefinedSql(beam = 64, hops = 5, refine = 8)},
         $RecallTailSql""")),
 
     Q(

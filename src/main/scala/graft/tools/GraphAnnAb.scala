@@ -56,9 +56,9 @@ object GraphAnnAb {
     spark.sparkContext.setLogLevel("ERROR")
     val truth = VectorOps.bruteTruth(spark, sfDir).localCheckpoint(true)
     for (g <- degrees; b <- beams; h <- hopsList; ent <- entriesList;
-         // the vamana kernels are walk-only — collapse the dead
+         // the vamana+adc kernel is walk-only — collapse the dead
          // refine axis the same way shortlist collapses below
-         ref <- (if (vamana) Seq(0) else refineList);
+         ref <- (if (vamana && adc) Seq(0) else refineList);
          // the shortlist knob only exists on the adc+refine kernel —
          // sweeping it in the other modes would re-run one identical
          // config per value and print rows that LOOK like a measured
@@ -68,6 +68,10 @@ object GraphAnnAb {
       val served = if (vamana && adc)
         VectorOps.vamanaAnnServeAdc(spark, sfDir, beam = b,
           hops = h, degree = g, kCells = kCells, entries = ent)
+      else if (vamana && ref > 0)
+        VectorOps.vamanaAnnServeRefined(spark, sfDir, beam = b,
+          hops = h, degree = g, kCells = kCells, entries = ent,
+          refine = ref)
       else if (vamana)
         VectorOps.vamanaAnnServe(spark, sfDir, beam = b,
           hops = h, degree = g, kCells = kCells, entries = ent)

@@ -31,6 +31,7 @@ object RecallReport {
     "v21b_refined_adc_scaled",
     "v22_vamana_walk_serving",
     "v22b_vamana_adc_serving",
+    "v22c_vamana_refined_serving",
     "st19b_maintained_ann_serving_scaled",
     "st19c_maintained_refined_serving")
 
