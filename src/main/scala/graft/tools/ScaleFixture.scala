@@ -93,6 +93,10 @@ object ScaleFixture {
       .drop("__k")
     write("embeddings", emb)
 
+    // the in-process write hook for the memoized fixture stamp: a JVM
+    // that regenerates a fixture and then serves it must not key its
+    // derived-state caches on the pre-regen stamp
+    Tables.invalidateStamp(Some(outDir))
     println(s"wrote ${n}x $inDir -> $outDir")
     spark.stop()
   }

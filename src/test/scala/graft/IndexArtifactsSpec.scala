@@ -245,6 +245,26 @@ class IndexArtifactsSpec extends SparkSpec {
       graft.sources.Tables.lakeStamp(tmp()))
   }
 
+  test("stampedKey memoizes the walk (VERDICT r15: no per-lookup " +
+      "filesystem tax) and moves only on explicit invalidation") {
+    val dir = tmp()
+    val f = new java.io.File(s"$dir/embeddings.parquet")
+    java.nio.file.Files.write(f.toPath, Array[Byte](1, 2, 3))
+    f.setLastModified(1000000L)
+    val k1 = graft.sources.Tables.stampedKey(dir)
+    assert(k1 === s"$dir@${graft.sources.Tables.lakeStamp(dir)}")
+    // a content change WITHOUT the write hook must NOT move the key —
+    // that is the memo holding (repeat lookups cost zero walks)
+    f.setLastModified(2000000L)
+    assert(graft.sources.Tables.stampedKey(dir) === k1,
+      "memoized key re-walked the fixture on a plain lookup")
+    // the write hook drops the memo; the next lookup re-stamps
+    graft.sources.Tables.invalidateStamp(Some(dir))
+    val k2 = graft.sources.Tables.stampedKey(dir)
+    assert(k2 !== k1, "invalidateStamp must surface the new content")
+    assert(k2 === s"$dir@${graft.sources.Tables.lakeStamp(dir)}")
+  }
+
   test("a publish with keep carries its own GC: the training-cadence " +
       "republish leaves exactly the retained window on disk") {
     val s = spark
