@@ -84,8 +84,19 @@ object GoldRunner {
           LakeIO.writePartitioned(df, s"$root/gold/$name", Seq("season"))
           Right(spark.read.parquet(s"$root/gold/$name").count())
         }
-      } catch { case e: Throwable => Left(e.getMessage) })
+      } catch { case e: Throwable => Left(describe(e)) })
     }.toMap
+  }
+
+  /** Full failure record for a transform's Left — ADVICE r15: the g08
+    * gate suppresses Spark's task-failure loggers for its whole runner
+    * window, so a REAL (non-poison) task failure during that window
+    * would otherwise survive only as e.getMessage; the Left must carry
+    * the complete cause chain + stack itself. */
+  private def describe(e: Throwable): String = {
+    val sw = new java.io.StringWriter()
+    e.printStackTrace(new java.io.PrintWriter(sw)) // includes the cause chain
+    sw.toString
   }
 
   /** CLI entry mirroring the reference runner (runner.py:31-79):

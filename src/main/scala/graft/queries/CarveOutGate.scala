@@ -445,7 +445,23 @@ object CarveOutGate {
                g.games, CAST($i AS INT) AS iterations
         FROM s$i s JOIN gcnt g ON s.team = g.team
         WHERE (SELECT k FROM stop) = $i"""
-    }.mkString("\n        UNION ALL\n        ")
+    }.mkString("\n        UNION ALL\n        ") +
+      // ADVICE r15: if a fixture regen pushes convergence past the
+      // unroll depth, stop.k is NULL and every arm above emits zero
+      // rows — fail NAMING the exhausted headroom (DuckDB error())
+      // instead of as a bare hash mismatch. The message concatenates a
+      // column so the error expression cannot be constant-folded into
+      // an unconditional raise at plan time; the inner SELECT emits
+      // zero rows whenever the solver converged in time.
+      s"""
+        UNION ALL
+        SELECT CAST(error('dm10e oracle exhausted: no sweep delta <= $tol within '
+                 || CAST(x.n AS VARCHAR)
+                 || ' unrolled sweeps - raise Dm10OracleSweeps') AS BIGINT),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+               CAST(NULL AS INT), CAST(NULL AS INT)
+        FROM (SELECT $n AS n) x
+        WHERE (SELECT k FROM stop) IS NULL"""
     s"""
         WITH $Dm10FixtureSql,
         $sweeps,

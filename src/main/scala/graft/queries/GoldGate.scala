@@ -260,6 +260,10 @@ object GoldGate {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   def memoizedPoisonedRunnerLake(s: SparkSession, d: String): String =
     memoLakes.computeIfAbsent(d, _ => {
+      // VERDICT r15 #6: ONE marker per lake build (the gate window
+      // suppresses the task-failure stacks, so passes 2..N print no
+      // trace needing explanation — per-pass repeats were tail noise)
+      announcePoisonRead()
       val root = buildPoisonedRunnerLake(s, d)
       sys.addShutdownHook(
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root)))
@@ -324,18 +328,32 @@ object GoldGate {
     * these loggers are informational in local mode. */
   private def withTaskErrorLogsSuppressed[T](body: => T): T = {
     import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.LoggerContext
     import org.apache.logging.log4j.core.config.Configurator
     val names = Seq(
       "org.apache.spark.executor.Executor",
       "org.apache.spark.scheduler.TaskSetManager",
       "org.apache.spark.scheduler.DAGScheduler")
+    // ADVICE r15: restore INHERITANCE, not a pinned copy of the
+    // inherited level — a logger with no explicit LoggerConfig before
+    // the window must have none after it, so a later setLogLevel on
+    // the root still propagates
+    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
     val prev = names.map { n =>
-      n -> LogManager.getLogger(n)
-        .asInstanceOf[org.apache.logging.log4j.core.Logger].getLevel
+      val own = ctx.getConfiguration.getLoggers.containsKey(n)
+      (n, own,
+        LogManager.getLogger(n)
+          .asInstanceOf[org.apache.logging.log4j.core.Logger].getLevel)
     }
     names.foreach(Configurator.setLevel(_, Level.OFF))
     try body
-    finally prev.foreach { case (n, l) => Configurator.setLevel(n, l) }
+    finally {
+      prev.foreach {
+        case (n, true, l) => Configurator.setLevel(n, l)
+        case (n, false, _) => ctx.getConfiguration.removeLogger(n)
+      }
+      ctx.updateLoggers()
+    }
   }
 
   /** The same fixtures as DuckDB CTEs (interpolated into each oracle). */
@@ -1051,8 +1069,7 @@ object GoldGate {
         "stay bounded.",
       (s, d) => {
         import s.implicits._
-        val root = memoizedPoisonedRunnerLake(s, d)
-        announcePoisonRead() // per PASS, not per fixture build
+        val root = memoizedPoisonedRunnerLake(s, d) // announces on build
         val res = withTaskErrorLogsSuppressed {
           graft.gold.GoldRunner.run(s, root, Season)
         }

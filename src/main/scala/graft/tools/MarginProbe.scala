@@ -112,8 +112,9 @@ object MarginProbe {
         s += qv(sub * cb(sub)(code).length + p) * cb(sub)(code)(p)
       val y = math.abs(s * 1e6)
       math.abs(y - math.floor(y) - 0.5)
-    }).min
-    println(f"lut      min_half_dist=$lm%.3e (micro-units)")
+    }).minOption // ADVICE r15: no query vectors (or an empty codebook) is a report, not a crash
+    println("lut      min_half_dist=" +
+      lm.fold("n/a (no query vectors)")(m => f"$m%.3e (micro-units)"))
     spark.stop()
   }
 }
