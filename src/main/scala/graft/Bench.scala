@@ -61,9 +61,10 @@ object Bench {
     if (median > 2.0) heavy else base
 
   /** The spread that feeds the contention flag. Plain max−min for a
-    * query with only its main-pass samples; once a query has ADAPTIVE
-    * RE-RUN samples (size > runs), the worst (size − runs) samples are
-    * excluded — one per earned re-run, because each re-run exists
+    * query with exactly one sample per pass; once a query has MORE
+    * samples than passes — adaptive re-runs, or the per-query time
+    * floor's repetitions (r16) — the worst (size − runs) samples are
+    * excluded — one per extra sample, because each extra sample exists
     * precisely to outvote one suspected contention window, and
     * max−min can only grow with more samples, so without the trim a
     * polluted pass would flag a query forever no matter how much
@@ -138,15 +139,40 @@ object Bench {
       queries.map { case (n, _) => n -> Vector.empty[Double] }: _*)
     val ratioSamples = scala.collection.mutable.LinkedHashMap(
       queries.map { case (n, _) => n -> Vector.empty[Double] }: _*)
-    (1 to runs).foreach { _ =>
-      var refNow = timeRef()
-      queries.zipWithIndex.foreach { case ((name, fn), i) =>
-        if (i > 0 && i % refEvery == 0) refNow = timeRef()
+    // PER-QUERY TIME FLOOR (VERDICT r15 #5): a sub-second query sampled
+    // once per pass is under-sampled relative to host noise — 24/208
+    // rows read ratio-of-ratios > 1.4 across r14→r15 in files nobody
+    // touched. Each pass VISIT now repeats the query until ~floor/runs
+    // seconds of samples accumulate (cap guards a degenerate ~0 s
+    // query), so a cheap query collects tens of samples per suite run
+    // while anything ≥ floor/runs still runs exactly once per pass.
+    // Pass-major order and the interleaved reference are unchanged:
+    // all of a visit's repetitions share that visit's nearest-in-time
+    // reference sample. Sample counts land in the detail file
+    // (`nsamples`) so the archive shows how much evidence backs each
+    // median.
+    val floorSec =
+      sys.env.getOrElse("SPARK_GRAFT_TIME_FLOOR", "2.0").toDouble
+    val perVisit = floorSec / runs
+    val repCap = sys.env.getOrElse("SPARK_GRAFT_REP_CAP", "16").toInt
+    def timedVisit(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        refNow: Double): Unit = {
+      var spent = 0.0
+      var reps = 0
+      while (reps == 0 || (spent < perVisit && reps < repCap)) {
         val t0 = System.nanoTime()
         try run(fn(spark, sfDir)) catch { case _: Throwable => () }
         val dt = (System.nanoTime() - t0) / 1e9
         samples(name) = samples(name) :+ dt
         if (refNow > 0) ratioSamples(name) = ratioSamples(name) :+ dt / refNow
+        spent += dt; reps += 1
+      }
+    }
+    (1 to runs).foreach { _ =>
+      var refNow = timeRef()
+      queries.zipWithIndex.foreach { case ((name, fn), i) =>
+        if (i > 0 && i % refEvery == 0) refNow = timeRef()
+        timedVisit(name, fn, refNow)
       }
     }
     def med(ts: Seq[Double]): Double = { val x = ts.sorted; x(x.size / 2) }
@@ -170,12 +196,7 @@ object Bench {
       queries.foreach { case (name, fn) =>
         if (flagged.contains(name) &&
             round <= rerunCap(med(samples(name)), rerunsMax, rerunsHeavy)) {
-          val refNow = timeRef()
-          val t0 = System.nanoTime()
-          try run(fn(spark, sfDir)) catch { case _: Throwable => () }
-          val dt = (System.nanoTime() - t0) / 1e9
-          samples(name) = samples(name) :+ dt
-          if (refNow > 0) ratioSamples(name) = ratioSamples(name) :+ dt / refNow
+          timedVisit(name, fn, timeRef()) // re-runs honor the floor too
         }
       }
     }
@@ -221,6 +242,12 @@ object Bench {
     }.mkString("{", ",", "}")
     val medians = results.map { case (k, m, _, _) => "\"" + k + "\":" + ms(m) }
       .mkString("{", ",", "}")
+    // evidence count per median (VERDICT r15 #5: the archive must show
+    // how many samples back each row — a floor-repeated sub-second
+    // query carries tens, a heavy query exactly `runs` + re-runs)
+    val nsamples = results.map { case (k, _, _, ts) =>
+      "\"" + k + "\":" + ts.size
+    }.mkString("{", ",", "}")
     // contention-normalized view: median over this query's per-sample
     // ratios against the nearest-in-time interleaved reference run
     val ratios = results.map { case (k, _, _, _) =>
@@ -240,7 +267,7 @@ object Bench {
       contendedFlags(results.map { case (k, m, sp, _) => (k, m, sp) }, contBound)
         .map("\"" + _ + "\"").mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$medians,"spread":$spreads,"names":$names,"qtags":$qtags,"samples":$perRun,"ref_samples":$refJson,"ref_median":${ms(refMedian)},"ref_every":$refEvery,"ratios":$ratios,"contended":$contended,"contention_bound":$contBound,"runs":$runs,"order":"pass-major","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$medians,"spread":$spreads,"names":$names,"qtags":$qtags,"samples":$perRun,"nsamples":$nsamples,"floor_sec":$floorSec,"rep_cap":$repCap,"ref_samples":$refJson,"ref_median":${ms(refMedian)},"ref_every":$refEvery,"ratios":$ratios,"contended":$contended,"contention_bound":$contBound,"runs":$runs,"order":"pass-major","sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       full.getBytes("UTF-8"))
     catch { case _: Throwable => () } // bench must still print if cwd is read-only
