@@ -1310,6 +1310,51 @@ object Windows {
           refine = 8,
           shortlistSql = VectorOps.scaledShortlistSql(refine = 8,
             kCells = 25))},
+        ${VectorOps.RecallTailSql}""")),
+
+    Q(
+      "st19d_maintained_vamana_serving",
+      "The MAINTAINED graph tier alpha-pruned (VERDICT r15 #3): " +
+        "st19b/st19c keep the stream-maintained hub-kNN lists, whose " +
+        "walk-only recall reads 8/60 at 10x while the batch " +
+        "alpha-pruned walk reads 40/60 (RECALL_r15) — the maintained " +
+        "tier leaned on the refined union for all of its recall. " +
+        "This gate runs the Vamana OPTIMIZE pass at compaction " +
+        "cadence: the corpus streams through StreamingKnnGraph's " +
+        "lake in 3 micro-batches (the st19c memo — maintenance " +
+        "replay is st19b's hashed subject, not re-paid here), and " +
+        "the serve-graph rebuild applies buildVamanaGraph's ONE " +
+        "kernel (vamanaGraphFrom: 2-nearest-cell pools capped at " +
+        "64, one-shot RobustPrune occlusion, keepPruned fill to " +
+        "degree 16) over the maintained LAKE instead of the raw " +
+        "table, persists (edges, f0) through the versioned store, " +
+        "and serves v22's converged exact walk (beam 64, " +
+        "data-derived stop, cap WalkMaxHops). The one-shot occlusion " +
+        "is ORDER-INDEPENDENT — a pure function of the pool, unlike " +
+        "the paper's sequential sieve — so the optimize pass off the " +
+        "lake equals the batch build bit for bit, which is exactly " +
+        "what hashing against v22's batch oracle proves (streamed " +
+        "lake = corpus AND prune determinism). Economics at 100 TB: " +
+        "maintenance stays delta-proportional (st18b's subject), the " +
+        "prune is paid once per compaction — the DiskANN operating " +
+        "pattern; per-batch incremental pruning (FreshDiskANN, " +
+        "Singh et al. 2021) is the documented escalation if " +
+        "compaction cadence ever dominates, at the cost of " +
+        "order-dependent graphs that can no longer hash against the " +
+        "batch oracle.",
+      (s, d) => {
+        val (edges, f0) = maintainedServe(s,
+          maintainedVamanaStore(s, d, kCells = 25))
+        VectorOps.recallOf(VectorOps.bruteTruth(s, d),
+          VectorOps.exactWalkServeConverged(s, d, edges, f0, beam = 64))
+      },
+      Some(s"""
+        WITH ${KmeansSql.upToCent2(25)},
+        ${VectorOps.TruthSql},
+        ${VectorOps.geoCellsSql(nprobe = 16)},
+        ${VectorOps.vamanaGraphSql(degree = 16)},
+        ${VectorOps.beamHopsConvergedSql(beam = 64,
+          maxHops = VectorOps.WalkMaxHops)},
         ${VectorOps.RecallTailSql}"""))
   )
 
@@ -1410,8 +1455,40 @@ object Windows {
   }
 
   /** Memo key carries the embeddings content stamp (the TrainedIndex
-    * keyOf discipline) so an in-place fixture regen within one JVM
+    * keyOf discipline — memoized via Tables.stampedKey, invalidated by
+    * in-process rewriters) so a fixture regen that announces itself
     * re-streams instead of serving a stale maintained graph. */
   private def memoKey(d: String, kCells: Int): (String, Int) =
-    (s"$d@${graft.sources.Tables.lakeStamp(d)}", kCells)
+    (graft.sources.Tables.stampedKey(d), kCells)
+
+  /** st19d's serve store: the Vamana OPTIMIZE pass over the memoized
+    * maintained lake — vamanaGraphFrom (the ONE batch kernel) applied
+    * to the stream state at compaction cadence, persisted through the
+    * versioned store next to st19c's hub serve frames. Filled once
+    * per JVM under the same lock; the maintenance stream itself comes
+    * from the st19c memo, so a serve never re-pays it. */
+  private val maintainedVamanaCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Int), String]
+  private def maintainedVamanaStore(s: org.apache.spark.sql.SparkSession,
+      d: String, kCells: Int): String = {
+    val key = memoKey(d, kCells)
+    maintainedVamanaCache.getOrElse(key, maintainedFill.synchronized {
+      maintainedVamanaCache.getOrElseUpdate(key, {
+        // reentrant on maintainedFill — the lake memo fills first
+        val root = maintainedStore(s, d, kCells).stripSuffix("/serve")
+        val cent = TrainedIndex.centroids(s, d, k = kCells)
+        val lake = graft.streaming.StreamingVectorIndex
+          .readIndex(s, s"$root/index")
+          .select(col("vec_id"), col("embedding"))
+        val (edges, medoids) =
+          VectorOps.vamanaGraphFrom(s, lake, cent, degree = 16)
+        val store = s"$root/serve_vamana"
+        graft.sources.IndexArtifacts.saveFrames(s, store, Seq(
+          "edges" -> edges.sort(col("src")),
+          "f0" -> VectorOps.graphEntries(s, d, cent, medoids,
+            entries = 16)), keep = 2)
+        store
+      })
+    })
+  }
 }

@@ -65,7 +65,15 @@ object GraphAnnAb {
          // R curve; collapse the dead axis to a single labeled-0 row
          sl <- (if (adc && ref > 0) shortlistList else Seq(0))) {
       val t0 = System.nanoTime()
-      val served = if (vamana && adc)
+      var stopHop = -1 // vamconv only: the converged walk's measured stop
+      val served = if (mode == "vamconv") {
+        // the v22 converged form: `hops` is the CAP, the stop prints
+        val (top3, stop) = VectorOps.vamanaWalkStop(spark, sfDir,
+          beam = b, degree = g, kCells = kCells, entries = ent,
+          maxHops = h)
+        stopHop = stop
+        top3
+      } else if (vamana && adc)
         VectorOps.vamanaAnnServeAdc(spark, sfDir, beam = b,
           hops = h, degree = g, kCells = kCells, entries = ent)
       else if (vamana && ref > 0)
@@ -95,7 +103,8 @@ object GraphAnnAb {
       println(f"graph_ann mode=$mode%-6s k=$kCells%-3d degree=$g%-3d " +
         f"beam=$b%-3d hops=$h%-2d " +
         f"entries=$ent%-2d refine=$ref%-2d shortlist=$sl%-3d recall@3=" +
-        f"${rec.getLong(0)}%3d/${rec.getLong(1)}%d  wall=$secs%7.2f s")
+        f"${rec.getLong(0)}%3d/${rec.getLong(1)}%d  wall=$secs%7.2f s" +
+        (if (stopHop >= 0) f"  stop=$stopHop%d" else ""))
     }
     spark.stop()
   }

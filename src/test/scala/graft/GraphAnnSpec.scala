@@ -339,4 +339,57 @@ class GraphAnnSpec extends SparkSpec {
         "memo is dead and every serve re-pays the stream")
     assert(first == second && first.nonEmpty)
   }
+
+  test("converged walk (v22/st19d, VERDICT r15 #4): the data-derived " +
+      "stop lands strictly inside the cap — headroom, not the " +
+      "budget — and the converged serve equals the fixed-hop serve " +
+      "run at the measured stop") {
+    val (served, stop) = graft.queries.VectorOps.vamanaWalkStop(
+      spark, sf, beam = 16, degree = 16, kCells = 8, entries = 2)
+    assert(stop >= 1 && stop < graft.queries.VectorOps.WalkMaxHops,
+      s"stop=$stop hit the cap — the walk is budget-starved again " +
+        "(raise WalkMaxHops and re-measure, BENCH_SCALE r15)")
+    val conv = served.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the pinned-hop kernel at exactly the measured stop must serve
+    // the identical rows: convergence found the SAME fixed point
+    val pinned = graft.queries.VectorOps.vamanaAnnServe(
+        spark, sf, beam = 16, hops = stop, degree = 16, kCells = 8,
+        entries = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(conv == pinned && conv.nonEmpty)
+    // one hop PAST the stop changes nothing — the stop is a fixed
+    // point, not an arbitrary cut
+    val past = graft.queries.VectorOps.vamanaAnnServe(
+        spark, sf, beam = 16, hops = stop + 1, degree = 16, kCells = 8,
+        entries = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(past == conv,
+      "frontier moved after the detected fixed point")
+  }
+
+  test("st19d: the maintained-lake Vamana OPTIMIZE pass equals the " +
+      "batch alpha-pruned build edge for edge (one-shot occlusion " +
+      "is order-independent), and the converged walk serves off it") {
+    // build the maintained lake at the spec geometry and run the
+    // optimize-pass kernel over it, then compare to the batch build
+    val store = graft.queries.Windows.buildMaintainedStore(
+      spark, sf, kCells = 8, "graft_st19d_")
+    val root = store.stripSuffix("/serve")
+    val cent = graft.queries.TrainedIndex.centroids(spark, sf, k = 8)
+    val lake = graft.streaming.StreamingVectorIndex
+      .readIndex(spark, s"$root/index")
+      .select(col("vec_id"), col("embedding"))
+    val (mEdges, _) = graft.queries.VectorOps
+      .vamanaGraphFrom(spark, lake, cent, degree = 16)
+    val maintained = mEdges.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (bEdges, _) = graft.queries.TrainedIndex
+      .vamanaGraph(spark, sf, degree = 16, kCells = 8)
+    val batch = bEdges.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(maintained == batch && maintained.nonEmpty,
+      "optimize pass over the maintained lake diverged from the " +
+        "batch alpha-pruned build")
+  }
 }
