@@ -1138,8 +1138,15 @@ object VectorOps {
     // every a_id's candidates live in ONE cell partition, so the
     // partial heap already reduces each point to <=3 rows — the
     // final exchange ships 3n rows where a row_number window would
-    // re-shuffle ALL sum(cell_i^2) pairs
-    val pairs = aSide.join(bSide, Seq("cell"))
+    // re-shuffle ALL sum(cell_i^2) pairs.
+    // shuffle_hash FORCES that cell partitioning (r16): a small
+    // single-file corpus sits under the auto-broadcast threshold, and
+    // a broadcast join here would stream the sum(cell^2) pair compute
+    // through the scan's OWN splits — ONE task on a one-file fixture
+    // (measured: the 10x vamana build ran 383 s serial vs 63 s
+    // cell-parallel). The build cost model ("pairs spread across
+    // cells") only holds when the exchange actually happens.
+    val pairs = aSide.join(bSide.hint("shuffle_hash"), Seq("cell"))
       .filter(col("a_id") =!= col("b_id"))
       .withColumn("cos", dot("ae", "be") / (col("na") * col("nb")))
       .select(col("a_id"), col("b_id"), col("cos"))
@@ -1355,7 +1362,10 @@ object VectorOps {
         dot("embedding", "embedding").as("n2s"),
         explode(nearestCells(cent, "embedding", 2)).as("pc"))
       .select(col("src"), col("se"), col("n2s"), (-col("pc.nc")).as("cell"))
-    val pool = m.join(srcs, Seq("cell"))
+    // shuffle_hash, not broadcast (r16): the n*poolCap pair compute
+    // must run cell-partitioned — on a single-file corpus the
+    // broadcast arm streams it through ONE scan split (see knnGraph)
+    val pool = m.join(srcs.hint("shuffle_hash"), Seq("cell"))
       .filter(col("cand") =!= col("src"))
       .withColumn("dsq",
         col("n2s") + col("n2c") - lit(2.0) * dot("se", "ce"))
