@@ -704,6 +704,66 @@ object VectorOps {
                    ORDER BY cos DESC, cid ASC) rn FROM rr)
                WHERE rn <= 3)"""
 
+  /** The ADC walk's converged twin (the v22b form of
+    * beamHopsConvergedCtes): every beam cut ranks on the INTEGER ADC
+    * score from `adcall`; the stop derives from per-hop new-row
+    * counts exactly like the exact walk's. Ends with sk/bk dispatch
+    * CTEs. */
+  private def beamHopsAdcConvergedCtes(beam: Int, maxHops: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"""
+        s0 AS MATERIALIZED (SELECT f.qid, f.cid, a.score
+               FROM f0 f JOIN adcall a ON a.qid = f.qid AND a.cid = f.cid),
+        b0 AS MATERIALIZED (SELECT qid, cid FROM (
+                 SELECT *, row_number() OVER (PARTITION BY qid
+                   ORDER BY score DESC, cid ASC) rn FROM s0)
+               WHERE rn <= $beam)""")
+    for (h <- 1 to maxHops) {
+      val p = h - 1
+      sb.append(s""",
+        c$h AS (SELECT DISTINCT qid, cid FROM (
+                 SELECT qid, cid FROM b$p
+                 UNION ALL
+                 SELECT b.qid, e.dst AS cid
+                 FROM b$p b JOIN edges e ON e.src = b.cid)
+               WHERE cid <> qid),
+        s$h AS MATERIALIZED (SELECT x.qid, x.cid, a.score
+               FROM c$h x JOIN adcall a ON a.qid = x.qid AND a.cid = x.cid),
+        b$h AS MATERIALIZED (SELECT qid, cid FROM (
+                 SELECT *, row_number() OVER (PARTITION BY qid
+                   ORDER BY score DESC, cid ASC) rn FROM s$h)
+               WHERE rn <= $beam),
+        dl$h AS (SELECT count(*) AS d FROM b$h t
+                 LEFT JOIN b$p pb ON pb.qid = t.qid AND pb.cid = t.cid
+                 WHERE pb.qid IS NULL)""")
+    }
+    val deltas = (1 to maxHops)
+      .map(h => s"SELECT $h AS h, (SELECT d FROM dl$h) AS d")
+      .mkString("\n          UNION ALL ")
+    val bk = (1 to maxHops)
+      .map(h => s"SELECT qid, cid FROM b$h WHERE (SELECT k FROM wstop) = $h")
+      .mkString("\n               UNION ALL ")
+    sb.append(s""",
+        wdeltas AS MATERIALIZED (
+          $deltas),
+        wstop AS MATERIALIZED (
+          SELECT coalesce(min(h), $maxHops) AS k FROM wdeltas WHERE d = 0),
+        bk AS ($bk)""")
+    sb.toString
+  }
+
+  /** Converged ADC plain tail: exact re-rank of the dispatched final
+    * beam, top 3 (beamHopsAdcSql's rr/ann over bk). */
+  private[queries] def beamHopsAdcConvergedSql(beam: Int,
+      maxHops: Int): String =
+    beamHopsAdcConvergedCtes(beam, maxHops) + s""",
+        rr AS (SELECT b.qid, b.cid, bf.cos
+               FROM bk b JOIN bf ON bf.qid = b.qid AND bf.cid = b.cid),
+        ann AS (SELECT qid, cid FROM (
+                 SELECT *, row_number() OVER (PARTITION BY qid
+                   ORDER BY cos DESC, cid ASC) rn FROM rr)
+               WHERE rn <= 3)"""
+
   /** Oracle CTEs replaying graphAnnServe's beam walk hop by hop:
     * entry scoring (s0/b0 — f0's medoid entries ranked), then per hop
     * h: candidate union c<h> (previous beam + its out-edges, exact
@@ -1499,6 +1559,18 @@ object VectorOps {
       Some(TrainedIndex.codes(s, d)))
   }
 
+  /** v22b's serve with the CONVERGED ADC walk (the v22 stop rule on
+    * the code compass): walk to the integer-score fixed point, one
+    * exact re-rank of the dispatched final beam. */
+  private[graft] def vamanaAnnServeAdcConverged(s: SparkSession,
+      d: String, beam: Int, degree: Int, kCells: Int, entries: Int,
+      maxHops: Int = WalkMaxHops): org.apache.spark.sql.DataFrame = {
+    val (edges, f0) = vamanaGraphAndEntry(s, d, degree, kCells, entries)
+    val frontier = adcWalkFrontierConverged(s, d, edges, f0, beam,
+      maxHops, Some(TrainedIndex.codes(s, d)))
+    exactRerankTop3(s, d, frontier.select(col("qid"), col("cid")))
+  }
+
   /** The query's `refine` nearest cells' MEMBERS as (qid, cid)
     * candidates — the IVF scan set, map-side assignment against
     * centroid literals on both sides (geoAnn's shape, parameterized
@@ -1865,6 +1937,44 @@ object VectorOps {
         .filter(col("cid") =!= col("qid"))
         .distinct()
       frontier = topB(scoredAdcOf(codes, qlut, cands)).localCheckpoint(true)
+    }
+    frontier
+  }
+
+  /** The ADC walk iterated TO FIXED POINT — exactWalkFrontierConverged
+    * with the integer code compass (v22b's budget made data-derived
+    * like v22's): hop until the frontier set stops changing, cap
+    * [[WalkMaxHops]]. Integer scores are bit-exact on both engines,
+    * so the per-hop sets — and therefore the stop — replay in SQL. */
+  private[graft] def adcWalkFrontierConverged(s: SparkSession, d: String,
+      edges: org.apache.spark.sql.DataFrame,
+      f0: org.apache.spark.sql.DataFrame, beam: Int,
+      maxHops: Int = WalkMaxHops,
+      codesIn: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val cb = TrainedIndex.codebook(s, d)
+    val codes = codesIn.getOrElse(pqCorpus(e, cb))
+    val qlut = queryLuts(s, d)
+    def topB(sc: org.apache.spark.sql.DataFrame) =
+      graft.plans.TopKPerKey.topK(sc, Seq("qid"),
+        Seq(col("score").desc, col("cid").asc), beam)
+    var frontier = topB(scoredAdcOf(codes, qlut, f0)).localCheckpoint(true)
+    var h = 0
+    var converged = false
+    while (h < maxHops && !converged) {
+      val neigh = hopEdges(edges, frontier)
+      val cands = frontier.select(col("qid"), col("cid"))
+        .union(neigh)
+        .filter(col("cid") =!= col("qid"))
+        .distinct()
+      val next = topB(scoredAdcOf(codes, qlut, cands)).localCheckpoint(true)
+      converged = next.select(col("qid"), col("cid"))
+        .join(frontier.select(col("qid"), col("cid")),
+          Seq("qid", "cid"), "left_anti")
+        .isEmpty
+      frontier = next
+      h += 1
     }
     frontier
   }
@@ -3700,7 +3810,7 @@ object VectorOps {
       "v22b_vamana_adc_serving",
       "v22's graph at v19's MEMORY ECONOMICS — the configuration the " +
         "DiskANN paper actually ships (alpha-pruned Vamana graph + " +
-        "PQ/ADC compass): the beam-64/hops-5 convergence-budget walk " +
+        "PQ/ADC compass): the beam-64 CONVERGED walk " +
         "over the v22 artifact ranks every cut on INTEGER ADC scores " +
         "from the persisted 32-bit codes, and full vectors are " +
         "touched only for the final beam's exact re-rank. Measured " +
@@ -3709,18 +3819,23 @@ object VectorOps {
         "sf0.1 — the same intrinsic 32-bit loss v19 measures against " +
         "v17. The graph comparison under the compass is MIXED and " +
         "recorded honestly: vamana beats hub at sf0.1 (36 vs 34) but " +
-        "INVERTS at 10x (18 vs 21) — integer codes misrank the " +
+        "INVERTS at 10x (19 vs 21 converged; 18 at the old pinned " +
+        "hops=5 — convergence was not the missing ingredient, code " +
+        "resolution is) — integer codes misrank the " +
         "diverse edges' direction decisions exactly where diversity " +
         "was the win, so at corpus scale the ADC tier's recall rests " +
         "on the refined union rule (v21b holds 42/60 flat), not on " +
         "the graph. At 100 TB this is the tier that " +
         "stays RAM-resident: the walk reads codes (64x smaller than " +
         "vectors), and exact reads are bounded at queries x beam. " +
-        "Oracle: the vamana build CTEs composed with the ADC walk " +
-        "CTEs verbatim — both already gated separately (v22, v19), " +
+        "The hop count is the v22 convergence rule on the integer " +
+        "compass (r16): walk to the score fixed point, cap " +
+        "WalkMaxHops, oracle dispatching the data-derived stop. " +
+        "Oracle: the vamana build CTEs composed with the converged " +
+        "ADC walk CTEs — each piece gated separately (v22, v19), " +
         "here hashed as one composition.",
       (s, d) => recallOf(bruteTruth(s, d),
-        vamanaAnnServeAdc(s, d, beam = 64, hops = 5, degree = 16,
+        vamanaAnnServeAdcConverged(s, d, beam = 64, degree = 16,
           kCells = 25, entries = 16)),
       Some(s"""
         WITH ${KmeansSql.upToCent2(25)},
@@ -3729,15 +3844,15 @@ object VectorOps {
         ${vamanaGraphSql(degree = 16)},
         ${pqChainSql("p")},
         $adcAllSql,
-        ${beamHopsAdcSql(beam = 64, hops = 5)},
+        ${beamHopsAdcConvergedSql(beam = 64, maxHops = WalkMaxHops)},
         $RecallTailSql""")),
 
     Q(
       "v22c_vamana_refined_serving",
       "The repo's MAX-RECALL serving point: v17d's refined-union " +
         "lever composed on v22's alpha-pruned graph at the " +
-        "convergence budget — walk frontier (beam=64, hops=5, " +
-        "entries=16 over the vamana artifact) UNION the query's 8 " +
+        "convergence budget — walk frontier (beam=64, data-derived " +
+        "stop, entries=16 over the vamana artifact) UNION the query's 8 " +
         "nearest cells' members, one exact re-rank. Measured " +
         "(GraphAnnAb r15): 56/60 at sf0.1 and 51/60 at 10x — above " +
         "v17d (50/47) at both scales, because the alpha-pruned " +
