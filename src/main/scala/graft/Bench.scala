@@ -24,6 +24,14 @@ import org.apache.spark.sql.SparkSession
   *   medians/flags are fixed; re-run queries are then judged on the
   *   worst-sample-trimmed spread (see flagSpread) so one polluted pass
   *   can be outvoted by clean evidence.
+  * - MINIMUM SAMPLE COUNT (VERDICT r16 #2): after the main passes,
+  *   every query tops up to SPARK_GRAFT_MIN_SAMPLES (8) raw samples —
+  *   the 2 s floor alone left queries ≥ floor/runs seconds with
+  *   exactly `runs` samples, the very band every cross-round ratio
+  *   dispute has lived in. Contention flags are judged on per-VISIT
+  *   medians (wall AND ratio spread; ADVICE r16), and a throwing
+  *   query fails fast into the `errors` map instead of recording
+  *   failure latency as samples (VERDICT r16 #6).
   * - stdout stays ONE compact JSON line — the driver's contract, with a
   *   ~2000-char capture window. Per-query flat keys cost ~13 chars each
   *   (~1633 chars at 134 queries — r7's looming wall), so the encoding
@@ -61,27 +69,41 @@ object Bench {
     if (median > 2.0) heavy else base
 
   /** The spread that feeds the contention flag. Plain max−min for a
-    * query with exactly one sample per pass; once a query has MORE
-    * samples than passes — adaptive re-runs, or the per-query time
-    * floor's repetitions (r16) — the worst (size − runs) samples are
-    * excluded — one per extra sample, because each extra sample exists
-    * precisely to outvote one suspected contention window, and
-    * max−min can only grow with more samples, so without the trim a
-    * polluted pass would flag a query forever no matter how much
-    * clean evidence accumulates (r11's single-worst trim survived ONE
-    * polluted pass but not r12's two — gr01 sat at 9 samples with 2
-    * polluted and stayed flagged on clean evidence of 7). The flag is
-    * therefore judged on the spread of the best `runs`-sized subset:
-    * if even the cleanest `runs` samples spread past the bound, the
-    * query is genuinely noisy and stays flagged. The MEDIAN is still
-    * taken over ALL samples (median-of-9 tolerates 4 outliers), so
-    * the trim never moves a reported number — only the flag. Pure so
+    * query with exactly one VISIT per pass; once a query has MORE
+    * visits than passes — adaptive re-runs or min-sample top-ups —
+    * the worst (size − runs) entries are excluded — one per extra
+    * visit, because each extra visit exists precisely to outvote one
+    * suspected contention window, and max−min can only grow with more
+    * evidence, so without the trim a polluted pass would flag a query
+    * forever no matter how much clean evidence accumulates (r11's
+    * single-worst trim survived ONE polluted pass but not r12's two —
+    * gr01 sat at 9 samples with 2 polluted and stayed flagged on
+    * clean evidence of 7). The flag is therefore judged on the spread
+    * of the best `runs`-sized subset: if even the cleanest `runs`
+    * entries spread past the bound, the query is genuinely noisy and
+    * stays flagged.
+    *
+    * ADVICE r16: the input is per-VISIT medians, not raw samples — a
+    * floor-repeated sub-second query carries up to repCap raw samples
+    * per visit, and judging the flag on the best `runs` of ~80
+    * near-minimum raw samples meant the flag could effectively never
+    * fire for exactly the population whose contention noise motivated
+    * it. Collapsing each visit's repetitions to one median first
+    * restores the one-exclusion-per-earned-extra-visit rationale.
+    * The reported MEDIAN is still taken over ALL raw samples, so the
+    * trim never moves a reported number — only the flag. Pure so
     * BenchStatsSpec can pin both regimes. */
   private[graft] def flagSpread(ts: Seq[Double], runs: Int): Double = {
     val x = ts.sorted
     if (ts.size > runs && runs >= 1) x(runs - 1) - x.head
     else x.last - x.head
   }
+
+  /** Median over samples; -1 when a query produced none (every
+    * attempt threw — the `errors` map names the failure, and -1 can
+    * never masquerade as a fast median). Pure for BenchStatsSpec. */
+  private[graft] def med(ts: Seq[Double]): Double =
+    if (ts.isEmpty) -1.0 else { val x = ts.sorted; x(x.size / 2) }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -139,6 +161,18 @@ object Bench {
       queries.map { case (n, _) => n -> Vector.empty[Double] }: _*)
     val ratioSamples = scala.collection.mutable.LinkedHashMap(
       queries.map { case (n, _) => n -> Vector.empty[Double] }: _*)
+    // per-VISIT medians (one entry per visit — floor repetitions
+    // collapse into one number) and the visit's ratio vs the
+    // nearest-in-time reference: the population the contention flags
+    // are judged on since r17 (ADVICE r16 — see flagSpread)
+    val visitMedians = scala.collection.mutable.LinkedHashMap(
+      queries.map { case (n, _) => n -> Vector.empty[Double] }: _*)
+    val visitRatios = scala.collection.mutable.LinkedHashMap(
+      queries.map { case (n, _) => n -> Vector.empty[Double] }: _*)
+    // per-query error count (VERDICT r16 #6): a query that throws must
+    // surface as an error tag, never as a latency sample
+    val errors = scala.collection.mutable.LinkedHashMap(
+      queries.map { case (n, _) => n -> 0 }: _*)
     // PER-QUERY TIME FLOOR (VERDICT r15 #5): a sub-second query sampled
     // once per pass is under-sampled relative to host noise — 24/208
     // rows read ratio-of-ratios > 1.4 across r14→r15 in files nobody
@@ -155,17 +189,39 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_TIME_FLOOR", "2.0").toDouble
     val perVisit = floorSec / runs
     val repCap = sys.env.getOrElse("SPARK_GRAFT_REP_CAP", "16").toInt
+    // One VISIT: repeat the query until ~perVisit seconds accumulate
+    // (floor), recording each successful repetition as a raw sample
+    // and the visit's MEDIAN as one flag-population entry. A throw
+    // (ADVICE r16, medium): count it in `errors`, record NO sample,
+    // and BREAK — a fail-fast query must not loop repCap times
+    // accumulating near-zero "latencies" that read as a fast
+    // well-sampled median. The correctness gate owns the failure; the
+    // bench's job is to tag it, not to time it.
     def timedVisit(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         refNow: Double): Unit = {
       var spent = 0.0
       var reps = 0
-      while (reps == 0 || (spent < perVisit && reps < repCap)) {
+      val visit = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var failed = false
+      while (!failed && (reps == 0 || (spent < perVisit && reps < repCap))) {
         val t0 = System.nanoTime()
-        try run(fn(spark, sfDir)) catch { case _: Throwable => () }
-        val dt = (System.nanoTime() - t0) / 1e9
-        samples(name) = samples(name) :+ dt
-        if (refNow > 0) ratioSamples(name) = ratioSamples(name) :+ dt / refNow
-        spent += dt; reps += 1
+        try {
+          run(fn(spark, sfDir))
+          val dt = (System.nanoTime() - t0) / 1e9
+          samples(name) = samples(name) :+ dt
+          if (refNow > 0) ratioSamples(name) = ratioSamples(name) :+ dt / refNow
+          visit += dt
+          spent += dt
+        } catch { case _: Throwable =>
+          errors(name) = errors(name) + 1
+          failed = true
+        }
+        reps += 1
+      }
+      if (visit.nonEmpty) {
+        val vm = med(visit.toSeq)
+        visitMedians(name) = visitMedians(name) :+ vm
+        if (refNow > 0) visitRatios(name) = visitRatios(name) :+ vm / refNow
       }
     }
     (1 to runs).foreach { _ =>
@@ -175,14 +231,38 @@ object Bench {
         timedVisit(name, fn, refNow)
       }
     }
-    def med(ts: Seq[Double]): Double = { val x = ts.sorted; x(x.size / 2) }
+    // ---- MINIMUM SAMPLE COUNT (VERDICT r16 #2): the time floor left
+    // a blind spot by construction — any query ≥ floor/runs seconds
+    // ran exactly `runs` times (5–6 samples), and that band is where
+    // every cross-round ratio dispute has lived (g08 in r15, the
+    // pbp01–04/v01/v17 cluster in r16). Every query now tops up to
+    // SPARK_GRAFT_MIN_SAMPLES (default 8) raw samples via extra
+    // visits, spread pass-major across top-up rounds like the main
+    // passes so they sample different host windows. Each top-up visit
+    // is one more flag-population entry (one exclusion earned). A
+    // permanently-failing query exits via the round cap — errors,
+    // not samples, record its story.
+    val minSamples =
+      sys.env.getOrElse("SPARK_GRAFT_MIN_SAMPLES", "8").toInt
+    var topupRound = 0
+    def deficient = queries.filter { case (n, _) =>
+      samples(n).size < minSamples }
+    while (topupRound < minSamples && deficient.nonEmpty) {
+      var refNow = timeRef()
+      deficient.zipWithIndex.foreach { case ((name, fn), i) =>
+        if (i > 0 && i % refEvery == 0) refNow = timeRef()
+        timedVisit(name, fn, refNow)
+      }
+      topupRound += 1
+    }
     // ---- adaptive re-runs (VERDICT r9 #5): a query flagged contended
     // after the main passes gets up to SPARK_GRAFT_CONTENTION_RERUNS
-    // (default 2) extra samples, each preceded by a fresh interleaved
+    // (default 2) extra visits, each preceded by a fresh interleaved
     // reference run, BEFORE its median and flag are fixed. The flag is
-    // then judged on flagSpread (worst sample excluded for re-run
-    // queries) — one polluted pass stops flagging a query once clean
-    // evidence outweighs it; genuinely noisy queries stay flagged.
+    // judged on flagSpread over per-visit medians (worst visit
+    // excluded per earned re-run) — one polluted pass stops flagging a
+    // query once clean evidence outweighs it; genuinely noisy queries
+    // stay flagged.
     val contBound =
       sys.env.getOrElse("SPARK_GRAFT_CONTENTION_BOUND", "1.0").toDouble
     val rerunsMax =
@@ -191,8 +271,8 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_CONTENTION_RERUNS_HEAVY", "4").toInt
     (1 to math.max(rerunsMax, rerunsHeavy)).foreach { round =>
       val flagged = contendedFlags(
-        samples.toSeq.map { case (n, ts) =>
-          (n, med(ts), flagSpread(ts, runs)) }, contBound).toSet
+        visitMedians.toSeq.map { case (n, vs) =>
+          (n, med(samples(n)), flagSpread(vs, runs)) }, contBound).toSet
       queries.foreach { case (name, fn) =>
         if (flagged.contains(name) &&
             round <= rerunCap(med(samples(name)), rerunsMax, rerunsHeavy)) {
@@ -200,12 +280,10 @@ object Bench {
         }
       }
     }
-    val refMedian =
-      if (refSamples.isEmpty) -1.0
-      else { val s = refSamples.sorted; s(s.size / 2) }
+    val refMedian = med(refSamples.toSeq)
     def ms(x: Double): Double = math.rint(x * 1000) / 1000
     val results = samples.toSeq.map { case (name, ts) =>
-      (name, med(ts), flagSpread(ts, runs), ts)
+      (name, med(ts), flagSpread(visitMedians(name), runs), ts)
     }
     // stdout keying: operator-id prefix ("j01" for j01_broadcast_chain),
     // split into family letters + id ("j" + "01"); uniqueness required so
@@ -256,18 +334,43 @@ object Bench {
     }.mkString("{", ",", "}")
     val refJson = refSamples.map(ms).mkString("[", ",", "]")
     // self-annotating contention flags (VERDICT r8 #8): a query whose
-    // cross-pass spread exceeds `bound × median` was sampled through at
-    // least one host-contention window — its MEDIAN is still the
+    // cross-VISIT spread exceeds `bound × median` was sampled through
+    // at least one host-contention window — its MEDIAN is still the
     // reported number, but round-over-round diffs should compare it via
     // `ratios` (the contention-normalized view), not wall seconds.
     // The spread feeding the flag (and the `spread` detail field) is
-    // flagSpread: trimmed for adaptively re-run queries, raw otherwise;
+    // flagSpread over per-visit medians: trimmed one-per-extra-visit;
     // every raw sample is in `samples`.
-    val contended =
+    val wallFlagged =
       contendedFlags(results.map { case (k, m, sp, _) => (k, m, sp) }, contBound)
-        .map("\"" + _ + "\"").mkString("[", ",", "]")
+    // RATIO-SPREAD flag (VERDICT r16 #2): r16's pbp cluster
+    // ratio-doubled while contended=[t24] — wall spread alone misses a
+    // query whose per-visit RATIOS disperse (contention hitting the
+    // query harder than the nearby reference). Same flagSpread/bound
+    // machinery over per-visit ratios: a query whose cleanest `runs`
+    // visit-ratios still spread past ratioBound × median-ratio was
+    // differentially contended and its cross-round ratio is suspect.
+    val ratioBound =
+      sys.env.getOrElse("SPARK_GRAFT_RATIO_BOUND", "1.0").toDouble
+    val ratioFlagged = contendedFlags(
+      visitRatios.toSeq.map { case (n, vs) =>
+        (n, med(vs), flagSpread(vs, runs)) }, ratioBound)
+    val contended = (wallFlagged ++ ratioFlagged).distinct.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val contendedRatio = ratioFlagged.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    // per-query error counts (VERDICT r16 #6): asserted zero at round
+    // close — a mid-suite breakage surfaces here, not as a fast median
+    val errJson = errors.toSeq.map { case (k, c) => "\"" + k + "\":" + c }
+      .mkString("{", ",", "}")
+    val vmJson = results.map { case (k, _, _, _) =>
+      "\"" + k + "\":" + visitMedians(k).map(ms).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val vrJson = results.map { case (k, _, _, _) =>
+      "\"" + k + "\":" + visitRatios(k).map(ms).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$medians,"spread":$spreads,"names":$names,"qtags":$qtags,"samples":$perRun,"nsamples":$nsamples,"floor_sec":$floorSec,"rep_cap":$repCap,"ref_samples":$refJson,"ref_median":${ms(refMedian)},"ref_every":$refEvery,"ratios":$ratios,"contended":$contended,"contention_bound":$contBound,"runs":$runs,"order":"pass-major","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$medians,"spread":$spreads,"names":$names,"qtags":$qtags,"samples":$perRun,"nsamples":$nsamples,"errors":$errJson,"floor_sec":$floorSec,"rep_cap":$repCap,"min_samples":$minSamples,"ref_samples":$refJson,"ref_median":${ms(refMedian)},"ref_every":$refEvery,"ratios":$ratios,"visit_medians":$vmJson,"visit_ratios":$vrJson,"contended":$contended,"contended_ratio":$contendedRatio,"contention_bound":$contBound,"ratio_bound":$ratioBound,"runs":$runs,"order":"pass-major","sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       full.getBytes("UTF-8"))
     catch { case _: Throwable => () } // bench must still print if cwd is read-only

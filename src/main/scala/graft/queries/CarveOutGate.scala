@@ -450,17 +450,22 @@ object CarveOutGate {
       // unroll depth, stop.k is NULL and every arm above emits zero
       // rows — fail NAMING the exhausted headroom (DuckDB error())
       // instead of as a bare hash mismatch. The message concatenates a
-      // column so the error expression cannot be constant-folded into
-      // an unconditional raise at plan time; the inner SELECT emits
-      // zero rows whenever the solver converged in time.
+      // GENUINELY data-dependent aggregate (the best delta the $n
+      // sweeps reached, read from the deltas CTE over the fixture
+      // tables) so no optimizer version can constant-fold the error
+      // expression into an unconditional plan-time raise — ADVICE r16
+      // flagged the previous `(SELECT n AS n) x` derived table as
+      // flattenable to a constant. The scan emits zero rows whenever
+      // the solver converged in time, and the min-delta also makes the
+      // failure actionable (how far from tol the run got).
       s"""
         UNION ALL
-        SELECT CAST(error('dm10e oracle exhausted: no sweep delta <= $tol within '
-                 || CAST(x.n AS VARCHAR)
-                 || ' unrolled sweeps - raise Dm10OracleSweeps') AS BIGINT),
+        SELECT CAST(error('dm10e oracle exhausted: no sweep delta <= $tol within $n unrolled sweeps (best delta reached: '
+                 || CAST(x.best AS VARCHAR)
+                 || ') - raise Dm10OracleSweeps') AS BIGINT),
                CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
                CAST(NULL AS INT), CAST(NULL AS INT)
-        FROM (SELECT $n AS n) x
+        FROM (SELECT min(md) AS best FROM deltas) x
         WHERE (SELECT k FROM stop) IS NULL"""
     s"""
         WITH $Dm10FixtureSql,

@@ -21,19 +21,36 @@ import org.apache.spark.sql.functions._
   */
 object LakeIO {
 
+  /** Stamp-memo write hook (ADVICE r16): lake stamps are memoized per
+    * LAKE DIR; a table write lands at `<dir>/<table>.parquet`, so the
+    * written path AND its parent dir both drop their memo entries. */
+  private def invalidateStamps(path: String): Unit = {
+    Tables.invalidateStamp(Some(path))
+    Option(java.nio.file.Paths.get(path).toAbsolutePath.normalize.getParent)
+      .foreach(p => Tables.invalidateStamp(Some(p.toString)))
+  }
+
   /** Raw layer: one JSON object per line, gzip — S4. */
-  def writeRawNdjson(df: DataFrame, path: String): Unit =
+  def writeRawNdjson(df: DataFrame, path: String): Unit = {
     df.write.mode(SaveMode.Overwrite)
       .option("compression", "gzip").json(path)
+    invalidateStamps(path)
+  }
 
   def readRawNdjson(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.json(path)
 
-  /** Bronze/silver layer: snappy parquet, Hive-partitioned — S5/S7. */
-  def writePartitioned(df: DataFrame, path: String, partitions: Seq[String]): Unit =
+  /** Bronze/silver layer: snappy parquet, Hive-partitioned — S5/S7.
+    * ADVICE r16: every write path drops the dir's memoized lake stamp
+    * itself — the derived-artifact caches (TrainedIndex, maintained
+    * store) key on stampedKey, and a writer that forgets the hook
+    * would silently serve stale artifacts in-process. */
+  def writePartitioned(df: DataFrame, path: String, partitions: Seq[String]): Unit = {
     df.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitions: _*).parquet(path)
+    invalidateStamps(path)
+  }
 
   /** Permissive concat: union by name, missing columns become nulls — U1. */
   def unionPermissive(dfs: Seq[DataFrame]): DataFrame =

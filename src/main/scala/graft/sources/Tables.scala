@@ -59,13 +59,22 @@ object Tables {
     * [[lakeStamp]] itself stays pure (its spec pins per-call reads). */
   private val stampMemo =
     scala.collection.concurrent.TrieMap.empty[String, String]
-  def stampedKey(dir: String): String =
-    stampMemo.getOrElseUpdate(dir, s"$dir@${lakeStamp(dir)}")
+  /** ADVICE r16: memoize by the NORMALIZED path, not the raw string —
+    * two spellings of one dir (trailing slash, relative vs absolute)
+    * must share one memo entry, or invalidateStamp on one spelling
+    * would leave a stale stamp live under the other. */
+  private def normDir(dir: String): String =
+    try java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString
+    catch { case _: Throwable => dir } // non-local URIs pass through raw
+  def stampedKey(dir: String): String = {
+    val nd = normDir(dir)
+    stampMemo.getOrElseUpdate(nd, s"$nd@${lakeStamp(dir)}")
+  }
 
   /** Drop `dir`'s memoized stamp (all dirs when None) — the write hook
     * for any in-process fixture regeneration. */
   def invalidateStamp(dir: Option[String] = None): Unit = dir match {
-    case Some(d) => stampMemo.remove(d)
+    case Some(d) => stampMemo.remove(normDir(d))
     case None => stampMemo.clear()
   }
 

@@ -79,7 +79,24 @@ object RecallReport {
       val t = if (agg.isNullAt(1)) 0L else agg.getLong(1)
       (h, t, secs)
     }
+    // VERDICT r16 #3: cross-tier warm-state pollution — 12 tiers'
+    // localCheckpoint blocks and cached frames accumulate in the one
+    // block manager, and a late tier's warm serve pays earlier tiers'
+    // memory pressure (st19d read 45.4 s in-artifact vs 15.0 s
+    // isolated in RECALL_r16). Reset the executor-side state BETWEEN
+    // tiers so every row starts from the same clean JVM an isolated
+    // `--only` run would see. The artifact-path memos (TrainedIndex /
+    // maintained store) are deliberately KEPT — they hold dir strings
+    // for on-disk versioned artifacts, and dropping them would force
+    // rebuilds, changing what "cold" measures.
+    def resetTierState(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      spark.catalog.clearCache()
+      System.gc()
+    }
+    var anyUnstable = false
     val rows = for (n <- names; d <- dirs) yield {
+      resetTierState()
       // VERDICT r15 #7: one-time artifact builds amortize into the
       // FIRST serve (v22's 10x graph build read as 348 s of "query
       // cost" in RECALL_r15) — run each tier twice so the artifact-
@@ -87,17 +104,26 @@ object RecallReport {
       // columns and a build can never masquerade as serve cost.
       val (h, t, cold) = runOnce(n, d)
       val (h2, t2, warm) = runOnce(n, d)
-      require(h == h2 && t == t2,
-        s"$n on $d is non-deterministic across warm/cold runs: " +
+      // ADVICE r16: a warm/cold recall mismatch is the row's finding,
+      // not grounds to abort — record both values, keep measuring the
+      // remaining tiers, and fail the EXIT CODE at the end so nothing
+      // downstream mistakes an unstable artifact for a green one.
+      val stable = h == h2 && t == t2
+      if (!stable) {
+        anyUnstable = true
+        println(s"UNSTABLE: $n on $d differs across cold/warm runs: " +
           s"$h/$t vs $h2/$t2")
+      }
       println(f"$n%-38s $d%-24s recall@3=$h%3d/$t%d  cold=$cold%7.2f s  warm=$warm%7.2f s")
       s"""{"query":${jstr(n)},"dir":${jstr(d)},"hit":$h,"truth":$t,""" +
-        s""""cold_secs":${num(cold)},"warm_secs":${num(warm)}}"""
+        s""""cold_secs":${num(cold)},"warm_secs":${num(warm)},"stable":$stable""" +
+        (if (stable) "}" else s""","hit_warm":$h2,"truth_warm":$t2}""")
     }
     val json = "[\n  " + rows.mkString(",\n  ") + "\n]\n"
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       json.getBytes("UTF-8"))
     println(s"wrote $outFile")
     spark.stop()
+    if (anyUnstable) sys.exit(1)
   }
 }

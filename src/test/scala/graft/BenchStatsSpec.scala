@@ -47,6 +47,15 @@ class BenchStatsSpec extends AnyFunSuite {
     assert(Bench.flagSpread(genuine, runs = 5) >= 3.0)
   }
 
+  test("median of zero samples is -1, never a fake latency") {
+    // a query that throws on every visit records NO samples (ADVICE
+    // r16: fail-fast, errors map); its reported median must be the
+    // sentinel, not a crash or a near-zero number
+    assert(Bench.med(Seq.empty) == -1.0)
+    assert(Bench.med(Seq(2.0)) == 2.0)
+    assert(Bench.med(Seq(1.0, 2.0, 9.0)) == 2.0)
+  }
+
   test("re-run budget scales with the median: heavy queries get more samples") {
     // the 2 s boundary: a light query keeps the base budget; a query
     // whose median exceeds 2 s gets the heavy budget (2 extra samples
