@@ -68,16 +68,19 @@ object ConnectedComponents {
     while (changed > 0 && round < math.min(PropagationBudget, maxRounds)) {
       val nbrMin = sym.join(labels, col("d") === col("id"))
         .groupBy(col("s")).agg(min(col("component")).as("__nc"))
+      // the changed flag rides the update into the SAME checkpoint
+      // pass (r17): the probe then scans the checkpointed blocks
+      // instead of planning a fresh two-frame join per round
       val next = labels.join(nbrMin, col("id") === col("s"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("__nc"), col("component")))
-            .as("component"))
+            .as("component"),
+          (least(col("component"), coalesce(col("__nc"), col("component")))
+            =!= col("component")).as("__chg"))
         .localCheckpoint(true)
-      changed = next.join(
-          labels.withColumnRenamed("component", "__prev"), Seq("id"))
-        .filter(col("component") =!= col("__prev")).count()
+      changed = next.filter(col("__chg")).count()
       Lineage.free(labels)
-      labels = next
+      labels = next.select(col("id"), col("component"))
       round += 1
     }
 
@@ -149,9 +152,12 @@ object ConnectedComponents {
         .distinct()
         .localCheckpoint(true)
 
-      // fixed point: the canonical edge set stopped changing
-      changed = next.join(cur, Seq("u", "v"), "left_anti").count() +
-        cur.join(next, Seq("u", "v"), "left_anti").count()
+      // fixed point: the canonical edge set stopped changing — one
+      // full-outer symmetric-difference count instead of two anti-join
+      // jobs (r17; same value: |next \ cur| + |cur \ next|)
+      changed = next.withColumn("__a", lit(1))
+        .join(cur.withColumn("__b", lit(1)), Seq("u", "v"), "full_outer")
+        .filter(col("__a").isNull || col("__b").isNull).count()
       Lineage.free(ls)
       Lineage.free(cur)
       cur = next

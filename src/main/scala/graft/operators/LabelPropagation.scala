@@ -99,6 +99,9 @@ object LabelPropagation {
     var lastChanged = -1L
     while (round < maxRounds) {
       round += 1
+      // the previous label rides the argmax into the SAME checkpoint
+      // pass (r17): the changed probe then scans the checkpointed
+      // blocks instead of planning a fresh two-frame join per round
       val next = dir
         .join(labels.select(col("node").as("s"), col("label")), Seq("s"))
         .groupBy(col("t").as("node"), col("label"))
@@ -106,12 +109,12 @@ object LabelPropagation {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("node"), col("label"))
-        .localCheckpoint(true)
-      val changed = next
         .join(labels.withColumnRenamed("label", "__prev"), Seq("node"))
-        .filter(col("label") =!= col("__prev")).count()
+        .localCheckpoint(true)
+      val changed = next.filter(col("label") =!= col("__prev")).count()
       if (changed == 0L)
-        return next.withColumn("iters", lit(round))
+        return next.select(col("node"), col("label"))
+          .withColumn("iters", lit(round))
       // A period-2 cycle flips between states A/B, so every changed
       // count in the cycle equals |A != B| — consecutive counts are
       // EQUAL. Gating the (otherwise per-round) cycle-check job on
@@ -126,7 +129,7 @@ object LabelPropagation {
       }
       if (prevPrev != null) Lineage.free(prevPrev)
       prevPrev = labels
-      labels = next
+      labels = next.select(col("node"), col("label"))
       lastChanged = changed
     }
     throw new IllegalStateException(

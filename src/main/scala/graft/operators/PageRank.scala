@@ -93,18 +93,19 @@ object PageRank {
         throw new IllegalStateException(
           s"PageRank did not converge to L-inf <= $tolMicro micro-units " +
             s"in $maxIters iterations (last delta $delta)")
+      // the previous rank rides the update into the SAME checkpoint
+      // pass (r17): the delta probe then scans the checkpointed
+      // blocks instead of planning a fresh two-frame join per round
       val next = withDeg
         .join(ranks, col("s") === col("node"))
         .groupBy(col("t"))
         .agg(sum(expr("(pm * 85) div (100 * od)")).as("m"))
         .select(col("t").as("node"), (lit(150000L) + col("m")).as("pm"))
+        .join(ranks.select(col("node"), col("pm").as("__pm0")), Seq("node"))
         .localCheckpoint(true)
-      val row = next.join(
-          ranks.select(col("node"), col("pm").as("pm0")), Seq("node"))
-        .agg(max(abs(col("pm") - col("pm0"))).as("d"))
-        .head()
+      val row = next.agg(max(abs(col("pm") - col("__pm0"))).as("d")).head()
       delta = if (row.isNullAt(0)) 0L else row.getLong(0)
-      ranks = next
+      ranks = next.select(col("node"), col("pm"))
       it += 1
     }
     ranks.withColumn("iters", lit(it))

@@ -26,8 +26,7 @@ import graft.sources.Tables
 object CarveOutGate {
 
   private def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
-      "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+    graft.plans.DotProduct.ofCols(col(a), col(b))
 
   /** The foul-enriched synthetic play stream shared by pbp03/pbp04:
     * coarse 149-value clock (coprime to the %5 foul selector, so

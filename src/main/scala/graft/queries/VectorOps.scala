@@ -86,8 +86,20 @@ private[queries] object KmeansSql {
 
 object VectorOps {
 
-  /** Left-to-right double dot product over two float-array columns. */
+  /** Left-to-right double dot product over two float-array columns —
+    * the native codegen expression (plans/DotProduct, r17): the
+    * composed zip_with/aggregate twin below is CodegenFallback and
+    * paid a lambda-dispatch-per-element plus an array allocation per
+    * ROW under every pair join (knnGraph/vamana/walk scoring — the
+    * tier's flop budget). Bit-identical accumulation order, so every
+    * hash gate riding a cos/dsq column is unchanged; DotProductSpec
+    * pins parity against the composed twin. */
   private[graft] def dot(a: String, b: String): Column =
+    graft.plans.DotProduct.ofCols(col(a), col(b))
+
+  /** The composed higher-order twin dot — parity pin for
+    * DotProductSpec (the pqCodeColComposed convention). */
+  private[graft] def dotComposed(a: String, b: String): Column =
     expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
       "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
 
@@ -1738,18 +1750,20 @@ object VectorOps {
       graft.plans.TopKPerKey.topK(sc, Seq("qid"),
         Seq(col("cos").desc, col("cid").asc), beam)
 
-    // each frontier is <= queries x beam rows; the eager checkpoint
-    // keeps hop h+1's plan from re-running hop h's corpus touches
-    var frontier = topB(scoredOf(f0)).localCheckpoint(true)
+    // each frontier is <= queries x beam rows, driver-materialized
+    // (see DriverFrontier): one action per hop funds the next hop's
+    // LocalRelation, its pushdown ids, and (in the converged forms)
+    // the convergence test
+    var frontier = materializeFrontier(s, topB(scoredOf(f0)))
     for (_ <- 1 to hops) {
-      val neigh = hopEdges(edges, frontier)
-      val cands = frontier.select(col("qid"), col("cid"))
+      val neigh = hopEdgesOf(edges, frontier)
+      val cands = frontier.df.select(col("qid"), col("cid"))
         .union(neigh)
         .filter(col("cid") =!= col("qid"))
         .distinct()
-      frontier = topB(scoredOf(cands)).localCheckpoint(true)
+      frontier = materializeFrontier(s, topB(scoredOf(cands)))
     }
-    frontier
+    frontier.df
   }
 
   /** Convergence CAP for [[exactWalkFrontierConverged]] — a runaway
@@ -1780,9 +1794,10 @@ object VectorOps {
     * instead of silently starving the engine. Convergence is
     * monotone-safe: each hop's candidates contain the previous
     * frontier, so the per-qid beam cut can only improve, and
-    * `new \ old = {}` is exactly set equality. The per-hop emptiness
-    * probe runs on two localCheckpointed <= queries x beam frames —
-    * the same bounded class as the hop's own id collect. */
+    * `new \ old = {}` is exactly set equality. The emptiness test is
+    * a driver-side set comparison over the two <= queries x beam
+    * materialized frontiers (r17, see DriverFrontier) — the same
+    * bounded class, one action per hop instead of three. */
   private[graft] def exactWalkFrontierConverged(s: SparkSession, d: String,
       edges: org.apache.spark.sql.DataFrame,
       f0: org.apache.spark.sql.DataFrame,
@@ -1814,24 +1829,23 @@ object VectorOps {
       graft.plans.TopKPerKey.topK(sc, Seq("qid"),
         Seq(col("cos").desc, col("cid").asc), beam)
 
-    var frontier = topB(scoredOf(f0)).localCheckpoint(true)
+    var frontier = materializeFrontier(s, topB(scoredOf(f0)))
     var h = 0
     var converged = false
     while (h < maxHops && !converged) {
-      val neigh = hopEdges(edges, frontier)
-      val cands = frontier.select(col("qid"), col("cid"))
+      val neigh = hopEdgesOf(edges, frontier)
+      val cands = frontier.df.select(col("qid"), col("cid"))
         .union(neigh)
         .filter(col("cid") =!= col("qid"))
         .distinct()
-      val next = topB(scoredOf(cands)).localCheckpoint(true)
-      converged = next.select(col("qid"), col("cid"))
-        .join(frontier.select(col("qid"), col("cid")),
-          Seq("qid", "cid"), "left_anti")
-        .isEmpty
+      val next = materializeFrontier(s, topB(scoredOf(cands)))
+      // `next \ frontier = {}` on driver-held sets — the identical
+      // anti-join emptiness test, without a per-hop probe plan
+      converged = next.pairs.subsetOf(frontier.pairs)
       frontier = next
       h += 1
     }
-    (frontier, h)
+    (frontier.df, h)
   }
 
   /** Frontier-id pushdown cap for [[hopEdges]] (VERDICT r13 #2). Below
@@ -1875,6 +1889,57 @@ object VectorOps {
       else edges // fleet-sized frontier: literal list would bloat the plan
     scan
       .join(broadcast(frontier.select(col("qid"), col("cid").as("src"))),
+        Seq("src"))
+      .select(col("qid"), col("dst").as("cid"))
+  }
+
+  /** DRIVER-MATERIALIZED walk frontier (r17, guide §1.2/§5): a frontier
+    * is <= queries x beam rows BY CONSTRUCTION (TopKPerKey k=beam per
+    * qid over the broadcast query set — the same bounded class as
+    * hopEdges' id collect), yet the walk loops used to pay THREE
+    * actions per hop on it: the eager localCheckpoint, hopEdges'
+    * id collect, and (converged forms) the anti-join emptiness probe —
+    * each with its own analyzed/optimized plan. ONE collect now funds
+    * all three: the rows become a LocalRelation for the next hop's
+    * broadcast joins (doubles/longs round-trip the driver bit-exactly,
+    * so every downstream value is unchanged), the hop's pushdown ids
+    * derive from the rows, and convergence is a driver-side set
+    * comparison (`next \ frontier = {}` == `pairs subsetOf prev` —
+    * the identical test). Rows are sorted by the (qid, cid) key —
+    * unique per row — so the LocalRelation is deterministic even
+    * though collect order off a shuffle is not. At a fleet-sized
+    * serving batch the frontier outgrows the driver exactly when it
+    * outgrows hopEdges' literal list (HopPushdownMaxIds); the
+    * checkpointed form (exactWalkFrontier's shape pre-r17) is the
+    * documented escalation for that regime. */
+  private final case class DriverFrontier(
+      rows: Array[org.apache.spark.sql.Row],
+      df: org.apache.spark.sql.DataFrame) {
+    /** The (qid, cid) pair set — the convergence subject. */
+    lazy val pairs: Set[(Long, Long)] =
+      rows.iterator.map(r => (r.getLong(0), r.getLong(1))).toSet
+    /** Distinct candidate ids — hopEdges' pushdown list. */
+    lazy val ids: Seq[Long] = rows.iterator.map(_.getLong(1)).toSeq.distinct
+  }
+
+  private def materializeFrontier(s: SparkSession,
+      df: org.apache.spark.sql.DataFrame): DriverFrontier = {
+    val rows = df.collect().sortBy(r => (r.getLong(0), r.getLong(1)))
+    DriverFrontier(rows,
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema))
+  }
+
+  /** hopEdges over a driver-materialized frontier: same two arms and
+    * the same cap decision, with the id list taken from the rows
+    * already on the driver instead of a second collect. */
+  private def hopEdgesOf(edges: org.apache.spark.sql.DataFrame,
+      f: DriverFrontier, maxPushIds: Int = HopPushdownMaxIds)
+      : org.apache.spark.sql.DataFrame = {
+    val scan =
+      if (f.ids.size <= maxPushIds) edges.filter(col("src").isin(f.ids: _*))
+      else edges // fleet-sized frontier: literal list would bloat the plan
+    scan
+      .join(broadcast(f.df.select(col("qid"), col("cid").as("src"))),
         Seq("src"))
       .select(col("qid"), col("dst").as("cid"))
   }
@@ -1929,16 +1994,16 @@ object VectorOps {
     def topB(sc: org.apache.spark.sql.DataFrame) =
       graft.plans.TopKPerKey.topK(sc, Seq("qid"),
         Seq(col("score").desc, col("cid").asc), beam)
-    var frontier = topB(scoredAdcOf(codes, qlut, f0)).localCheckpoint(true)
+    var frontier = materializeFrontier(s, topB(scoredAdcOf(codes, qlut, f0)))
     for (_ <- 1 to hops) {
-      val neigh = hopEdges(edges, frontier)
-      val cands = frontier.select(col("qid"), col("cid"))
+      val neigh = hopEdgesOf(edges, frontier)
+      val cands = frontier.df.select(col("qid"), col("cid"))
         .union(neigh)
         .filter(col("cid") =!= col("qid"))
         .distinct()
-      frontier = topB(scoredAdcOf(codes, qlut, cands)).localCheckpoint(true)
+      frontier = materializeFrontier(s, topB(scoredAdcOf(codes, qlut, cands)))
     }
-    frontier
+    frontier.df
   }
 
   /** The ADC walk iterated TO FIXED POINT — exactWalkFrontierConverged
@@ -1959,24 +2024,21 @@ object VectorOps {
     def topB(sc: org.apache.spark.sql.DataFrame) =
       graft.plans.TopKPerKey.topK(sc, Seq("qid"),
         Seq(col("score").desc, col("cid").asc), beam)
-    var frontier = topB(scoredAdcOf(codes, qlut, f0)).localCheckpoint(true)
+    var frontier = materializeFrontier(s, topB(scoredAdcOf(codes, qlut, f0)))
     var h = 0
     var converged = false
     while (h < maxHops && !converged) {
-      val neigh = hopEdges(edges, frontier)
-      val cands = frontier.select(col("qid"), col("cid"))
+      val neigh = hopEdgesOf(edges, frontier)
+      val cands = frontier.df.select(col("qid"), col("cid"))
         .union(neigh)
         .filter(col("cid") =!= col("qid"))
         .distinct()
-      val next = topB(scoredAdcOf(codes, qlut, cands)).localCheckpoint(true)
-      converged = next.select(col("qid"), col("cid"))
-        .join(frontier.select(col("qid"), col("cid")),
-          Seq("qid", "cid"), "left_anti")
-        .isEmpty
+      val next = materializeFrontier(s, topB(scoredAdcOf(codes, qlut, cands)))
+      converged = next.pairs.subsetOf(frontier.pairs)
       frontier = next
       h += 1
     }
-    frontier
+    frontier.df
   }
 
   /** The broadcast query set's integer ADC lookup tables (qid,

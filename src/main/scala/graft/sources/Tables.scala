@@ -13,8 +13,38 @@ import org.apache.spark.sql.functions.expr
   * hand with S3 prefix filters; Spark's FileSourceScanExec subsumes it).
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Per-session relation memo (r17, guide §6 "file listing"): every
+    * `spark.read.parquet` call re-lists the path and re-reads the
+    * footer schema on the DRIVER — at 213 queries x 5 bench passes x
+    * several tables each, that synchronous per-call tax is pure
+    * overhead (at 100 TB it is an object-store LIST per query). The
+    * memo returns the SAME immutable DataFrame (a logical relation —
+    * no data, no results; every action still computes from parquet),
+    * keyed on (session, stamped dir, table) so a session restart or a
+    * stamped in-process fixture regen (the invalidateStamp write-hook
+    * discipline, VERDICT r15/ADVICE r16) misses and re-lists. Dirs
+    * without an embeddings stamp (lakeStamp's subject) fall back to
+    * the unmemoized read. */
+  private val relMemo = scala.collection.concurrent.TrieMap
+    .empty[(Int, String, String), (SparkSession, DataFrame)]
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val stamped =
+      try stampedKey(dir)
+      catch { case _: Throwable => null } // no embeddings stamp: no memo
+    if (stamped == null) return spark.read.parquet(s"$dir/$name.parquet")
+    val key = (System.identityHashCode(spark), stamped, name)
+    relMemo.get(key) match {
+      // the identity check guards the (rare) hash reuse after a
+      // session is collected: a memoized relation must never cross
+      // session boundaries
+      case Some((sess, df)) if sess eq spark => df
+      case _ =>
+        val df = spark.read.parquet(s"$dir/$name.parquet")
+        relMemo.put(key, (spark, df))
+        df
+    }
+  }
 
   /** Content stamp of `dir`'s embeddings parquet: folded into every
     * per-JVM derived-state cache key (TrainedIndex artifacts, the

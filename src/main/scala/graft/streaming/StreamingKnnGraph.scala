@@ -54,28 +54,29 @@ object StreamingKnnGraph {
     if (batchId <= StateMarker.lastApplied(dir)) return // redelivery
     val spark = batch.sparkSession
     Files.createDirectories(Paths.get(dir))
-    // emptiness is evaluated ONCE for both layers (ADVICE r12: the
-    // lake's applyBatch used to re-probe the uncached batch — two
-    // extra Spark jobs per micro-batch)
-    val batchIsEmpty = batch.isEmpty
+    val newAsg = batch.select(col(idCol).as("vec_id"),
+        col(vecCol).as("embedding"))
+      .withColumn("cell",
+        -element_at(
+          graft.queries.VectorOps.nearestCells(cent, "embedding", 1), 1)
+          .getField("nc"))
+    // the batch's cells: bounded by the centroid count, never by
+    // data — the same bounded-collect class as the probe's isin.
+    // ONE probe funds both layers' emptiness answer AND the
+    // affected-cell list (r17; extends ADVICE r12's one-evaluation
+    // rule — `isEmpty` was a second job over the same uncached batch)
+    val cells = newAsg.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val batchIsEmpty = cells.isEmpty
     // the vector lake advances first (its own marker makes this
     // idempotent too); an empty batch still advances both markers
     StreamingVectorIndex.applyBatch(batch, cent, idCol, vecCol,
       batchId, s"$dir/index", knownIsEmpty = Some(batchIsEmpty))
     if (!batchIsEmpty) {
-      val dot = (a: String, b: String) => expr(
-        s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
-          "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
-      val newAsg = batch.select(col(idCol).as("vec_id"),
-          col(vecCol).as("embedding"))
-        .withColumn("cell",
-          -element_at(
-            graft.queries.VectorOps.nearestCells(cent, "embedding", 1), 1)
-            .getField("nc"))
-      // the batch's cells: bounded by the centroid count, never by
-      // data — the same bounded-collect class as the probe's isin
-      val cells = newAsg.select(col("cell")).distinct()
-        .collect().map(_.getLong(0)).toSeq
+      // native codegen dot (plans/DotProduct, r17) — bit-identical to
+      // the composed zip_with/aggregate form this path shipped with
+      val dot = (a: String, b: String) =>
+        graft.plans.DotProduct.ofCols(col(a), col(b))
       // only the affected cells' vectors scan (partition-pruned),
       // flagged by whether they arrived in THIS batch
       val newIds = newAsg.select(col("vec_id")).withColumn("is_new", lit(true))
@@ -94,13 +95,20 @@ object StreamingKnnGraph {
         col("embedding").as("be"), col("nrm").as("nb"),
         col("is_new").as("b_new"))
       // pairs involving a new vector only: old x old was already
-      // merged when its younger side arrived
-      val pairs = aSide.join(bSide, Seq("cell"))
+      // merged when its younger side arrived.
+      // shuffle_hash FORCES cell partitioning (r17 — the knnGraph/
+      // vamana f97f561 class, VERDICT r16 #5): the affected-cell
+      // membership sits under the auto-broadcast threshold at fixture
+      // scale, and a broadcast join here would stream the
+      // |new_c| x |cell_c| pair compute through the lake scan's OWN
+      // splits instead of the per-cell exchange the delta-proportional
+      // cost model assumes — at 100 TB the build side is
+      // cell-occupancy-sized and could never broadcast anyway.
+      val pairs = aSide.join(bSide.hint("shuffle_hash"), Seq("cell"))
         .filter(col("a_id") =!= col("b_id"))
         .filter(col("a_new") || col("b_new"))
         .select(col("cell"), col("a_id"), col("b_id"),
-          (expr("aggregate(zip_with(ae, be, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
-            "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+          (graft.plans.DotProduct.ofCols(col("ae"), col("be"))
             / (col("na") * col("nb"))).as("cos"))
       // stored lists of the affected cells (absent before the first
       // batch touches a cell); disjoint from `pairs` by construction
