@@ -191,8 +191,19 @@ object VectorOps {
   private[graft] def nearestCells(cent: Array[Array[Double]], vec: String,
       n: Int): Column = nearestCells(cent, col(vec), n)
 
+  /** Native codegen expression since r17 (plans/NearestCellsExpr): the
+    * composed struct-sort twin below held k·dim literal nodes per
+    * instance (analyzer/optimizer tax on every assignment-bearing
+    * plan) and folded through CodegenFallback lambdas per row.
+    * Bit-identical dots, ranking and output shape — NearestCellsSpec
+    * pins parity against the composed twin. */
   private[graft] def nearestCells(cent: Array[Array[Double]], vec: Column,
-      n: Int): Column = {
+      n: Int): Column = graft.plans.NearestCellsExpr.ofCol(vec, cent, n)
+
+  /** The composed higher-order twin — parity pin for NearestCellsSpec
+    * (the pqCodeColComposed convention). */
+  private[graft] def nearestCellsComposed(cent: Array[Array[Double]],
+      vec: Column, n: Int): Column = {
     val ranked = cent.indices.map { i =>
       val cv = array(cent(i).map(lit(_)): _*)
       val prod = zip_with(cv, vec, (x, y) => x * y.cast("double"))

@@ -116,13 +116,28 @@ object IndexArtifacts {
 
   /** One frame artifact at the current version, as the parquet scan
     * serving plans join against (never collected — the edge table is
-    * corpus-sized). */
+    * corpus-sized). The relation is memoized per (session, dir,
+    * version, name) — the Tables.table r17 discipline: every serve
+    * used to re-list the directory and re-read the footer schema on
+    * the driver; the version in the key makes a republish (marker
+    * flip) miss, and reap never deletes the current version, so a
+    * memo hit can never serve a vanished root. */
+  private val frameMemo = scala.collection.concurrent.TrieMap
+    .empty[(Int, String, Long, String), (SparkSession, DataFrame)]
+
   def loadFrame(spark: SparkSession, dir: String, name: String): DataFrame = {
     val v = currentVersion(dir)
     require(v >= 0, s"no published artifact version under $dir")
-    require(new java.io.File(s"$dir/v$v/$name").isDirectory,
-      s"version $v under $dir has no '$name' frame")
-    spark.read.parquet(s"$dir/v$v/$name")
+    val key = (System.identityHashCode(spark), dir, v, name)
+    frameMemo.get(key) match {
+      case Some((sess, df)) if sess eq spark => df
+      case _ =>
+        require(new java.io.File(s"$dir/v$v/$name").isDirectory,
+          s"version $v under $dir has no '$name' frame")
+        val df = spark.read.parquet(s"$dir/v$v/$name")
+        frameMemo.put(key, (spark, df))
+        df
+    }
   }
 
   /** Version GC (VERDICT r13 #3): delete superseded v-directories,
