@@ -137,7 +137,20 @@ object StreamingKnnGraph {
     * root (when present) stands in for every root it folded, stamped
     * at its fold point so later g-roots still win their cells.
     * `cellsOnly` prunes the scan to the given cells' partition
-    * directories; None when no graph state exists yet. */
+    * directories; None when no graph state exists yet.
+    *
+    * r17 (guide §1.2/§2.4): latest-per-cell resolves on the DRIVER
+    * from file metadata — the exact `newest`-map walk compact()
+    * already trusts for the byte-level fold — instead of scanning
+    * every live root and resolving per-ROW through a groupBy + a
+    * broadcast join. Each read then scans exactly the winning
+    * `cell=` directories and nothing else: one LIST per root (the
+    * object-store maintenance pattern at scale, where the row-level
+    * form read every superseded root's bytes per maintenance batch),
+    * zero extra exchange. Row-equal to the row-level form by the
+    * applyBatch invariant (a touched cell's whole list lives in its
+    * newest root) — StreamingKnnGraphSpec's batch-boundary and
+    * compaction contracts pin exactly this equality. */
   def readGraph(spark: SparkSession, dir: String,
       cellsOnly: Option[Seq[Long]] = None): Option[DataFrame] = {
     val cUpTo = compactedUpTo(dir)
@@ -147,18 +160,35 @@ object StreamingKnnGraph {
           .map(b => b -> s"$dir/graph/g$b")
     val live = roots.filter { case (_, p) => new java.io.File(p).isDirectory }
     if (live.isEmpty) return None
-    val all = live.map { case (b, p) =>
-      spark.read.option("basePath", p).parquet(p).withColumn("gb", lit(b))
-    }.reduce(_ unionByName _)
-    val pruned = cellsOnly match {
-      case Some(cs) => all.filter(col("cell").isin(cs: _*))
-      case None => all
+    // ascending fold: a later root overrides its cells' source (the
+    // compact() newest-map logic, shared semantics)
+    val newest = scala.collection.mutable.LinkedHashMap.empty[String, (Long, String)]
+    live.foreach { case (b, p) =>
+      Option(new java.io.File(p).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+        .foreach(cd => newest(cd.getName) = (b, p))
     }
-    val latest = pruned.groupBy(col("cell").as("c2"))
-      .agg(max(col("gb")).as("gb_max"))
-    Some(pruned.join(broadcast(latest),
-        pruned("cell") === col("c2") && pruned("gb") === col("gb_max"))
-      .select(pruned("cell"), col("a_id"), col("b_id"), col("cos")))
+    val wanted: Option[Set[String]] =
+      cellsOnly.map(_.map(c => s"cell=$c").toSet)
+    // group the winning cell dirs by their root so each root costs one
+    // relation (basePath keeps `cell` a partition column)
+    val byRoot = newest.toSeq
+      .filter { case (cn, _) => wanted.forall(_.contains(cn)) }
+      .groupBy { case (_, (_, p)) => p }
+    if (byRoot.isEmpty) {
+      // no selected cell exists yet: preserve the row-level form's
+      // empty-but-schema'd result via an empty read of one live root
+      val (_, p0) = live.head
+      return Some(spark.read.option("basePath", p0).parquet(p0)
+        .filter(lit(false))
+        .select(col("cell"), col("a_id"), col("b_id"), col("cos")))
+    }
+    val parts = byRoot.toSeq.sortBy(_._1).map { case (p, cells) =>
+      spark.read.option("basePath", p)
+        .parquet(cells.map { case (cn, _) => s"$p/$cn" }.sorted: _*)
+    }
+    Some(parts.reduce(_ unionByName _)
+      .select(col("cell"), col("a_id"), col("b_id"), col("cos")))
   }
 
   /** The offline OPTIMIZE pass for the edge roots. Because a cell's

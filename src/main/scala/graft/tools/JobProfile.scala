@@ -26,15 +26,23 @@ object JobProfile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    val verbose = sys.env.contains("JP_VERBOSE")
     @volatile var jobs = 0
     @volatile var jobNanos = 0L
-    val starts = scala.collection.concurrent.TrieMap.empty[Int, Long]
+    val starts = scala.collection.concurrent.TrieMap.empty[Int, (Long, String)]
+    val done = scala.collection.concurrent.TrieMap.empty[Int, (Double, String)]
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(js: SparkListenerJobStart): Unit =
-        starts(js.jobId) = System.nanoTime()
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val site = js.stageInfos.lastOption.map(si =>
+          si.name.take(60) + " nstages=" + js.stageInfos.size).getOrElse("?")
+        starts(js.jobId) = (System.nanoTime(), site)
+      }
       override def onJobEnd(je: SparkListenerJobEnd): Unit =
-        starts.remove(je.jobId).foreach { t0 =>
-          jobs += 1; jobNanos += System.nanoTime() - t0
+        starts.remove(je.jobId).foreach { case (t0, site) =>
+          jobs += 1
+          val dt = System.nanoTime() - t0
+          jobNanos += dt
+          done(je.jobId) = (dt / 1e9, site)
         }
     })
 
@@ -47,13 +55,16 @@ object JobProfile {
       run(fn(spark, sfDir)) // warm: JIT, codegen, artifact memos
       // settle listener events from the warm pass
       Thread.sleep(300) // let listener events drain
-      jobs = 0; jobNanos = 0L
+      jobs = 0; jobNanos = 0L; done.clear()
       val t0 = System.nanoTime()
       run(fn(spark, sfDir))
       val wall = (System.nanoTime() - t0) / 1e9
       Thread.sleep(300) // let listener events drain
       val js = jobNanos / 1e9
       println(f"$n%-36s $wall%8.3f $jobs%5d $js%8.3f ${wall - js}%8.3f")
+      if (verbose) done.toSeq.sortBy(-_._2._1).take(20).foreach {
+        case (id, (sec, site)) => println(f"    job $id%4d $sec%7.3f  $site")
+      }
     }
     spark.stop()
   }
